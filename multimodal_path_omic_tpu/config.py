@@ -1,0 +1,197 @@
+"""Typed configuration mirroring the reference YAML schema.
+
+The reference loads a raw YAML dict with sections ``device / wandb / dataset /
+model / training`` (reference: models/mcat/config/config.yaml:1-76,
+models/mcat/main.py:218-220) and accesses keys untyped. Here the same schema is
+parsed into validated dataclasses, so an existing reference config file loads
+unchanged, plus a few TPU-specific extensions (bag buckets, batch size, dtype,
+mesh axes) under ``tpu:``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional
+
+import yaml
+
+VALID_LOSSES = ("ce", "ces", "sct", "cesar", "nll", "cox")
+VALID_OPTIMIZERS = ("sgd", "adam", "rms", "adamax", "adadelta")
+VALID_SCHEDULERS = (None, "exp")
+VALID_FUSIONS = ("concat", "gated_concat", "bilinear")
+VALID_MODEL_SIZES = ("small", "medium", "big")
+
+
+@dataclass
+class WandbConfig:
+    """reference: models/mcat/main.py:186-215 (wandb_init)."""
+
+    enabled: bool = False
+    project: str = ""
+
+
+@dataclass
+class DatasetConfig:
+    """reference: models/mcat/config/config.yaml:12-30, dataset/dataset.py:13-114."""
+
+    name: str = "synthetic"
+    file: Optional[str] = None
+    patches_dir: Optional[str] = None
+    h5_dataset: Optional[str] = None
+    signatures: Optional[str] = None
+    decider_only: bool = False
+    tcga_only: bool = False
+    diagnostic_only: bool = False
+    normalize: bool = False
+    standardize: bool = True
+
+
+@dataclass
+class ModelConfig:
+    """reference: models/mcat/config/config.yaml:33-45."""
+
+    name: str = "MCAT"
+    load_from_checkpoint: Optional[str] = None
+    checkpoint_epoch: int = 0
+    checkpoint_dir: str = "checkpoints/"
+    fusion: str = "concat"
+    model_size: str = "medium"
+    gene: Optional[str] = None  # GE-NaCAGaT only (ge_nacagat/config/config.yaml:18)
+    n_classes: int = 4
+    dropout: float = 0.25
+
+    def __post_init__(self):
+        if self.fusion not in VALID_FUSIONS:
+            raise ValueError(f"fusion must be one of {VALID_FUSIONS}, got {self.fusion!r}")
+        if self.model_size not in VALID_MODEL_SIZES:
+            raise ValueError(
+                f"model_size must be one of {VALID_MODEL_SIZES}, got {self.model_size!r}"
+            )
+
+
+@dataclass
+class TrainingConfig:
+    """reference: models/mcat/config/config.yaml:48-76."""
+
+    leave_one_out: Optional[str] = None
+    output_attn_epoch: int = 20
+    test_output_dir: str = "outputs/"
+    train_size: float = 0.8
+    loss: str = "ces"
+    epochs: int = 20
+    optimizer: str = "adam"
+    lr: float = 2e-4
+    weight_decay: float = 1e-5
+    grad_acc_step: int = 32
+    scheduler: Optional[str] = None
+    alpha: float = 0.75
+    lambda_: float = 0.0  # "lambda" in YAML; L1 reg coefficient
+    gamma: float = 1.0
+    seed: int = 0  # NEW: the reference split shuffle is unseeded (dataset.py:154)
+
+    def __post_init__(self):
+        if self.loss not in VALID_LOSSES:
+            raise ValueError(f"loss must be one of {VALID_LOSSES}, got {self.loss!r}")
+        if self.scheduler not in VALID_SCHEDULERS:
+            raise ValueError(
+                f"scheduler must be one of {VALID_SCHEDULERS}, got {self.scheduler!r}"
+            )
+        if not 0.0 < self.train_size < 1.0:
+            raise ValueError("train_size should be a float between 0 and 1.")
+        # The reference silently falls back to adam for unknown optimizer names
+        # (mcat/main.py:296-299); keep that lenience but normalise the name.
+        if self.optimizer not in VALID_OPTIMIZERS:
+            self.optimizer = "adam"
+
+
+@dataclass
+class TpuConfig:
+    """TPU-specific extensions with sensible defaults (no reference equivalent)."""
+
+    # Padded bag-length buckets: each bag is padded up to the smallest bucket
+    # that fits it; one jit trace is compiled per bucket.
+    bag_buckets: List[int] = field(default_factory=lambda: [512, 1024, 2048, 4096, 8192, 16384, 24576])
+    # Device batch: bags per optimizer step = grad_acc_step in the reference.
+    # Here a whole step is one batched jit call (optionally sharded over a mesh).
+    batch_size: int = 32
+    # Compute dtype for matmuls: "float32" (parity) or "bfloat16" (speed).
+    compute_dtype: str = "float32"
+    # Data-parallel mesh axis size (1 = single chip).
+    data_axis: int = 1
+    # Use Pallas fused kernels where available.
+    use_pallas: bool = True
+    # Host pipeline prefetch depth.
+    prefetch: int = 2
+
+
+@dataclass
+class Config:
+    device: str = "tpu"
+    wandb: WandbConfig = field(default_factory=WandbConfig)
+    dataset: DatasetConfig = field(default_factory=DatasetConfig)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    training: TrainingConfig = field(default_factory=TrainingConfig)
+    tpu: TpuConfig = field(default_factory=TpuConfig)
+
+
+def _build(cls, raw: Dict[str, Any]):
+    """Construct a dataclass from a raw dict, ignoring unknown keys and mapping
+    the YAML key ``lambda`` to ``lambda_``."""
+    if raw is None:
+        raw = {}
+    fields = {f.name: f for f in dataclasses.fields(cls)}
+    kwargs = {}
+    for key, value in raw.items():
+        name = "lambda_" if key == "lambda" else key
+        if name in fields:
+            kwargs[name] = value
+    return cls(**kwargs)
+
+
+def load_config(path: str, overrides: Optional[Dict[str, Any]] = None) -> Config:
+    """Load a reference-schema YAML config file into a typed `Config`.
+
+    ``overrides`` is a flat dict of dotted keys (e.g. ``{"training.lr": 1e-3}``)
+    applied after parsing — the CLI uses this (the reference has no CLI and
+    hard-codes the config path, mcat/main.py:343-345).
+    """
+    with open(path) as f:
+        raw = yaml.safe_load(f) or {}
+    cfg = config_from_dict(raw)
+    if overrides:
+        for dotted, value in overrides.items():
+            _apply_override(cfg, dotted, value)
+    return cfg
+
+
+def config_from_dict(raw: Dict[str, Any]) -> Config:
+    return Config(
+        device=raw.get("device", "tpu"),
+        wandb=_build(WandbConfig, raw.get("wandb")),
+        dataset=_build(DatasetConfig, raw.get("dataset")),
+        model=_build(ModelConfig, raw.get("model")),
+        training=_build(TrainingConfig, raw.get("training")),
+        tpu=_build(TpuConfig, raw.get("tpu")),
+    )
+
+
+def _apply_override(cfg: Config, dotted: str, value: Any) -> None:
+    parts = dotted.split(".")
+    obj: Any = cfg
+    for part in parts[:-1]:
+        obj = getattr(obj, part)
+    leaf = "lambda_" if parts[-1] == "lambda" else parts[-1]
+    if not hasattr(obj, leaf):
+        raise KeyError(f"Unknown config key: {dotted}")
+    current = getattr(obj, leaf)
+    if current is not None and value is not None and not isinstance(value, type(current)):
+        value = type(current)(value)
+    setattr(obj, leaf, value)
+
+
+def config_to_dict(cfg: Config) -> Dict[str, Any]:
+    d = dataclasses.asdict(cfg)
+    # round-trip the YAML spelling of lambda
+    d["training"]["lambda"] = d["training"].pop("lambda_")
+    return d

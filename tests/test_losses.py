@@ -1,0 +1,171 @@
+"""Loss parity tests.
+
+Golden fp32 values come from the reference's inline tests
+(reference: models/loss.py:115, 121) and serve as numerics anchors. Additional
+cross-checks recompute each loss with independent numpy math.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multimodal_path_omic_tpu.ops import losses
+
+
+HAZARDS = np.array([[0.51, 0.52, 0.49, 0.48]], dtype=np.float32)
+SURVS = np.array([[0.5, 0.4, 0.2, 0.1]], dtype=np.float32)
+Y = np.array([0], dtype=np.int32)
+
+
+def test_ces_golden_uncensored():
+    loss = losses.cross_entropy_survival(
+        jnp.array(HAZARDS), jnp.array(SURVS), jnp.array(Y), jnp.array([0.0])
+    )
+    assert np.isclose(float(loss), 0.6782951951026917, atol=5e-5)
+
+
+def test_ces_golden_censored():
+    loss = losses.cross_entropy_survival(
+        jnp.array(HAZARDS), jnp.array(SURVS), jnp.array(Y), jnp.array([1.0])
+    )
+    assert np.isclose(float(loss), 0.1732867956161499, atol=5e-5)
+
+
+def test_ces_batched_matches_mean_of_singles():
+    rng = np.random.default_rng(0)
+    B = 8
+    hz = rng.uniform(0.1, 0.9, (B, 4)).astype(np.float32)
+    sv = np.cumprod(1 - hz, axis=1).astype(np.float32)
+    y = rng.integers(0, 4, B).astype(np.int32)
+    c = rng.integers(0, 2, B).astype(np.float32)
+    batched = float(
+        losses.cross_entropy_survival(jnp.array(hz), jnp.array(sv), jnp.array(y), jnp.array(c))
+    )
+    singles = [
+        float(
+            losses.cross_entropy_survival(
+                jnp.array(hz[i : i + 1]),
+                jnp.array(sv[i : i + 1]),
+                jnp.array(y[i : i + 1]),
+                jnp.array(c[i : i + 1]),
+            )
+        )
+        for i in range(B)
+    ]
+    assert np.isclose(batched, np.mean(singles), atol=1e-6)
+
+
+def test_ces_sample_weight_masks_padding():
+    hz = np.concatenate([HAZARDS, np.full((1, 4), 0.999, np.float32)])
+    sv = np.concatenate([SURVS, np.full((1, 4), 1e-4, np.float32)])
+    y = np.array([0, 3], dtype=np.int32)
+    c = np.array([0.0, 0.0], dtype=np.float32)
+    w = np.array([1.0, 0.0], dtype=np.float32)
+    loss = losses.cross_entropy_survival(
+        jnp.array(hz), jnp.array(sv), jnp.array(y), jnp.array(c), sample_weight=jnp.array(w)
+    )
+    assert np.isclose(float(loss), 0.6782951951026917, atol=5e-5)
+
+
+def test_nll_manual():
+    # reference math (loss.py:31-43) recomputed in numpy
+    alpha, eps = 0.15, 1e-7
+    c = 1.0
+    s_padded = np.concatenate([[1.0], SURVS[0]])
+    uncensored = -(1 - c) * (np.log(s_padded[0]) + np.log(HAZARDS[0, 0]))
+    censored = -c * np.log(s_padded[1])
+    expected = (1 - alpha) * (censored + uncensored) + alpha * uncensored
+    got = losses.negative_log_likelihood_survival(
+        jnp.array(HAZARDS), jnp.array(SURVS), jnp.array(Y), jnp.array([c])
+    )
+    assert np.isclose(float(got), expected, atol=2e-4)
+
+
+def test_cox_manual():
+    rng = np.random.default_rng(1)
+    B = 6
+    theta = rng.normal(size=B).astype(np.float32)
+    s = rng.uniform(size=B).astype(np.float32)
+    c = rng.integers(0, 2, B).astype(np.float32)
+    r = (s[None, :] >= s[:, None]).astype(np.float64)
+    expected = -np.mean(
+        (theta - np.log(np.sum(np.exp(theta)[None, :] * r, axis=1))) * (1 - c)
+    )
+    got = losses.cox_survival(jnp.array(theta), jnp.array(s), jnp.array(c))
+    assert np.isclose(float(got), expected, atol=1e-5)
+
+
+@pytest.mark.parametrize(
+    "pred,y,c",
+    [
+        ([0.1, 0.2, 0.7, 0.1], 2, 0.0),
+        ([0.1, 0.2, 0.7, 0.1], 2, 1.0),
+        ([0.1, 0.2, 0.7, 0.1], 0, 0.0),
+        ([0.7, 0.2, 0.1, 0.1], 3, 1.0),
+        ([0.7, 0.2, 0.1, 0.1], 1, 1.0),
+    ],
+)
+def test_sct_matches_reference_branches(pred, y, c):
+    # reference semantics (loss.py:77-84): uncensored -> -log p[y];
+    # censored -> -log sum_{j>=y} p[j]
+    eps = 1e-7
+    p = np.array(pred, dtype=np.float32)
+    if c == 0:
+        expected = -np.log(p[y] + eps)
+    else:
+        expected = -np.log(np.sum(p[y:]) + eps)
+    got = losses.survival_classification_tobit(
+        jnp.array(p[None]), jnp.array([y]), jnp.array([c])
+    )
+    # XLA CPU's f32 log carries ~5e-5 abs error vs libm; tolerance reflects that
+    assert np.isclose(float(got), expected, atol=2e-4)
+
+
+def test_sct_ordering_properties():
+    # mirrors the qualitative assertions in reference test_sct_loss (loss.py:126-173)
+    p = jnp.array([[0.1, 0.2, 0.7, 0.1]])
+    correct_unc = float(losses.survival_classification_tobit(p, jnp.array([2]), jnp.array([0.0])))
+    correct_cen = float(losses.survival_classification_tobit(p, jnp.array([2]), jnp.array([1.0])))
+    wrong_unc = float(losses.survival_classification_tobit(p, jnp.array([0]), jnp.array([0.0])))
+    wrong_cen = float(losses.survival_classification_tobit(p, jnp.array([0]), jnp.array([1.0])))
+    assert correct_cen < correct_unc
+    assert wrong_unc > correct_unc
+    assert wrong_cen < wrong_unc
+
+
+def test_cesar_is_ces_plus_attn_norm():
+    attn = np.random.default_rng(2).uniform(size=(6, 10, 10)).astype(np.float32)
+    loss, attn_loss = losses.cross_entropy_survival_attn_reg(
+        jnp.array(HAZARDS), jnp.array(SURVS), jnp.array(Y), jnp.array([0.0]), jnp.array(attn)
+    )
+    expected_attn = 0.01 * np.linalg.norm(attn.ravel())
+    assert np.isclose(float(attn_loss), expected_attn, atol=1e-6)
+    assert np.isclose(float(loss), 0.6782951951026917 + expected_attn, atol=2e-4)
+
+
+def test_ce_double_softmax_quirk():
+    # The reference feeds softmax probs into CrossEntropyLoss; verify vs torch.
+    torch = pytest.importorskip("torch")
+    rng = np.random.default_rng(3)
+    probs = rng.dirichlet(np.ones(4), size=5).astype(np.float32)
+    labels = rng.integers(0, 4, 5)
+    expected = torch.nn.CrossEntropyLoss()(
+        torch.tensor(probs), torch.tensor(labels, dtype=torch.long)
+    ).item()
+    got = losses.cross_entropy_on_probs(jnp.array(probs), jnp.array(labels))
+    assert np.isclose(float(got), expected, atol=2e-4)
+
+
+def test_losses_are_jittable():
+    f = jax.jit(losses.cross_entropy_survival)
+    out = f(jnp.array(HAZARDS), jnp.array(SURVS), jnp.array(Y), jnp.array([0.0]))
+    assert np.isfinite(float(out))
+    g = jax.jit(losses.survival_classification_tobit)
+    out = g(jnp.array(HAZARDS), jnp.array(Y), jnp.array([1.0]))
+    assert np.isfinite(float(out))
+
+
+def test_l1_reg_matches_manual_sum():
+    params = {"a": jnp.array([[1.0, -2.0]]), "b": {"w": jnp.array([3.0, -4.0])}}
+    assert np.isclose(float(losses.l1_reg(params)), 10.0)

@@ -1,0 +1,88 @@
+"""C-index port tests — verified against hand-counted pairs and (if available)
+against lifelines/sksurv. The reference uses sksurv's
+concordance_index_censored (mcat/main.py:81)."""
+
+import numpy as np
+import pytest
+
+from multimodal_path_omic_tpu.train.metrics import (
+    concordance_index_censored,
+    survival_risk,
+)
+
+
+def test_perfect_concordance():
+    # events at increasing times, risk perfectly anti-ordered with time
+    time = np.array([1.0, 2.0, 3.0, 4.0])
+    event = np.array([True, True, True, True])
+    risk = np.array([4.0, 3.0, 2.0, 1.0])
+    c, con, dis, tr, tt = concordance_index_censored(event, time, risk)
+    assert c == 1.0
+    assert con == 6 and dis == 0
+
+
+def test_perfect_discordance():
+    time = np.array([1.0, 2.0, 3.0, 4.0])
+    event = np.array([True, True, True, True])
+    risk = np.array([1.0, 2.0, 3.0, 4.0])
+    c, *_ = concordance_index_censored(event, time, risk)
+    assert c == 0.0
+
+
+def test_hand_counted_with_censoring():
+    # sample 0: event at t=1 -> comparable with 1,2,3
+    # sample 1: censored at t=2 -> never an index event
+    # sample 2: event at t=3 -> comparable with 3 only
+    time = np.array([1.0, 2.0, 3.0, 4.0])
+    event = np.array([True, False, True, False])
+    risk = np.array([3.0, 1.0, 2.0, 0.0])
+    # pairs: (0,1) risk 3>1 con; (0,2) 3>2 con; (0,3) 3>0 con; (2,3) 2>0 con
+    c, con, dis, tr, tt = concordance_index_censored(event, time, risk)
+    assert c == 1.0
+    assert con == 4
+
+
+def test_tied_risk_half_credit():
+    time = np.array([1.0, 2.0])
+    event = np.array([True, False])
+    risk = np.array([5.0, 5.0])
+    c, con, dis, tr, tt = concordance_index_censored(event, time, risk)
+    assert c == 0.5 and tr == 1
+
+
+def test_event_comparable_with_censored_at_same_time():
+    # event and censored sample share t=2: that pair is comparable
+    time = np.array([2.0, 2.0])
+    event = np.array([True, False])
+    risk = np.array([3.0, 1.0])
+    c, con, dis, tr, tt = concordance_index_censored(event, time, risk)
+    assert c == 1.0 and tt == 1
+
+
+def test_no_comparable_pairs_raises():
+    time = np.array([1.0, 2.0])
+    event = np.array([False, False])
+    risk = np.array([1.0, 2.0])
+    with pytest.raises(ValueError):
+        concordance_index_censored(event, time, risk)
+
+
+def test_random_agreement_with_lifelines_if_available():
+    lifelines = pytest.importorskip("lifelines")
+    from lifelines.utils import concordance_index as ll_ci
+
+    rng = np.random.default_rng(0)
+    n = 60
+    time = rng.uniform(1, 100, n)
+    event = rng.integers(0, 2, n).astype(bool)
+    risk = rng.normal(size=n)
+    ours, *_ = concordance_index_censored(event, time, risk)
+    # lifelines concordance_index uses predicted *survival* (lower = worse),
+    # so pass -risk
+    theirs = ll_ci(time, -risk, event)
+    assert np.isclose(ours, theirs, atol=1e-10)
+
+
+def test_survival_risk_definition():
+    survs = np.array([[0.5, 0.4, 0.2, 0.1]])
+    assert np.isclose(survival_risk(survs)[0], -1.2)
