@@ -1,0 +1,94 @@
+"""NaCAGaT — Narrow Contextual Attention Gate Transformer, TPU-native.
+
+Re-design of the reference model (reference: models/nacagat/nacagat.py:9-141).
+Identical skeleton to MCAT except the co-attention module is the pre-gated
+contextual attention (nacagat.py:44, 93): scores multiplied by
+P = (tanh(Q)tanh(K)^T + 1)/2 before softmax, CAG residual added, attention
+weights always returned (the cesar loss consumes them,
+nacagat/main.py:49-50).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from flax import linen as nn
+import jax.numpy as jnp
+
+from multimodal_path_omic_tpu.models.common import MODEL_SIZES, SurvivalOutput, survival_head
+from multimodal_path_omic_tpu.ops.attention import PreGatingContextualAttention
+from multimodal_path_omic_tpu.ops.blocks import GatedMILPool, OmicEncoderStack, WSIEncoder
+from multimodal_path_omic_tpu.ops.fusion import make_fusion
+from multimodal_path_omic_tpu.ops.layers import TorchLinear
+from multimodal_path_omic_tpu.ops.transformer import TransformerEncoder
+
+
+class NaCAGaT(nn.Module):
+    n_signatures: int
+    model_size: str = "medium"
+    n_classes: int = 4
+    dropout_rate: float = 0.25
+    fusion: str = "concat"
+    dtype: Optional[jnp.dtype] = None
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        wsi: jnp.ndarray,
+        omics: Sequence[jnp.ndarray],
+        mask: Optional[jnp.ndarray] = None,
+        *,
+        deterministic: bool = True,
+        need_attention: bool = True,  # NaCAGaT always returns weights (nacagat.py:80)
+    ) -> SurvivalOutput:
+        d1, d2 = MODEL_SIZES[self.model_size]
+
+        h_bag = WSIEncoder(dim=d1, dropout_rate=self.dropout_rate, dtype=self.dtype, name="H")(
+            wsi, deterministic=deterministic
+        )
+        g_bag = OmicEncoderStack(
+            n_signatures=self.n_signatures,
+            dim1=d1,
+            dim2=d2,
+            dropout_rate=self.dropout_rate,
+            dtype=self.dtype,
+            name="G",
+        )(omics, deterministic=deterministic)
+
+        # Pre-gated contextual co-attention, 1 head, attn dropout 0.25
+        # (nacagat.py:44 -> blocks.py:51-111)
+        h_coattn, a_coattn = PreGatingContextualAttention(
+            embed_dim=d2,
+            num_heads=1,
+            dropout_rate=self.dropout_rate,
+            dtype=self.dtype,
+            name="co_attention",
+        )(g_bag, h_bag, h_bag, mask, deterministic=deterministic)
+
+        path_trans = TransformerEncoder(
+            d_model=d2, num_layers=2, dropout_rate=self.dropout_rate, dtype=self.dtype,
+            name="path_transformer",
+        )(h_coattn, deterministic=deterministic)
+        omic_trans = TransformerEncoder(
+            d_model=d2, num_layers=2, dropout_rate=self.dropout_rate, dtype=self.dtype,
+            name="omic_transformer",
+        )(g_bag, deterministic=deterministic)
+
+        h_path, a_path = GatedMILPool(
+            dim=d2, dropout_rate=self.dropout_rate, dtype=self.dtype, name="path_pool"
+        )(path_trans, deterministic=deterministic)
+        h_omic, a_omic = GatedMILPool(
+            dim=d2, dropout_rate=self.dropout_rate, dtype=self.dtype, name="omic_pool"
+        )(omic_trans, deterministic=deterministic)
+
+        h = make_fusion(self.fusion, hidden=d2, output=d2, dtype=self.dtype)(h_path, h_omic)
+
+        logits = TorchLinear(self.n_classes, dtype=self.dtype, name="classifier")(h)
+        hazards, survs, y = survival_head(logits)
+        return SurvivalOutput(
+            hazards=hazards,
+            survs=survs,
+            y=y,
+            attention={"coattn": a_coattn, "path": a_path, "omic": a_omic},
+        )

@@ -1,0 +1,295 @@
+"""Attention primitives — batched, masked, torch-parity math.
+
+Covers the reference's attention surface (reference: models/blocks.py):
+
+* ``MultiheadAttention`` — behavior-parity with stock ``nn.MultiheadAttention``
+  (packed QKV projection, per-head scaling, optional weight averaging), used by
+  MCAT co-attention (mcat.py:48,97) and GE-NaCAGaT self-attention
+  (ge_nacagat.py:27,49).
+* ``PreGatingContextualAttention`` — the NaCAGaT co-attention: scores are
+  multiplied by the pre-gate ``P = (tanh(Q)·tanh(K)^T + 1)/2`` before softmax
+  (blocks.py:184-188), then a Contextual Attention Gate residual is added
+  (blocks.py:110-111).
+* ``PreGatedAttention`` + ``ContextualAttentionGate`` +
+  ``PreGatingContextualAttentionGate`` — the standalone PCAG stack
+  (blocks.py:209-285).
+
+Unlike the reference (unbatched, full-materialized score matrices), everything
+here takes ``[B, seq, dim]`` with an optional boolean key-validity mask
+``[B, M]`` so ragged WSI bags can be bucketed+padded and batched. When
+``use_pallas`` is set on the wrapping model, the score/softmax/PV chain is
+computed by a fused Pallas kernel (ops/coattn.py) instead of XLA einsums.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from multimodal_path_omic_tpu.ops.layers import (
+    NEG_INF,
+    TorchLinear,
+    make_torch_bias_init,
+    masked_softmax,
+)
+
+
+def xavier_uniform_packed_init(key, shape, dtype=jnp.float32):
+    """xavier_uniform over the packed [E, 3E] QKV kernel.
+
+    torch xaviers the packed (3E, E) matrix as a whole (blocks.py:82), giving
+    bound sqrt(6 / (E + 3E)); identical for the transposed flax layout.
+    """
+    fan_in, fan_out = shape[0], shape[1]
+    bound = math.sqrt(6.0 / (fan_in + fan_out))
+    return jax.random.uniform(key, shape, dtype, minval=-bound, maxval=bound)
+
+
+def _split_heads(x: jnp.ndarray, num_heads: int) -> jnp.ndarray:
+    """[B, L, E] -> [B, H, L, E/H]"""
+    b, l, e = x.shape
+    return x.reshape(b, l, num_heads, e // num_heads).transpose(0, 2, 1, 3)
+
+
+def _merge_heads(x: jnp.ndarray) -> jnp.ndarray:
+    """[B, H, L, D] -> [B, L, H*D]"""
+    b, h, l, d = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, l, h * d)
+
+
+def attention_core(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    key_mask: Optional[jnp.ndarray],
+    *,
+    pre_gate: bool,
+    dropout_rate: float,
+    deterministic: bool,
+    dropout_rng=None,
+    need_weights: bool = True,
+) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+    """Scaled-dot attention on projected heads.
+
+    q: [B, H, N, D]; k, v: [B, H, M, D]; key_mask: [B, M] bool (True = valid).
+    With ``pre_gate``, scores are multiplied by (tanh(q)·tanh(k)^T + 1)/2
+    before softmax (reference: blocks.py:185-187). Returns (out [B,H,N,D],
+    weights [B,H,N,M] or None).
+    """
+    d = q.shape[-1]
+    scores = jnp.einsum("bhnd,bhmd->bhnm", q / math.sqrt(d), k)
+    if pre_gate:
+        p = (jnp.einsum("bhnd,bhmd->bhnm", jnp.tanh(q), jnp.tanh(k)) + 1.0) / 2.0
+        scores = scores * p
+    mask4 = None if key_mask is None else key_mask[:, None, None, :]
+    weights = masked_softmax(scores, mask4)
+    if dropout_rate > 0.0 and not deterministic:
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, weights.shape)
+        # torch dropout semantics: returned weights are also the dropped ones
+        # (blocks.py:188-201)
+        weights = jnp.where(keep, weights / (1.0 - dropout_rate), 0.0)
+    out = jnp.einsum("bhnm,bhmd->bhnd", weights, v)
+    return out, (weights if need_weights else None)
+
+
+class MultiheadAttention(nn.Module):
+    """Stock nn.MultiheadAttention parity (packed QKV, optional pre-gating).
+
+    Init matches torch: xavier-uniform packed in-projection, zero in/out biases,
+    default-Linear out-projection weight (torch MHA._reset_parameters).
+    """
+
+    embed_dim: int
+    num_heads: int
+    dropout_rate: float = 0.0
+    pre_gate: bool = False
+    dtype: Optional[jnp.dtype] = None
+    # Route the score/softmax/PV chain through the fused Pallas kernel when
+    # weights are not requested (ops/coattn.py). Falls back to XLA otherwise.
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        query: jnp.ndarray,
+        key: jnp.ndarray,
+        value: jnp.ndarray,
+        key_mask: Optional[jnp.ndarray] = None,
+        *,
+        need_weights: bool = True,
+        average_attn_weights: bool = True,
+        deterministic: bool = True,
+        return_projected_q: bool = False,
+    ):
+        e = self.embed_dim
+        in_kernel = self.param("in_proj_kernel", xavier_uniform_packed_init, (e, 3 * e))
+        in_bias = self.param("in_proj_bias", nn.initializers.zeros, (3 * e,))
+        wq, wk, wv = jnp.split(in_kernel, 3, axis=1)
+        bq, bk, bv = jnp.split(in_bias, 3)
+
+        q = jnp.dot(query.astype(self.dtype), wq.astype(self.dtype)) + bq
+        k = jnp.dot(key.astype(self.dtype), wk.astype(self.dtype)) + bk
+        v = jnp.dot(value.astype(self.dtype), wv.astype(self.dtype)) + bv
+
+        qh = _split_heads(q, self.num_heads)
+        kh = _split_heads(k, self.num_heads)
+        vh = _split_heads(v, self.num_heads)
+
+        rng = None
+        if self.dropout_rate > 0.0 and not deterministic:
+            rng = self.make_rng("dropout")
+        dropout_active = self.dropout_rate > 0.0 and not deterministic
+        if self.use_pallas and not need_weights and not dropout_active:
+            from multimodal_path_omic_tpu.ops.coattn import fused_attention
+
+            out_h = fused_attention(qh, kh, vh, key_mask, pre_gate=self.pre_gate)
+            weights = None
+        else:
+            out_h, weights = attention_core(
+                qh,
+                kh,
+                vh,
+                key_mask,
+                pre_gate=self.pre_gate,
+                dropout_rate=self.dropout_rate,
+                deterministic=deterministic,
+                dropout_rng=rng,
+                need_weights=need_weights,
+            )
+        out = _merge_heads(out_h)
+        # torch MHA zero-inits out_proj.bias (_reset_parameters / blocks.py:86)
+        out = TorchLinear(
+            e, dtype=self.dtype, bias_init=nn.initializers.zeros, name="out_proj"
+        )(out)
+        if weights is not None and average_attn_weights:
+            weights = weights.mean(axis=1)  # [B, N, M]
+        if return_projected_q:
+            return out, weights, q
+        return out, weights
+
+
+class ContextualAttentionGate(nn.Module):
+    """CAG (reference: blocks.py:232-253).
+
+    G = LN(ELU(fc1(Q) + fc2(Q_hat))); E = LN(ELU(fc3(Q_hat)));
+    C = ELU(fc_c(G * E)). fc1/2/3 already end in ELU (double ELU is faithful).
+    """
+
+    dim: int = 256
+    hidden_dim: int = 128
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, q: jnp.ndarray, q_hat: jnp.ndarray) -> jnp.ndarray:
+        act = jax.nn.elu
+        fc1 = act(TorchLinear(self.hidden_dim, dtype=self.dtype, name="fc1")(q))
+        fc2 = act(TorchLinear(self.hidden_dim, dtype=self.dtype, name="fc2")(q_hat))
+        fc3 = act(TorchLinear(self.hidden_dim, dtype=self.dtype, name="fc3")(q_hat))
+        g = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_g")(act(fc1 + fc2))
+        e = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_e")(act(fc3))
+        c = act(TorchLinear(self.hidden_dim, dtype=self.dtype, name="fc_c")(g * e))
+        return c
+
+
+class PreGatingContextualAttention(nn.Module):
+    """NaCAGaT co-attention (reference: blocks.py:51-111, 114-206).
+
+    Pre-gated multi-head attention followed by a CAG residual computed from the
+    *original* query and the *projected* query (the fork returns q from the
+    functional core precisely for this, blocks.py:206,110):
+
+        out, A = PreGatedMHA(Q, K, V);  C = CAG(Q, W_q Q)
+        return out + C, A
+    """
+
+    embed_dim: int
+    num_heads: int = 1
+    dropout_rate: float = 0.25
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(
+        self,
+        query: jnp.ndarray,
+        key: jnp.ndarray,
+        value: jnp.ndarray,
+        key_mask: Optional[jnp.ndarray] = None,
+        *,
+        deterministic: bool = True,
+        average_attn_weights: bool = True,
+    ):
+        attn_out, weights, q_proj = MultiheadAttention(
+            embed_dim=self.embed_dim,
+            num_heads=self.num_heads,
+            dropout_rate=self.dropout_rate,
+            pre_gate=True,
+            dtype=self.dtype,
+            name="mha",
+        )(
+            query,
+            key,
+            value,
+            key_mask,
+            need_weights=True,
+            average_attn_weights=average_attn_weights,
+            deterministic=deterministic,
+            return_projected_q=True,
+        )
+        c = ContextualAttentionGate(
+            dim=self.embed_dim, hidden_dim=self.embed_dim, dtype=self.dtype, name="cag"
+        )(query, q_proj)
+        return attn_out + c, weights
+
+
+class PreGatedAttention(nn.Module):
+    """Standalone pre-gated cross-attention (reference: blocks.py:209-229).
+
+    Faithful quirks: ``scores = QK^T / scale`` with ``scale = 1/sqrt(dk)`` —
+    i.e. scores are *multiplied* by sqrt(dk) (blocks.py:213,225) — and the
+    pre-gate P is computed but **not** applied in this block (blocks.py:224-225).
+    """
+
+    dk: int = 256
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x1: jnp.ndarray, x2: jnp.ndarray, key_mask=None):
+        q = TorchLinear(self.dk, dtype=self.dtype, name="fc_q")(x2)
+        k = TorchLinear(self.dk, dtype=self.dtype, name="fc_k")(x1)
+        v = TorchLinear(self.dk, dtype=self.dtype, name="fc_v")(x1)
+        qk = jnp.einsum("...nd,...md->...nm", q, k)
+        scores = qk * math.sqrt(self.dk)  # faithful: divide by 1/sqrt(dk)
+        mask = None if key_mask is None else key_mask[..., None, :]
+        weights = masked_softmax(scores, mask)
+        q_hat = jnp.einsum("...nm,...md->...nd", weights, v)
+        return q, q_hat, weights
+
+
+class PreGatingContextualAttentionGate(nn.Module):
+    """PCAG composite (reference: blocks.py:256-285).
+
+    PreGatedAttention -> CAG -> final_fc(Q); the reference returns
+    ``(final_fc(Q), attention_weights)`` with the ``Q + C`` residual commented
+    out (blocks.py:284-285) — reproduced as-is. Not used by any model driver.
+    """
+
+    dk: int = 256
+    output_dim: int = 128
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x1: jnp.ndarray, x2: jnp.ndarray, key_mask=None):
+        q, q_hat, weights = PreGatedAttention(dk=self.dk, dtype=self.dtype, name="pg_coattn")(
+            x1, x2, key_mask
+        )
+        _c = ContextualAttentionGate(
+            dim=self.dk, hidden_dim=self.output_dim, dtype=self.dtype, name="cag"
+        )(q, q_hat)
+        out = jax.nn.relu(
+            TorchLinear(self.output_dim, dtype=self.dtype, name="final_fc")(q)
+        )
+        return out, weights

@@ -1,0 +1,146 @@
+"""Reusable model blocks (reference: models/blocks.py, models/mcat/mcat.py).
+
+Batched + masked re-designs of the reference's building blocks. Attention
+primitives live in ops/attention.py; this module holds the MIL scoring head,
+the masked MIL pooling, the SNN omic encoders, and the WSI patch encoder.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from multimodal_path_omic_tpu.ops.layers import AlphaDropout, TorchLinear, masked_softmax
+
+
+class AttentionNetGated(nn.Module):
+    """Gated-attention MIL scoring head (reference: blocks.py:13-48).
+
+    A = W_c(tanh(W_a x) * sigmoid(W_b x)), optional dropout p=0.25 on both
+    branches. Input x: [..., L, input_dim]; returns (A [..., L, n_classes], x).
+    """
+
+    hidden_dim: int = 256
+    n_classes: int = 1
+    dropout: bool = True
+    dropout_rate: float = 0.25
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True):
+        a = jnp.tanh(TorchLinear(self.hidden_dim, dtype=self.dtype, name="attention_a")(x))
+        b = jax.nn.sigmoid(
+            TorchLinear(self.hidden_dim, dtype=self.dtype, name="attention_b")(x)
+        )
+        if self.dropout:
+            a = nn.Dropout(self.dropout_rate)(a, deterministic=deterministic)
+            b = nn.Dropout(self.dropout_rate)(b, deterministic=deterministic)
+        scores = TorchLinear(self.n_classes, dtype=self.dtype, name="attention_c")(a * b)
+        return scores, x
+
+
+class GatedMILPool(nn.Module):
+    """Masked gated-attention MIL pooling + rho head.
+
+    Reference pipeline (mcat.py:105-115): A,h = AttentionNetGated(x);
+    h = softmax(A^T) @ h; h = rho(h), where rho = Linear+ReLU+Dropout.
+    Batched with an optional token-validity mask (padded bag positions get
+    -inf attention scores).
+
+    Input x: [B, L, D], mask: [B, L] or None. Returns (pooled [B, D],
+    attention scores A^T [B, 1, L]).
+    """
+
+    dim: int
+    dropout_rate: float = 0.25
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        mask: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        scores, h = AttentionNetGated(
+            hidden_dim=self.dim,
+            n_classes=1,
+            dtype=self.dtype,
+            name="attention_head",
+        )(x, deterministic=deterministic)
+        a = jnp.swapaxes(scores, -1, -2)  # [B, 1, L]
+        weights = masked_softmax(a, None if mask is None else mask[:, None, :])
+        pooled = jnp.einsum("bol,bld->bod", weights, h)[:, 0, :]  # [B, D]
+        pooled = TorchLinear(self.dim, dtype=self.dtype, name="rho")(pooled)
+        pooled = jax.nn.relu(pooled)
+        pooled = nn.Dropout(self.dropout_rate)(pooled, deterministic=deterministic)
+        return pooled, a
+
+
+class SNNOmicEncoder(nn.Module):
+    """Self-normalizing omic encoder (reference: mcat.py:32-45).
+
+    Two blocks of Linear -> ELU -> AlphaDropout(p). Input [B, omic_size] ->
+    [B, dim2].
+    """
+
+    dim1: int = 256
+    dim2: int = 256
+    dropout_rate: float = 0.25
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True):
+        x = x.astype(jnp.float32)  # faithful to omic.type(torch.float32), mcat.py:90
+        x = jax.nn.elu(TorchLinear(self.dim1, dtype=self.dtype, name="fc1")(x))
+        x = AlphaDropout(self.dropout_rate)(x, deterministic=deterministic)
+        x = jax.nn.elu(TorchLinear(self.dim2, dtype=self.dtype, name="fc2")(x))
+        x = AlphaDropout(self.dropout_rate)(x, deterministic=deterministic)
+        return x
+
+
+class WSIEncoder(nn.Module):
+    """WSI patch-embedding FC: Linear(1024 -> d) + ReLU + Dropout
+    (reference: mcat.py:24-29)."""
+
+    dim: int = 256
+    dropout_rate: float = 0.25
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, wsi: jnp.ndarray, deterministic: bool = True):
+        h = jax.nn.relu(TorchLinear(self.dim, dtype=self.dtype, name="fc")(wsi))
+        h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
+        return h
+
+
+class OmicEncoderStack(nn.Module):
+    """Per-signature SNN encoders producing the omic token bag G
+    (reference: mcat.py:32-45, 90-92).
+
+    omics: sequence of [B, size_i] arrays -> [B, N, dim2].
+    """
+
+    n_signatures: int
+    dim1: int = 256
+    dim2: int = 256
+    dropout_rate: float = 0.25
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, omics: Sequence[jnp.ndarray], deterministic: bool = True):
+        assert len(omics) == self.n_signatures
+        tokens = [
+            SNNOmicEncoder(
+                dim1=self.dim1,
+                dim2=self.dim2,
+                dropout_rate=self.dropout_rate,
+                dtype=self.dtype,
+                name=f"snn_{i}",
+            )(omic, deterministic=deterministic)
+            for i, omic in enumerate(omics)
+        ]
+        return jnp.stack(tokens, axis=1)  # [B, N, dim2]

@@ -1,0 +1,125 @@
+"""Low-level layer utilities with torch-compatible semantics.
+
+These exist so that (a) weights can be transplanted 1:1 from a PyTorch
+state_dict for numerics-parity tests, and (b) fresh training starts from the
+same init distributions the reference uses (torch nn.Linear default init,
+xavier-uniform attention projections, etc.).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = jnp.dtype
+
+# Large-negative (finite) masking constant: -inf would turn fully-masked
+# softmax rows into NaN; padded rows are discarded downstream anyway.
+NEG_INF = -1e9
+
+
+def torch_linear_kernel_init(key, shape, dtype=jnp.float32):
+    """torch nn.Linear default: U(-k, k), k = 1/sqrt(fan_in).
+
+    flax kernels are [in, out]; fan_in is shape[0].
+    """
+    k = 1.0 / math.sqrt(shape[0])
+    return jax.random.uniform(key, shape, dtype, minval=-k, maxval=k)
+
+
+def make_torch_bias_init(fan_in: int) -> Callable:
+    """torch nn.Linear default bias: U(-k, k), k = 1/sqrt(fan_in)."""
+
+    def init(key, shape, dtype=jnp.float32):
+        k = 1.0 / math.sqrt(fan_in)
+        return jax.random.uniform(key, shape, dtype, minval=-k, maxval=k)
+
+    return init
+
+
+def normal_fan_in_init(key, shape, dtype=jnp.float32):
+    """init_max_weights: N(0, 1/sqrt(fan_in)) (reference: models/utils.py:43-48)."""
+    stdv = 1.0 / math.sqrt(shape[0])
+    return jax.random.normal(key, shape, dtype) * stdv
+
+
+class TorchLinear(nn.Module):
+    """nn.Linear equivalent with torch's default init.
+
+    Weight layout is flax-style [in, out]; transplanting from torch requires a
+    transpose of torch's [out, in] weight.
+    """
+
+    features: int
+    use_bias: bool = True
+    dtype: Optional[Dtype] = None
+    kernel_init: Optional[Callable] = None
+    bias_init: Optional[Callable] = None
+
+    @nn.compact
+    def __call__(self, x):
+        in_features = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            self.kernel_init or torch_linear_kernel_init,
+            (in_features, self.features),
+        )
+        y = jnp.dot(x.astype(self.dtype), kernel.astype(self.dtype))
+        if self.use_bias:
+            bias = self.param(
+                "bias",
+                self.bias_init or make_torch_bias_init(in_features),
+                (self.features,),
+            )
+            y = y + bias.astype(self.dtype)
+        return y
+
+
+class AlphaDropout(nn.Module):
+    """SELU-preserving alpha dropout, exact torch semantics.
+
+    torch.nn.AlphaDropout: dropped units are set to alpha' = -scale*alpha of
+    SELU (-1.7580993408473766); the output is affinely corrected so mean and
+    variance are preserved:
+        a = ((1 - p) * (1 + p * alpha'^2)) ** -0.5
+        b = -a * alpha' * p
+        out = a * (x * keep + alpha' * (1 - keep)) + b
+    Used by the reference's SNN omic encoders (mcat.py:38, 42).
+    """
+
+    rate: float
+    deterministic: Optional[bool] = None
+
+    ALPHA_PRIME = -1.7580993408473766
+
+    @nn.compact
+    def __call__(self, x, deterministic: Optional[bool] = None):
+        deterministic = nn.merge_param("deterministic", self.deterministic, deterministic)
+        if deterministic or self.rate == 0.0:
+            return x
+        p = self.rate
+        a = ((1.0 - p) * (1.0 + p * self.ALPHA_PRIME**2)) ** -0.5
+        b = -a * self.ALPHA_PRIME * p
+        rng = self.make_rng("dropout")
+        keep = jax.random.bernoulli(rng, 1.0 - p, x.shape)
+        return a * jnp.where(keep, x, self.ALPHA_PRIME) + b
+
+
+def masked_softmax(scores: jnp.ndarray, mask: Optional[jnp.ndarray], axis: int = -1):
+    """Softmax with boolean validity mask broadcast over ``scores``.
+
+    mask True = valid. Fully-masked rows yield a uniform distribution over the
+    masked entries (finite fill value), never NaN.
+    """
+    if mask is not None:
+        scores = jnp.where(mask, scores, NEG_INF)
+    return jax.nn.softmax(scores, axis=axis)
+
+
+def elu(x):
+    """torch nn.ELU default (alpha=1)."""
+    return jax.nn.elu(x)

@@ -1,0 +1,198 @@
+"""Model-level tests: output shapes (mirroring the reference inline tests,
+mcat.py:148-177 / nacagat.py:144-163 / ge_nacagat.py:78-94) and
+padding-invariance — the core correctness property of the bucketed+masked
+TPU design: padding a bag must not change eval outputs.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multimodal_path_omic_tpu.models import MCAT, GENaCAGaT, NaCAGaT
+
+OMIC_SIZES = [100, 200, 300, 400, 500, 600]
+M = 64
+B = 2
+
+
+def _inputs(rng, m=M, b=B):
+    wsi = jnp.array(rng.normal(size=(b, m, 1024)), jnp.float32)
+    omics = [jnp.array(rng.normal(size=(b, s)), jnp.float32) for s in OMIC_SIZES]
+    return wsi, omics
+
+
+@pytest.mark.parametrize("model_size", ["small", "medium", "big"])
+def test_mcat_shapes(model_size):
+    rng = np.random.default_rng(0)
+    wsi, omics = _inputs(rng)
+    model = MCAT(n_signatures=6, model_size=model_size)
+    params = model.init(jax.random.key(0), wsi, omics, need_attention=True)
+    out = model.apply(params, wsi, omics, need_attention=True)
+    assert out.hazards.shape == (B, 4)
+    assert out.survs.shape == (B, 4)
+    assert out.y.shape == (B, 4)
+    assert out.attention["coattn"].shape == (B, 6, M)
+    assert out.attention["path"].shape == (B, 1, 6)
+    assert out.attention["omic"].shape == (B, 1, 6)
+    # survival head invariants
+    assert np.all(np.asarray(out.hazards) >= 0) and np.all(np.asarray(out.hazards) <= 1)
+    np.testing.assert_allclose(np.asarray(out.y).sum(-1), 1.0, rtol=1e-5)
+    # survs = cumprod(1 - hazards) is monotone nonincreasing
+    sv = np.asarray(out.survs)
+    assert np.all(np.diff(sv, axis=-1) <= 1e-6)
+
+
+def test_mcat_no_attention_when_not_requested():
+    # mirrors need_weights=inference (mcat.py:97): coattn is None in training
+    rng = np.random.default_rng(1)
+    wsi, omics = _inputs(rng)
+    model = MCAT(n_signatures=6)
+    params = model.init(jax.random.key(0), wsi, omics)
+    out = model.apply(params, wsi, omics, need_attention=False)
+    assert out.attention["coattn"] is None
+
+
+@pytest.mark.parametrize("fusion", ["concat", "gated_concat", "bilinear"])
+def test_mcat_fusions(fusion):
+    rng = np.random.default_rng(2)
+    wsi, omics = _inputs(rng)
+    model = MCAT(n_signatures=6, fusion=fusion)
+    params = model.init(jax.random.key(0), wsi, omics)
+    out = model.apply(params, wsi, omics)
+    assert out.hazards.shape == (B, 4)
+
+
+@pytest.mark.parametrize("model_size", ["small", "medium"])
+def test_nacagat_shapes(model_size):
+    rng = np.random.default_rng(3)
+    wsi, omics = _inputs(rng)
+    model = NaCAGaT(n_signatures=6, model_size=model_size)
+    params = model.init(jax.random.key(0), wsi, omics)
+    out = model.apply(params, wsi, omics)
+    assert out.hazards.shape == (B, 4)
+    # NaCAGaT always returns co-attention weights (nacagat.py:80)
+    assert out.attention["coattn"].shape == (B, 6, M)
+
+
+def test_ge_nacagat_shapes():
+    rng = np.random.default_rng(4)
+    wsi, _ = _inputs(rng)
+    model = GENaCAGaT()
+    params = model.init(jax.random.key(0), wsi, need_attention=True)
+    y, attn = model.apply(params, wsi, need_attention=True)
+    assert y.shape == (B, 3)
+    np.testing.assert_allclose(np.asarray(y).sum(-1), 1.0, rtol=1e-5)
+    assert attn["attn"].shape == (B, M, M)
+    assert attn["path"].shape == (B, 1, M)
+
+
+def test_mcat_padding_invariance():
+    """Padding a bag + masking must reproduce the unpadded eval output."""
+    rng = np.random.default_rng(5)
+    m_real = 48
+    wsi, omics = _inputs(rng, m=m_real, b=1)
+    model = MCAT(n_signatures=6)
+    params = model.init(jax.random.key(0), wsi, omics)
+    out_ref = model.apply(params, wsi, omics)
+
+    pad = 32
+    wsi_padded = jnp.concatenate(
+        [wsi, jnp.array(rng.normal(size=(1, pad, 1024)), jnp.float32) * 100.0], axis=1
+    )
+    mask = jnp.concatenate(
+        [jnp.ones((1, m_real), bool), jnp.zeros((1, pad), bool)], axis=1
+    )
+    out_pad = model.apply(params, wsi_padded, omics, mask)
+    np.testing.assert_allclose(
+        np.asarray(out_ref.hazards), np.asarray(out_pad.hazards), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_ref.survs), np.asarray(out_pad.survs), atol=1e-5
+    )
+
+
+def test_nacagat_padding_invariance():
+    rng = np.random.default_rng(6)
+    m_real = 48
+    wsi, omics = _inputs(rng, m=m_real, b=1)
+    model = NaCAGaT(n_signatures=6)
+    params = model.init(jax.random.key(0), wsi, omics)
+    out_ref = model.apply(params, wsi, omics)
+
+    pad = 16
+    wsi_padded = jnp.concatenate(
+        [wsi, jnp.full((1, pad, 1024), 7.0, jnp.float32)], axis=1
+    )
+    mask = jnp.concatenate(
+        [jnp.ones((1, m_real), bool), jnp.zeros((1, pad), bool)], axis=1
+    )
+    out_pad = model.apply(params, wsi_padded, omics, mask)
+    np.testing.assert_allclose(
+        np.asarray(out_ref.hazards), np.asarray(out_pad.hazards), atol=1e-5
+    )
+    # attention over padded keys must be ~0
+    a = np.asarray(out_pad.attention["coattn"])
+    assert np.abs(a[:, :, m_real:]).max() < 1e-6
+
+
+def test_ge_padding_invariance():
+    rng = np.random.default_rng(7)
+    m_real = 40
+    wsi, _ = _inputs(rng, m=m_real, b=1)
+    model = GENaCAGaT()
+    params = model.init(jax.random.key(0), wsi)
+    y_ref, _ = model.apply(params, wsi)
+
+    pad = 24
+    wsi_padded = jnp.concatenate(
+        [wsi, jnp.array(rng.normal(size=(1, pad, 1024)), jnp.float32) * 50.0], axis=1
+    )
+    mask = jnp.concatenate(
+        [jnp.ones((1, m_real), bool), jnp.zeros((1, pad), bool)], axis=1
+    )
+    y_pad, _ = model.apply(params, wsi_padded, mask)
+    np.testing.assert_allclose(np.asarray(y_ref), np.asarray(y_pad), atol=1e-5)
+
+
+def test_batched_matches_singles():
+    """Batch independence: a batch of 2 equals two batch-of-1 evals."""
+    rng = np.random.default_rng(8)
+    wsi, omics = _inputs(rng, b=2)
+    model = MCAT(n_signatures=6)
+    params = model.init(jax.random.key(0), wsi, omics)
+    out = model.apply(params, wsi, omics)
+    for i in range(2):
+        out_i = model.apply(
+            params, wsi[i : i + 1], [o[i : i + 1] for o in omics]
+        )
+        # batched vs single matmuls reduce in different orders; f32 tolerance
+        np.testing.assert_allclose(
+            np.asarray(out.hazards[i]), np.asarray(out_i.hazards[0]), atol=3e-4
+        )
+
+
+def test_train_mode_runs_with_dropout_rngs():
+    rng = np.random.default_rng(9)
+    wsi, omics = _inputs(rng, b=1)
+    model = NaCAGaT(n_signatures=6)
+    params = model.init(jax.random.key(0), wsi, omics)
+    out = model.apply(
+        params, wsi, omics, deterministic=False, rngs={"dropout": jax.random.key(1)}
+    )
+    assert np.all(np.isfinite(np.asarray(out.hazards)))
+
+
+def test_pcag_composite_block():
+    """The standalone PCAG block (blocks.py:256-285) — shape parity with
+    reference test_pcag (blocks.py:327-339), batched."""
+    from multimodal_path_omic_tpu.ops.attention import PreGatingContextualAttentionGate
+
+    rng = np.random.default_rng(10)
+    slide = jnp.array(rng.normal(size=(1, 300, 1024)), jnp.float32)
+    omics = jnp.array(rng.normal(size=(1, 6, 256)), jnp.float32)
+    block = PreGatingContextualAttentionGate(dk=256, output_dim=128)
+    params = block.init(jax.random.key(0), slide, omics)
+    out, weights = block.apply(params, slide, omics)
+    assert out.shape == (1, 6, 128)
+    assert weights.shape == (1, 6, 300)
