@@ -101,7 +101,7 @@ class MCAT(nn.Module):
         )(omic_trans, deterministic=deterministic)
 
         # Fusion (mcat.py:69-79, 119)
-        h = make_fusion(self.fusion, hidden=d2, output=d2, dtype=self.dtype)(h_path, h_omic)
+        h = make_fusion(self.fusion, hidden=d2, output=d2, dtype=self.dtype, name="fusion_layer")(h_path, h_omic)
 
         # Survival head (mcat.py:126-138)
         logits = TorchLinear(self.n_classes, dtype=self.dtype, name="classifier")(h)

@@ -82,7 +82,7 @@ class NaCAGaT(nn.Module):
             dim=d2, dropout_rate=self.dropout_rate, dtype=self.dtype, name="omic_pool"
         )(omic_trans, deterministic=deterministic)
 
-        h = make_fusion(self.fusion, hidden=d2, output=d2, dtype=self.dtype)(h_path, h_omic)
+        h = make_fusion(self.fusion, hidden=d2, output=d2, dtype=self.dtype, name="fusion_layer")(h_path, h_omic)
 
         logits = TorchLinear(self.n_classes, dtype=self.dtype, name="classifier")(h)
         hazards, survs, y = survival_head(logits)

@@ -164,12 +164,12 @@ class BilinearFusion(nn.Module):
         return out
 
 
-def make_fusion(name: str, hidden: int, output: int, dtype=None) -> nn.Module:
+def make_fusion(kind: str, hidden: int, output: int, dtype=None, name=None) -> nn.Module:
     """Fusion factory mirroring the reference's config dispatch (mcat.py:69-79)."""
-    if name == "concat":
-        return ConcatFusion(hidden_size=hidden, output_size=output, dtype=dtype)
-    if name == "gated_concat":
-        return GatedConcatFusion(hidden_size=hidden, output_size=output, dtype=dtype)
-    if name == "bilinear":
-        return BilinearFusion(output_size=output, dtype=dtype)
-    raise RuntimeError(f"Fusion mechanism {name} not implemented")
+    if kind == "concat":
+        return ConcatFusion(hidden_size=hidden, output_size=output, dtype=dtype, name=name)
+    if kind == "gated_concat":
+        return GatedConcatFusion(hidden_size=hidden, output_size=output, dtype=dtype, name=name)
+    if kind == "bilinear":
+        return BilinearFusion(output_size=output, dtype=dtype, name=name)
+    raise RuntimeError(f"Fusion mechanism {kind} not implemented")

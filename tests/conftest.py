@@ -7,7 +7,14 @@ the very top of conftest (pytest imports conftest before test modules).
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU regardless of the ambient JAX_PLATFORMS (the shell may pre-set a
+# TPU platform; tests must run on the virtual multi-device CPU backend).
+os.environ["JAX_PLATFORMS"] = "cpu"
+# This JAX build defaults f32 matmuls to low (bf16-like) precision even on
+# CPU (~1e-1 abs error at K=256); parity tests need true f32 accumulation.
+import jax  # noqa: E402
+
+jax.config.update("jax_default_matmul_precision", "highest")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
