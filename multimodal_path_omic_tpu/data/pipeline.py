@@ -1,0 +1,167 @@
+"""Bucketed batching + host prefetch: ragged bags -> static-shape device feed.
+
+The reference trains batch-size-1 with 32-step gradient accumulation
+(reference: mcat/main.py:69-74, config.yaml:67-68) because bags are ragged.
+The TPU-native equivalent: group samples into length buckets, pad each bag to
+its bucket, and emit whole batches of ``batch_size`` same-bucket bags — one
+jitted train step per bucket, each step being one optimizer update over the
+same effective batch the reference accumulates.
+
+Partial batches are padded with repeated samples carrying ``weight 0`` so
+shapes stay static; losses use the weights (ops/losses.py ``sample_weight``)
+and metrics drop them.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from multimodal_path_omic_tpu.data.bags import DEFAULT_BUCKETS, bucket_for, pad_bag
+
+
+class Batch(dict):
+    """A dict batch with attribute access for the common fields:
+    wsi [B, Mb, D], mask [B, Mb], omics list of [B, s_i], label [B],
+    censorship [B], survival_months [B], weight [B], index [B]."""
+
+    __getattr__ = dict.__getitem__
+
+
+class BucketBatcher:
+    """Builds bucketed, padded batches from a dataset.
+
+    ``dataset`` needs: ``__len__``, ``bag(i) -> [M, D]``, and a
+    ``batch_extras(indices) -> dict of np arrays`` provided via the
+    ``extras_fn`` argument (labels/omics differ per task).
+    """
+
+    def __init__(
+        self,
+        dataset,
+        extras_fn,
+        batch_size: int,
+        buckets: Sequence[int] = DEFAULT_BUCKETS,
+        shuffle: bool = True,
+        seed: int = 0,
+        drop_remainder: bool = False,
+    ):
+        self.dataset = dataset
+        self.extras_fn = extras_fn
+        self.batch_size = batch_size
+        self.buckets = tuple(buckets)
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_remainder = drop_remainder
+        self._epoch = 0
+        # Bag lengths probed once (cheap for npy/h5 backends; .pt requires a
+        # load — cached).
+        self._lengths = None
+
+    def _bag_lengths(self) -> np.ndarray:
+        if self._lengths is None:
+            self._lengths = np.array(
+                [self.dataset.bag(i).shape[0] for i in range(len(self.dataset))]
+            )
+        return self._lengths
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if n == 0:
+            return 0
+        if self.drop_remainder:
+            return n // self.batch_size
+        # upper bound (per-bucket remainders); exact count depends on bucketing
+        return int(np.ceil(n / self.batch_size)) + len(self.buckets)
+
+    def batches(self) -> Iterator[Batch]:
+        n = len(self.dataset)
+        order = np.arange(n)
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self._epoch)
+            rng.shuffle(order)
+        self._epoch += 1
+        lengths = self._bag_lengths()
+
+        pending: Dict[int, List[int]] = {}
+        for i in order:
+            b = bucket_for(int(lengths[i]), self.buckets)
+            pending.setdefault(b, []).append(int(i))
+            if len(pending[b]) == self.batch_size:
+                yield self._make_batch(pending.pop(b), b)
+        for b, idxs in sorted(pending.items()):
+            if idxs and not self.drop_remainder:
+                yield self._make_batch(idxs, b)
+
+    def _make_batch(self, indices: List[int], bucket: int) -> Batch:
+        real = len(indices)
+        full = list(indices) + [indices[-1]] * (self.batch_size - real)
+        masks = np.zeros((self.batch_size, bucket), dtype=bool)
+        bags = []
+        for i in full:
+            bag = np.asarray(self.dataset.bag(i), dtype=np.float32)
+            padded, mask = pad_bag(bag, bucket)
+            bags.append(padded)
+            masks[len(bags) - 1] = mask
+        wsi = np.stack(bags)
+        weight = np.zeros((self.batch_size,), np.float32)
+        weight[:real] = 1.0
+        batch = Batch(
+            wsi=wsi,
+            mask=masks,
+            weight=weight,
+            index=np.array(full, np.int32),
+            bucket=bucket,
+            n_real=real,
+        )
+        batch.update(self.extras_fn(self.dataset, np.array(full)))
+        return batch
+
+
+def survival_extras(dataset, indices: np.ndarray) -> Dict[str, np.ndarray]:
+    """Labels + signature omics for the survival models."""
+    t = dataset.table
+    return {
+        "survival_months": t.survival_months[indices],
+        "label": t.survival_class[indices],
+        "censorship": t.censorship[indices],
+        "omics": [t.signature_data[n][indices] for n in t.signature_names],
+    }
+
+
+def gene_expr_extras(dataset, indices: np.ndarray) -> Dict[str, np.ndarray]:
+    return {"label": dataset.table.gene_expr_class[indices]}
+
+
+def prefetch(iterator: Iterator, depth: int = 2) -> Iterator:
+    """Background-thread prefetch of host batches (overlaps bag IO + padding
+    with device compute — the reference leans on DataLoader workers for this,
+    mcat/main.py:250-252)."""
+    if depth <= 0:
+        yield from iterator
+        return
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    sentinel = object()
+    error: List[BaseException] = []
+
+    def worker():
+        try:
+            for item in iterator:
+                q.put(item)
+        except BaseException as exc:  # propagate to consumer
+            error.append(exc)
+        finally:
+            q.put(sentinel)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            if error:
+                raise error[0]
+            return
+        yield item

@@ -1,0 +1,219 @@
+"""Data layer tests: synthetic cohort -> tables, bag stores, bucketing,
+batching. Mirrors the reference's (environment-bound, unrunnable) dataset
+tests (dataset.py:250-343) with hermetic synthetic data."""
+
+import numpy as np
+import pytest
+
+from multimodal_path_omic_tpu.data import (
+    BucketBatcher,
+    GeneExprDataset,
+    MultimodalDataset,
+    bucket_for,
+    pad_bag,
+    prefetch,
+)
+from multimodal_path_omic_tpu.data.pipeline import gene_expr_extras, survival_extras
+from multimodal_path_omic_tpu.data.synthetic import (
+    make_synthetic_cohort,
+    synthetic_config_dict,
+)
+
+
+@pytest.fixture(scope="module")
+def cohort(tmp_path_factory):
+    out = tmp_path_factory.mktemp("cohort")
+    csv, sig, patches = make_synthetic_cohort(str(out), n_patients=20, seed=0)
+    return csv, sig, patches
+
+
+@pytest.fixture(scope="module")
+def dataset(cohort):
+    csv, sig, patches = cohort
+    cfg = synthetic_config_dict(csv, sig, patches)
+    return MultimodalDataset(csv, cfg, use_signatures=True)
+
+
+def test_dataset_basics(dataset):
+    assert len(dataset) == 20
+    assert len(dataset.signature_sizes) == 6
+    months, klass, cens, omics, bag = dataset[0]
+    assert bag.ndim == 2 and bag.shape[1] == 1024
+    assert len(omics) == 6
+    assert 0 <= klass <= 3
+
+
+def test_survival_classes_are_quartiles(dataset):
+    classes = dataset.table.survival_class
+    counts = np.bincount(classes, minlength=4)
+    assert counts.min() >= len(dataset) // 4 - 1
+
+
+def test_split_is_patient_level_and_seeded(dataset):
+    tr1, va1, _ = dataset.split(0.8, seed=7)
+    tr2, va2, _ = dataset.split(0.8, seed=7)
+    assert list(tr1.table.patients) == list(tr2.table.patients)
+    assert set(tr1.table.patients).isdisjoint(set(va1.table.patients))
+    tr3, _, _ = dataset.split(0.8, seed=8)
+    assert list(tr1.table.patients) != list(tr3.table.patients)
+
+
+def test_leave_one_out_split(dataset):
+    patient = dataset.table.patients[0]
+    tr, va, te = dataset.split(0.8, test=True, patient=patient)
+    assert te is not None and len(te) >= 1
+    assert all(p == patient for p in te.table.patients)
+    assert patient not in set(tr.table.patients)
+    assert patient not in set(va.table.patients)
+
+
+def test_subset_signature_alignment(dataset):
+    """The reference misaligns signature omics after splits
+    (dataset.py:238-241); verify ours stay row-aligned."""
+    tr, va, _ = dataset.split(0.7, seed=3)
+    full = dataset.table
+    for sub in (tr, va):
+        for j, slide in enumerate(sub.table.slide_ids):
+            orig = int(np.where(full.slide_ids == slide)[0][0])
+            for name in full.signature_names:
+                np.testing.assert_array_equal(
+                    sub.table.signature_data[name][j], full.signature_data[name][orig]
+                )
+
+
+def test_standardize_rnaseq(dataset):
+    r = dataset.table.rnaseq
+    np.testing.assert_allclose(r.mean(0), 0.0, atol=1e-5)
+    np.testing.assert_allclose(r.std(0, ddof=1), 1.0, atol=1e-4)
+
+
+def test_bucket_for():
+    assert bucket_for(1, (512, 1024)) == 512
+    assert bucket_for(512, (512, 1024)) == 512
+    assert bucket_for(513, (512, 1024)) == 1024
+    assert bucket_for(3000, (512, 1024)) == 3072  # beyond largest: multiple of it
+
+
+def test_pad_bag():
+    bag = np.ones((5, 8), np.float32)
+    padded, mask = pad_bag(bag, 16)
+    assert padded.shape == (16, 8) and mask.sum() == 5
+    assert padded[5:].sum() == 0
+
+
+def test_bucket_batcher_covers_all_samples(dataset):
+    batcher = BucketBatcher(
+        dataset, survival_extras, batch_size=8, buckets=(256, 512), shuffle=True
+    )
+    seen = []
+    for batch in batcher.batches():
+        assert batch["wsi"].shape[0] == 8
+        assert batch["wsi"].shape[1] in (256, 512)
+        assert batch["mask"].shape == batch["wsi"].shape[:2]
+        real = int(batch["weight"].sum())
+        seen.extend(batch["index"][:real].tolist())
+        assert len(batch["omics"]) == 6
+        # mask matches actual bag lengths
+        for b in range(real):
+            length = dataset.bag(int(batch["index"][b])).shape[0]
+            assert batch["mask"][b].sum() == length
+    assert sorted(seen) == list(range(len(dataset)))
+
+
+def test_batches_are_bucket_homogeneous(dataset):
+    batcher = BucketBatcher(
+        dataset, survival_extras, batch_size=4, buckets=(256, 512), shuffle=False
+    )
+    for batch in batcher.batches():
+        lengths = batch["mask"].sum(1)
+        real = int(batch["weight"].sum())
+        assert all(
+            bucket_for(int(l), (256, 512)) == batch["bucket"] for l in lengths[:real]
+        )
+
+
+def test_prefetch_preserves_order_and_errors():
+    items = list(range(10))
+    assert list(prefetch(iter(items), depth=3)) == items
+
+    def boom():
+        yield 1
+        raise RuntimeError("io error")
+
+    with pytest.raises(RuntimeError):
+        list(prefetch(boom(), depth=2))
+
+
+def test_h5_backend(tmp_path):
+    csv, sig, h5_path = make_synthetic_cohort(
+        str(tmp_path), n_patients=6, bag_format="h5", seed=1
+    )
+    cfg = synthetic_config_dict(csv, sig, h5_path, h5=True)
+    ds = MultimodalDataset(csv, cfg, use_signatures=True)
+    assert len(ds) == 6
+    _, _, _, _, bag = ds[0]
+    assert bag.shape[1] == 1024
+
+
+def test_pt_backend(tmp_path):
+    pytest.importorskip("torch")
+    csv, sig, patches = make_synthetic_cohort(
+        str(tmp_path), n_patients=4, bag_format="pt", seed=2
+    )
+    cfg = synthetic_config_dict(csv, sig, patches)
+    ds = MultimodalDataset(csv, cfg, use_signatures=True)
+    assert len(ds) == 4
+    assert ds.bag(0).dtype == np.float32
+
+
+def test_missing_bags_dropped(tmp_path):
+    import os
+
+    csv, sig, patches = make_synthetic_cohort(str(tmp_path), n_patients=6, seed=3)
+    # delete two bag files; dataset init must drop those rows (dataset.py:39-59)
+    victims = sorted(os.listdir(patches))[:2]
+    for v in victims:
+        os.remove(os.path.join(patches, v))
+    cfg = synthetic_config_dict(csv, sig, patches)
+    ds = MultimodalDataset(csv, cfg, use_signatures=True)
+    assert len(ds) == 4
+
+
+def test_gene_expr_dataset(cohort):
+    csv, sig, patches = cohort
+    cfg = synthetic_config_dict(csv, sig, patches)
+    ds = GeneExprDataset(csv, cfg, gene="G000")
+    assert len(ds) == 20
+    label, bag = ds[0]
+    assert 0 <= label <= 2
+    assert "G000_rnaseq" not in ds.table.df.columns
+    batcher = BucketBatcher(ds, gene_expr_extras, batch_size=4, buckets=(512,))
+    batch = next(batcher.batches())
+    assert batch["label"].shape == (4,)
+
+
+def test_raw_yaml_dict_config_accepted(cohort):
+    """A reference-style raw YAML dict works as config (schema compat)."""
+    csv, sig, patches = cohort
+    raw = {
+        "dataset": {
+            "file": csv,
+            "patches_dir": patches,
+            "signatures": sig,
+            "decider_only": False,
+            "tcga_only": False,
+            "diagnostic_only": False,
+            "normalize": False,
+            "standardize": True,
+        }
+    }
+    ds = MultimodalDataset(csv, raw, use_signatures=True)
+    assert len(ds) == 20
+
+
+def test_decider_filter(cohort):
+    csv, sig, patches = cohort
+    cfg = synthetic_config_dict(csv, sig, patches)
+    cfg["dataset"]["decider_only"] = True
+    ds = MultimodalDataset(csv, cfg, use_signatures=True)
+    assert 0 < len(ds) < 20
