@@ -112,6 +112,9 @@ def cox_survival(
     theta = hazards.reshape(-1)
     s = survs.reshape(-1)
     r_mat = (s[None, :] >= s[:, None]).astype(theta.dtype)  # [B, B]
+    if sample_weight is not None:
+        # padded (weight-0) samples must not appear in any risk set
+        r_mat = r_mat * sample_weight.astype(theta.dtype)[None, :]
     exp_theta = jnp.exp(theta)
     per = (theta - jnp.log(jnp.sum(exp_theta[None, :] * r_mat, axis=1))) * (
         1.0 - c.astype(theta.dtype)

@@ -1,0 +1,260 @@
+"""Jitted train/eval steps: one optimizer update per batched, bucketed step.
+
+TPU-native replacement for the reference's batch-1 + 32-step gradient
+accumulation loop (reference: mcat/main.py:19-103): a full effective batch
+(= ``grad_acc_step`` bags) is processed in ONE jitted step. When the bucket is
+too large for a single pass, the step scans over microbatch chunks
+accumulating gradients (``lax.scan``, same semantics as the reference's
+``loss/grad_acc_step`` accumulation at mcat/main.py:69-74), then applies one
+optimizer update.
+
+Static configuration (model/loss name/accum chunks) is baked per-trace;
+ragged bags re-trace once per bucket shape.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from multimodal_path_omic_tpu.ops import losses as L
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    rng: jax.Array
+    step: jnp.ndarray  # int32 scalar
+
+
+class StepMetrics(NamedTuple):
+    loss: jnp.ndarray  # scalar weighted-mean loss (incl. reg)
+    attn_loss: jnp.ndarray  # scalar (cesar only, else 0)
+    risk: jnp.ndarray  # [B] per-sample risk = -sum(survs)
+    n_real: jnp.ndarray  # scalar
+
+
+def _survival_loss(loss_name: str, out, label, censorship, months, alpha, weight):
+    """Dispatch matching the reference's string-keyed branches
+    (mcat/main.py:41-48, nacagat/main.py:42-54), plus the unwired nll/cox."""
+    attn_loss = jnp.zeros((), out.hazards.dtype)
+    if loss_name == "ce":
+        loss = L.cross_entropy_on_probs(out.y, label, sample_weight=weight)
+    elif loss_name == "ces":
+        loss = L.cross_entropy_survival(
+            out.hazards, out.survs, label, censorship, alpha=alpha, sample_weight=weight
+        )
+    elif loss_name == "sct":
+        loss = L.survival_classification_tobit(
+            out.y, label, censorship, sample_weight=weight
+        )
+    elif loss_name == "cesar":
+        attn = out.attention["coattn"]
+        # per-sample L2 norm over the co-attention map, weighted-mean
+        per = jnp.sqrt(jnp.sum(attn.reshape(attn.shape[0], -1) ** 2, axis=1) + 1e-12)
+        attn_loss = 0.01 * jnp.sum(per * weight) / jnp.maximum(jnp.sum(weight), 1.0)
+        loss = (
+            L.cross_entropy_survival(
+                out.hazards, out.survs, label, censorship, alpha=alpha, sample_weight=weight
+            )
+            + attn_loss
+        )
+    elif loss_name == "nll":
+        loss = L.negative_log_likelihood_survival(
+            out.hazards, out.survs, label, censorship, sample_weight=weight
+        )
+    elif loss_name == "cox":
+        # batch-level Cox partial likelihood: theta = risk, risk sets from
+        # observed months. Usable here because steps see real batches (the
+        # reference's cox is unwired and batch-1, loss.py:46-59).
+        risk = -jnp.sum(out.survs, axis=1)
+        loss = L.cox_survival(risk, months, censorship, sample_weight=weight)
+    else:
+        raise RuntimeError(f'Loss "{loss_name}" not implemented')
+    return loss, attn_loss
+
+
+def make_train_step(
+    model,
+    loss_name: str,
+    optimizer: optax.GradientTransformation,
+    *,
+    alpha: float = 0.75,
+    l1_lambda: float = 0.0,
+    patch_budget: Optional[int] = 262_144,
+    ge_mode: bool = False,
+) -> Callable:
+    """Build the jitted train step.
+
+    Batch dict fields (numpy/jnp): wsi [B, M, D], mask [B, M], label [B],
+    weight [B]; survival mode adds omics (list of [B, s_i]), censorship [B].
+
+    ``patch_budget`` bounds B*M patch rows held live per backward pass: the
+    step scans over gradient-accumulation chunks whenever a bucket's
+    B * M exceeds it (chunk count is derived from static shapes at trace
+    time, so each bucket still compiles exactly once).
+    """
+    need_attention = loss_name == "cesar"
+
+    def forward_loss(params, rng, wsi, mask, omics, label, censorship, months, weight):
+        out = model.apply(
+            {"params": params},
+            wsi,
+            *(() if ge_mode else (omics,)),
+            mask,
+            deterministic=False,
+            need_attention=need_attention,
+            rngs={"dropout": rng},
+        )
+        if ge_mode:
+            y, _attn = out
+            loss = L.cross_entropy_on_probs(y, label, sample_weight=weight)
+            attn_loss = jnp.zeros((), y.dtype)
+            risk = jnp.zeros((wsi.shape[0],), y.dtype)
+        else:
+            loss, attn_loss = _survival_loss(
+                loss_name, out, label, censorship, months, alpha, weight
+            )
+            risk = -jnp.sum(out.survs, axis=1)
+        # scale by this chunk's weight mass so chunks average correctly
+        w_sum = jnp.sum(weight)
+        return loss * w_sum, (attn_loss * w_sum, risk, w_sum)
+
+    grad_fn = jax.value_and_grad(forward_loss, has_aux=True)
+
+    def _chunk(tree, i):
+        return jax.tree_util.tree_map(lambda x: x[i] if x is not None else None, tree)
+
+    @jax.jit
+    def train_step(state: TrainState, batch: Dict[str, Any]) -> Tuple[TrainState, StepMetrics]:
+        b, m = batch["wsi"].shape[0], batch["wsi"].shape[1]
+        # static (trace-time) choice of accumulation chunks: largest divisor
+        # of b whose chunk fits the patch budget
+        if patch_budget is None:
+            accum = 1
+        else:
+            max_chunk = max(1, patch_budget // max(m, 1))
+            chunk = 1
+            for d in range(1, b + 1):
+                if b % d == 0 and d <= max_chunk:
+                    chunk = d
+            accum = b // chunk
+        chunk = b // accum
+
+        def resh(x):
+            return x.reshape((accum, chunk) + x.shape[1:])
+
+        wsi = resh(batch["wsi"])
+        mask = resh(batch["mask"])
+        label = resh(batch["label"].astype(jnp.int32))
+        weight = resh(batch["weight"])
+        omics = None if ge_mode else [resh(o) for o in batch["omics"]]
+        cens = None if ge_mode else resh(batch["censorship"])
+        months = None if ge_mode else resh(batch["survival_months"])
+
+        rng, step_rng = jax.random.split(state.rng)
+        chunk_rngs = jax.random.split(step_rng, accum)
+
+        zero_grads = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+
+        def body(carry, i):
+            grads_acc, loss_acc, attn_acc, w_acc = carry
+            (loss_i, (attn_i, risk_i, w_i)), grads_i = grad_fn(
+                state.params,
+                chunk_rngs[i],
+                wsi[i],
+                mask[i],
+                None if ge_mode else [o[i] for o in omics],
+                label[i],
+                None if ge_mode else cens[i],
+                None if ge_mode else months[i],
+                weight[i],
+            )
+            grads_acc = jax.tree_util.tree_map(jnp.add, grads_acc, grads_i)
+            return (grads_acc, loss_acc + loss_i, attn_acc + attn_i, w_acc + w_i), risk_i
+
+        (grads, loss_sum, attn_sum, w_sum), risks = jax.lax.scan(
+            body,
+            (zero_grads, jnp.zeros(()), jnp.zeros(()), jnp.zeros(())),
+            jnp.arange(accum),
+        )
+        w_sum = jnp.maximum(w_sum, 1.0)
+        grads = jax.tree_util.tree_map(lambda g: g / w_sum, grads)
+        loss = loss_sum / w_sum
+        attn_loss = attn_sum / w_sum
+
+        if l1_lambda and l1_lambda > 0.0:
+            # L1 regularization over all params (reference: utils.py:33-40,
+            # mcat/main.py:51-54, 314-318)
+            reg, reg_grads = jax.value_and_grad(L.l1_reg)(state.params)
+            grads = jax.tree_util.tree_map(
+                lambda g, r: g + l1_lambda * r, grads, reg_grads
+            )
+            loss = loss + l1_lambda * reg
+
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(params, opt_state, rng, state.step + 1)
+        metrics = StepMetrics(
+            loss=loss,
+            attn_loss=attn_loss,
+            risk=risks.reshape(-1),
+            n_real=jnp.sum(batch["weight"]),
+        )
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(
+    model, loss_name: str, *, alpha: float = 0.75, ge_mode: bool = False,
+    need_attention: bool = False,
+) -> Callable:
+    """Jitted no-grad eval step mirroring validate() (mcat/main.py:106-155)."""
+    want_attn = need_attention or loss_name == "cesar"
+
+    @jax.jit
+    def eval_step(params, batch):
+        out = model.apply(
+            {"params": params},
+            batch["wsi"],
+            *(() if ge_mode else (batch["omics"],)),
+            batch["mask"],
+            deterministic=True,
+            need_attention=want_attn,
+        )
+        weight = batch["weight"]
+        if ge_mode:
+            y, attn = out
+            loss = L.cross_entropy_on_probs(y, batch["label"], sample_weight=weight)
+            return {
+                "loss": loss,
+                "y": y,
+                "attention": attn if want_attn else None,
+                "n_real": jnp.sum(weight),
+            }
+        loss, attn_loss = _survival_loss(
+            loss_name,
+            out,
+            batch["label"].astype(jnp.int32),
+            batch["censorship"],
+            batch["survival_months"],
+            alpha,
+            weight,
+        )
+        return {
+            "loss": loss,
+            "attn_loss": attn_loss,
+            "risk": -jnp.sum(out.survs, axis=1),
+            "hazards": out.hazards,
+            "survs": out.survs,
+            "y": out.y,
+            "attention": out.attention if want_attn else None,
+            "n_real": jnp.sum(weight),
+        }
+
+    return eval_step

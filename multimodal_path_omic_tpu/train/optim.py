@@ -1,0 +1,76 @@
+"""Optimizer + LR-schedule factories (optax), reference-config-compatible.
+
+Mirrors the reference's string-keyed dispatch (reference:
+models/mcat/main.py:287-307):
+
+* ``sgd``      -> SGD(lr), no weight decay (the reference's sgd branch passes
+                  none, mcat/main.py:288-289)
+* ``adadelta`` -> Adadelta(lr, weight_decay)
+* ``adamax``   -> Adamax(lr, weight_decay)
+* ``adam``     -> Adam(lr, weight_decay) — also the fallback for unknown names
+                  (mcat/main.py:296-299)
+* ``rms``      -> RMSprop(lr, weight_decay). The reference *advertises* rms in
+                  config comments (config.yaml:61) but silently falls through
+                  to adam; implemented properly here (SURVEY.md §7.1 caveat 5).
+
+Weight decay matches torch semantics (L2 added to the gradient, not decoupled
+AdamW). The ``exp`` scheduler multiplies lr by gamma **per epoch** like
+torch ExponentialLR (mcat/main.py:302-305, 82-85); the learning rate lives in
+``inject_hyperparams`` so the epoch driver can step it without rebuilding
+optimizer state.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import optax
+
+
+def _with_decay(tx: optax.GradientTransformation, weight_decay: float):
+    if weight_decay and weight_decay > 0.0:
+        return optax.chain(optax.add_decayed_weights(weight_decay), tx)
+    return tx
+
+
+def make_optimizer(
+    name: str,
+    lr: float,
+    weight_decay: float = 0.0,
+) -> optax.GradientTransformation:
+    """Build the optimizer; learning_rate is injected as a mutable hyperparam."""
+
+    name = (name or "adam").lower()
+
+    @optax.inject_hyperparams
+    def build(learning_rate):
+        if name == "sgd":
+            return optax.sgd(learning_rate)
+        if name == "adadelta":
+            return _with_decay(optax.adadelta(learning_rate), weight_decay)
+        if name == "adamax":
+            return _with_decay(optax.adamax(learning_rate), weight_decay)
+        if name == "rms":
+            return _with_decay(
+                optax.rmsprop(learning_rate, decay=0.99, eps=1e-8), weight_decay
+            )
+        # default / fallback: adam (torch defaults betas=(0.9, 0.999), eps=1e-8)
+        return _with_decay(
+            optax.adam(learning_rate, b1=0.9, b2=0.999, eps=1e-8), weight_decay
+        )
+
+    return build(learning_rate=lr)
+
+
+def current_lr(opt_state) -> float:
+    """Read the injected learning rate (mirrors optimizer.param_groups[0]['lr'],
+    mcat/main.py:83)."""
+    return float(opt_state.hyperparams["learning_rate"])
+
+
+def step_exponential(opt_state, gamma: float):
+    """Per-epoch ExponentialLR step: lr *= gamma (mcat/main.py:84)."""
+    opt_state.hyperparams["learning_rate"] = (
+        opt_state.hyperparams["learning_rate"] * gamma
+    )
+    return opt_state

@@ -1,0 +1,476 @@
+"""Trainer — the unified driver replacing the reference's three main.py files.
+
+The reference duplicates ~90% of its epoch/train/validate/test/checkpoint code
+across models/mcat/main.py, models/nacagat/main.py and models/ge_nacagat/
+main.py (SURVEY.md §2.7). Here a single Trainer drives every model family:
+
+* dataset build + seeded patient split (+ leave-one-out) — mcat/main.py:239-252
+* model build from config with ``omic_sizes = dataset.signature_sizes``
+  — mcat/main.py:254-259
+* loss/optimizer/scheduler factories — mcat/main.py:270-307
+* epoch loop: train -> validate -> optional leave-one-out test with periodic
+  attention export -> final validation — mcat/main.py:320-337
+* checkpoint save/restore with full state (params, opt, rng, epoch)
+  — mcat/main.py:88-100, 261-266, 309-312
+* metrics: censored c-index on host over per-sample risks — mcat/main.py:76-81
+
+TPU-shaped execution: batches are whole optimizer steps (bucketed, padded,
+masked), jitted once per bucket; host pipeline prefetches while the device
+computes; optional data-parallel sharding over a mesh (parallel/mesh.py).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import time
+from typing import Any, Dict, Iterable, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multimodal_path_omic_tpu.config import Config
+from multimodal_path_omic_tpu.data.bags import DEFAULT_BUCKETS
+from multimodal_path_omic_tpu.data.dataset import GeneExprDataset, MultimodalDataset
+from multimodal_path_omic_tpu.data.pipeline import (
+    BucketBatcher,
+    gene_expr_extras,
+    prefetch,
+    survival_extras,
+)
+from multimodal_path_omic_tpu.models import build_model
+from multimodal_path_omic_tpu.train import checkpoint as ckpt
+from multimodal_path_omic_tpu.train.logging import MetricLogger, StepTimer
+from multimodal_path_omic_tpu.train.loop import TrainState, make_eval_step, make_train_step
+from multimodal_path_omic_tpu.train.metrics import concordance_index_censored
+from multimodal_path_omic_tpu.train.optim import current_lr, make_optimizer, step_exponential
+
+
+def _is_ge(model_name: str) -> bool:
+    key = model_name.lower().replace("-", "_").replace(" ", "")
+    return "ge" in key.split("_") or key.startswith("geneexpr") or key.startswith("ge_")
+
+
+class Trainer:
+    def __init__(self, config: Config, verbose: bool = True):
+        self.config = config
+        self.verbose = verbose
+        c = config
+
+        self.ge_mode = _is_ge(c.model.name)
+        self.leave_one_out = c.training.leave_one_out is not None
+
+        # ----- dataset + splits (mcat/main.py:239-252) ---------------------
+        if self.ge_mode:
+            self.dataset = GeneExprDataset(
+                c.dataset.file, c, gene=c.model.gene, verbose=verbose
+            )
+            self.extras_fn = gene_expr_extras
+            self.omic_sizes: List[int] = []
+        else:
+            self.dataset = MultimodalDataset(
+                c.dataset.file, c, use_signatures=True, verbose=verbose
+            )
+            self.extras_fn = survival_extras
+            self.omic_sizes = self.dataset.signature_sizes
+        if verbose:
+            ts = int(c.training.train_size * 100)
+            print(f"Using {ts}% train, {100 - ts}% validation")
+        self.train_ds, self.val_ds, self.test_ds = self.dataset.split(
+            c.training.train_size,
+            test=self.leave_one_out,
+            patient=c.training.leave_one_out or "",
+            seed=c.training.seed,
+        )
+        if verbose:
+            print(
+                f"Samples in train: {len(self.train_ds)}, "
+                f"Samples in validation: {len(self.val_ds)}"
+            )
+            if self.test_ds is not None:
+                print(f"Testing patient {c.training.leave_one_out}")
+
+        buckets = tuple(c.tpu.bag_buckets) or DEFAULT_BUCKETS
+        self.batch_size = c.tpu.batch_size or c.training.grad_acc_step
+        self.train_batcher = BucketBatcher(
+            self.train_ds, self.extras_fn, self.batch_size, buckets,
+            shuffle=True, seed=c.training.seed,
+        )
+        self.val_batcher = BucketBatcher(
+            self.val_ds, self.extras_fn, self.batch_size, buckets, shuffle=False
+        )
+
+        # ----- model (mcat/main.py:254-259) --------------------------------
+        dtype = jnp.bfloat16 if c.tpu.compute_dtype == "bfloat16" else None
+        self.model = build_model(
+            c.model.name,
+            omic_sizes=self.omic_sizes,
+            model_size=c.model.model_size,
+            fusion=c.model.fusion,
+            n_classes=c.model.n_classes if not self.ge_mode else 3,
+            dropout=c.model.dropout,
+            dtype=dtype,
+            use_pallas=c.tpu.use_pallas,
+        )
+        rng = jax.random.key(c.training.seed)
+        rng, init_rng = jax.random.split(rng)
+        example = self._example_inputs()
+        # jit the init: eager tracing of hundreds of param initializers is
+        # slow; compiled init lands in the persistent compilation cache
+        init_fn = jax.jit(lambda r: self.model.init(r, *example, deterministic=True))
+        variables = init_fn(init_rng)
+        self.n_params = sum(
+            int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(variables)
+        )
+        if verbose:
+            print(f"Trainable parameters of {c.model.name}: {self.n_params}")
+
+        # ----- optimizer / loss / scheduler (mcat/main.py:270-307) ---------
+        self.optimizer = make_optimizer(
+            c.training.optimizer, c.training.lr, c.training.weight_decay
+        )
+        if verbose:
+            print(f"Using optimizer: {c.training.optimizer}")
+            print(f'Using loss "{c.training.loss}" during training')
+        opt_state = self.optimizer.init(variables["params"])
+        self.state = TrainState(
+            params=variables["params"],
+            opt_state=opt_state,
+            rng=rng,
+            step=jnp.zeros((), jnp.int32),
+        )
+        self.starting_epoch = 0
+
+        # checkpoint restore (mcat/main.py:261-266, 309-312)
+        if c.model.load_from_checkpoint:
+            self.restore(c.model.load_from_checkpoint)
+
+        self.train_step = make_train_step(
+            self.model,
+            c.training.loss,
+            self.optimizer,
+            alpha=c.training.alpha,
+            l1_lambda=c.training.lambda_,
+            ge_mode=self.ge_mode,
+        )
+        self.eval_step = make_eval_step(
+            self.model, c.training.loss, alpha=c.training.alpha, ge_mode=self.ge_mode
+        )
+
+        self.logger = MetricLogger(
+            wandb_enabled=c.wandb.enabled,
+            wandb_project=c.wandb.project,
+            wandb_config=self._wandb_config(),
+            jsonl_path=os.path.join(c.training.test_output_dir, "run_log.jsonl")
+            if c.training.test_output_dir
+            else None,
+        )
+        self.timer = StepTimer()
+
+    # ------------------------------------------------------------------ util
+    def _example_inputs(self):
+        m = 128
+        wsi = jnp.zeros((1, m, 1024), jnp.float32)
+        mask = jnp.ones((1, m), bool)
+        if self.ge_mode:
+            return (wsi, mask)
+        omics = [jnp.zeros((1, s), jnp.float32) for s in self.omic_sizes]
+        return (wsi, omics, mask)
+
+    def _wandb_config(self) -> Dict[str, Any]:
+        c = self.config
+        # flattened hyperparams like wandb_init (mcat/main.py:186-215)
+        return {
+            "model": c.model.name,
+            "dataset": c.dataset.name,
+            "normalization": c.dataset.normalize,
+            "standardization": c.dataset.standardize,
+            "decider_only": c.dataset.decider_only,
+            "tcga_only": c.dataset.tcga_only,
+            "diagnostic_only": c.dataset.diagnostic_only,
+            "optimizer": c.training.optimizer,
+            "learning_rate": c.training.lr,
+            "weight_decay": c.training.weight_decay,
+            "gradient_acceleration_step": c.training.grad_acc_step,
+            "epochs": c.training.epochs,
+            "architecture": c.model.name,
+            "fusion": c.model.fusion,
+            "loss": c.training.loss,
+            "scheduler": c.training.scheduler,
+            "alpha": c.training.alpha,
+            "lambda": c.training.lambda_,
+            "gamma": c.training.gamma,
+            "model_size": c.model.model_size,
+            "leave_one_out": c.training.leave_one_out,
+        }
+
+    @staticmethod
+    def _device_batch(batch) -> Dict[str, Any]:
+        out = {}
+        for k, v in batch.items():
+            if k in ("bucket", "n_real"):
+                continue
+            if k == "omics":
+                out[k] = [jnp.asarray(o) for o in v]
+            elif k == "index":
+                out[k] = np.asarray(v)
+            else:
+                out[k] = jnp.asarray(v)
+        return out
+
+    # --------------------------------------------------------------- training
+    def train_epoch(self, epoch: int) -> Dict[str, float]:
+        c = self.config
+        risks, censorships, months = [], [], []
+        total_loss = 0.0
+        total_attn_loss = 0.0
+        n_steps = 0
+        self.timer.reset()
+        epoch_t0 = time.time()
+        for batch in prefetch(self.train_batcher.batches(), depth=c.tpu.prefetch):
+            real = int(batch["weight"].sum())
+            dev = self._device_batch(batch)
+            index = batch["index"]
+            self.state, metrics = self.train_step(self.state, dev)
+            total_loss += float(metrics.loss)
+            total_attn_loss += float(metrics.attn_loss)
+            n_steps += 1
+            self.timer.tick(real)
+            if not self.ge_mode:
+                risk = np.asarray(metrics.risk)[:real]
+                risks.append(risk)
+                censorships.append(batch["censorship"][:real])
+                months.append(batch["survival_months"][:real])
+            if n_steps % 10 == 0 and self.verbose:
+                sps, bps = self.timer.rates()
+                print(
+                    f"\tstep: {n_steps}, loss: {float(metrics.loss):.4f}, "
+                    f"bags/s: {bps:.2f}"
+                )
+        out: Dict[str, float] = {
+            "train_loss": total_loss / max(n_steps, 1),
+            "epoch_seconds": time.time() - epoch_t0,
+        }
+        if self.ge_mode:
+            msg = f"Epoch: {epoch + 1}, train_loss: {out['train_loss']:.4f}"
+        else:
+            risks_all = np.concatenate(risks) if risks else np.zeros(0)
+            cens_all = np.concatenate(censorships) if censorships else np.zeros(0)
+            months_all = np.concatenate(months) if months else np.zeros(0)
+            try:
+                c_index = concordance_index_censored(
+                    (1 - cens_all).astype(bool), months_all, risks_all
+                )[0]
+            except ValueError:
+                c_index = float("nan")
+            out["train_c_index"] = c_index
+            out["train_attn_loss"] = total_attn_loss / max(n_steps, 1)
+            msg = (
+                f"Epoch: {epoch + 1}, train_loss: {out['train_loss']:.4f}, "
+                f"train_c_index: {c_index:.4f}"
+            )
+        if c.training.scheduler == "exp":
+            lr = current_lr(self.state.opt_state)
+            self.state = self.state._replace(
+                opt_state=step_exponential(self.state.opt_state, c.training.gamma)
+            )
+            msg = f"{msg}, lr: {lr:.8f}"
+        if self.verbose:
+            print(msg)
+
+        # periodic checkpoint (mcat/main.py:88-100)
+        ce = c.model.checkpoint_epoch
+        if ce and ce > 0 and (epoch + 1) % ce == 0 and epoch != 0:
+            path = self.save(epoch, out["train_loss"])
+            if self.verbose:
+                print(f"Saving model into {path}")
+        self.logger.log(
+            {k: v for k, v in out.items() if not math.isnan(v)}, step=epoch
+        )
+        return out
+
+    def validate(self, epoch) -> Dict[str, float]:
+        risks, censorships, months = [], [], []
+        total_loss, n_steps = 0.0, 0
+        for batch in self.val_batcher.batches():
+            real = int(batch["weight"].sum())
+            dev = self._device_batch(batch)
+            res = self.eval_step(self.state.params, dev)
+            total_loss += float(res["loss"])
+            n_steps += 1
+            if not self.ge_mode:
+                risks.append(np.asarray(res["risk"])[:real])
+                censorships.append(batch["censorship"][:real])
+                months.append(batch["survival_months"][:real])
+        out = {"val_loss": total_loss / max(n_steps, 1)}
+        label = epoch if isinstance(epoch, str) else epoch + 1
+        if self.ge_mode:
+            msg = f"Epoch: {label}, val_loss: {out['val_loss']:.4f}"
+        else:
+            risks_all = np.concatenate(risks) if risks else np.zeros(0)
+            cens_all = np.concatenate(censorships) if censorships else np.zeros(0)
+            months_all = np.concatenate(months) if months else np.zeros(0)
+            try:
+                c_index = concordance_index_censored(
+                    (1 - cens_all).astype(bool), months_all, risks_all
+                )[0]
+            except ValueError:
+                c_index = float("nan")
+            out["val_c_index"] = c_index
+            msg = (
+                f"Epoch: {label}, val_loss: {out['val_loss']:.4f}, "
+                f"val_c_index: {c_index:.4f}"
+            )
+        if self.verbose:
+            print(msg)
+        self.logger.log(
+            {k: v for k, v in out.items() if not math.isnan(v)},
+            step=epoch if isinstance(epoch, int) else None,
+        )
+        return out
+
+    # -------------------------------------------------------------- test/export
+    def test(self, epoch: int, save: bool = False) -> None:
+        """Leave-one-out inference + attention-map export
+        (reference: mcat/main.py:158-183)."""
+        if self.test_ds is None or len(self.test_ds) == 0:
+            return
+        c = self.config
+        import datetime as _dt
+
+        now = _dt.datetime.now().strftime("%Y%m%d%H%M%S")
+        out_dir = c.training.test_output_dir
+        os.makedirs(out_dir, exist_ok=True)
+        batcher = BucketBatcher(
+            self.test_ds, self.extras_fn, 1, tuple(c.tpu.bag_buckets), shuffle=False
+        )
+        eval_attn = make_eval_step(
+            self.model, c.training.loss, alpha=c.training.alpha,
+            ge_mode=self.ge_mode, need_attention=True,
+        )
+        for bi, batch in enumerate(batcher.batches()):
+            dev = self._device_batch(batch)
+            res = eval_attn(self.state.params, dev)
+            n_patches = int(batch["mask"][0].sum())
+            if self.ge_mode:
+                attn_map = np.asarray(res["attention"]["attn"])[0, :n_patches, :n_patches]
+                if self.verbose:
+                    print(f"[{bi}] Y: {np.asarray(res['y'])[0]}")
+            else:
+                attn_map = np.asarray(res["attention"]["coattn"])[0, :, :n_patches]
+                if self.verbose:
+                    risk = float(np.asarray(res["risk"])[0])
+                    print(
+                        f"[{bi}] Survival months: {batch['survival_months'][0]}, "
+                        f"Survival class: {batch['label'][0]}, "
+                        f"Censorship: {batch['censorship'][0]}"
+                    )
+                    print(
+                        f"Hazards: {np.asarray(res['hazards'])[0]}, "
+                        f"Survs: {np.asarray(res['survs'])[0]}, Risk: {risk:.4f}"
+                    )
+                    print(
+                        f"Attn min: {attn_map.min():.6f}, Attn max: {attn_map.max():.6f}, "
+                        f"Attn mean: {attn_map.mean():.6f}"
+                    )
+            if save:
+                patient = c.training.leave_one_out
+                fname = f"ATTN_{c.model.name}_{patient}_{now}_E{epoch}_{bi}.npy"
+                path = os.path.join(out_dir, fname)
+                if self.verbose:
+                    print(f"Saving attention in {path}")
+                np.save(path, attn_map)
+
+    # ------------------------------------------------------------- checkpoint
+    def save(self, epoch: int, loss: float) -> str:
+        payload = {
+            "epoch": epoch + 1,  # resume starts at the NEXT epoch (gap fix)
+            "params": self.state.params,
+            "opt_state": self.state.opt_state,
+            "rng": jax.random.key_data(self.state.rng),
+            "step": self.state.step,
+            "loss": loss,
+            "seed": self.config.training.seed,
+        }
+        return ckpt.save_checkpoint(
+            self.config.model.checkpoint_dir,
+            payload,
+            model_name=self.config.model.name,
+            dataset_name=self.config.dataset.name,
+            epoch=epoch,
+        )
+
+    def restore(self, path: str) -> None:
+        if self.verbose:
+            print(f"Loading model checkpoint from {path}")
+        template = {
+            "epoch": 0,
+            "params": self.state.params,
+            "opt_state": self.state.opt_state,
+            "rng": jax.random.key_data(self.state.rng),
+            "step": self.state.step,
+            "loss": 0.0,
+            "seed": 0,
+        }
+        payload = ckpt.restore_checkpoint(path, template)
+        self.state = TrainState(
+            params=payload["params"],
+            opt_state=payload["opt_state"],
+            rng=jax.random.wrap_key_data(jnp.asarray(payload["rng"])),
+            step=jnp.asarray(payload["step"], jnp.int32),
+        )
+        self.starting_epoch = int(payload["epoch"])
+
+    def load_torch_checkpoint(self, path: str) -> None:
+        """Drop-in restore of a reference PyTorch checkpoint's model weights."""
+        from multimodal_path_omic_tpu.utils.transplant import (
+            from_torch_state_dict,
+            load_torch_checkpoint,
+        )
+
+        payload = load_torch_checkpoint(path)
+        params = from_torch_state_dict(
+            self.config.model.name,
+            payload["model_state_dict"],
+            {"params": self.state.params},
+            n_signatures=len(self.omic_sizes),
+            fusion=self.config.model.fusion,
+        )
+        self.state = self.state._replace(params=params["params"])
+        self.starting_epoch = int(payload.get("epoch", 0))
+
+    # -------------------------------------------------------------------- fit
+    def fit(self) -> Dict[str, float]:
+        c = self.config
+        if self.verbose:
+            print("Training started...")
+        last: Dict[str, float] = {}
+        for epoch in range(self.starting_epoch, c.training.epochs):
+            if self.verbose:
+                print(f"Epoch: {epoch + 1}")
+            t0 = time.time()
+            last.update(self.train_epoch(epoch))
+            last.update(self.validate(epoch))
+            if self.leave_one_out:
+                save = (epoch + 1) % c.training.output_attn_epoch == 0
+                self.test(epoch + 1, save=save)
+            if self.verbose:
+                print(
+                    "Time elapsed for epoch {}: {:.0f}s".format(
+                        epoch + 1, time.time() - t0
+                    )
+                )
+        last.update(self.validate("final validation"))
+        self.logger.finish()
+        return last
+
+
+def main(config_path: str, overrides: Optional[Dict[str, Any]] = None):
+    """Entry point equivalent to the reference's main(config_path)
+    (mcat/main.py:218-340), for all model families."""
+    from multimodal_path_omic_tpu.config import load_config
+
+    cfg = load_config(config_path, overrides)
+    trainer = Trainer(cfg)
+    return trainer.fit()
