@@ -1,0 +1,100 @@
+"""Headline benchmark: MCAT training throughput (fwd+bwd+update), bags/sec.
+
+Workload per BASELINE.md: MCAT medium, 500x1024-patch bags (padded to the 512
+bucket) + 6 omic signature groups [100..600], ces loss, adam — the exact
+configuration of the reference's hot loop (reference: mcat/main.py:19-74),
+batched the TPU way (one jitted step per effective batch of 32 bags = one
+optimizer update, same sample count as the reference's grad_acc_step=32).
+
+Baseline: the PyTorch reference on CPU in this container measured at
+40.54 bags/sec (batch-1 loop, fwd+bwd with adam step every 32 bags,
+torch 2.13.0+cpu, 1 thread — methodology in BASELINE.md). vs_baseline is
+our bags/sec divided by that.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import numpy as np
+
+TORCH_CPU_BAGS_PER_SEC = 40.54  # measured 2026-08-16, see BASELINE.md
+
+OMIC_SIZES = [100, 200, 300, 400, 500, 600]
+BATCH = 32
+BAG = 500
+BUCKET = 512
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from multimodal_path_omic_tpu.models import MCAT
+    from multimodal_path_omic_tpu.train.loop import TrainState, make_train_step
+    from multimodal_path_omic_tpu.train.optim import make_optimizer
+
+    rng = np.random.default_rng(0)
+    mask = np.zeros((BATCH, BUCKET), bool)
+    mask[:, :BAG] = True
+    batch = {
+        "wsi": jnp.asarray(
+            rng.normal(size=(BATCH, BUCKET, 1024)).astype(np.float32)
+        ),
+        "mask": jnp.asarray(mask),
+        "omics": [
+            jnp.asarray(rng.normal(size=(BATCH, s)).astype(np.float32))
+            for s in OMIC_SIZES
+        ],
+        "label": jnp.asarray(rng.integers(0, 4, BATCH).astype(np.int32)),
+        "censorship": jnp.asarray(rng.integers(0, 2, BATCH).astype(np.float32)),
+        "survival_months": jnp.asarray(
+            rng.uniform(1, 100, BATCH).astype(np.float32)
+        ),
+        "weight": jnp.ones((BATCH,), jnp.float32),
+    }
+
+    model = MCAT(n_signatures=len(OMIC_SIZES), model_size="medium")
+    optimizer = make_optimizer("adam", 2e-4, 1e-5)
+    params = jax.jit(
+        lambda r: model.init(r, batch["wsi"], batch["omics"], batch["mask"])
+    )(jax.random.key(0))["params"]
+    state = TrainState(
+        params=params,
+        opt_state=optimizer.init(params),
+        rng=jax.random.key(1),
+        step=jnp.zeros((), jnp.int32),
+    )
+    step = make_train_step(model, "ces", optimizer)
+
+    # warmup / compile
+    state, metrics = step(state, batch)
+    metrics.loss.block_until_ready()
+    for _ in range(3):
+        state, metrics = step(state, batch)
+    metrics.loss.block_until_ready()
+
+    # timed
+    n_steps = 30
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        state, metrics = step(state, batch)
+    metrics.loss.block_until_ready()
+    dt = time.perf_counter() - t0
+    bags_per_sec = n_steps * BATCH / dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "mcat_train_bags_per_sec",
+                "value": round(bags_per_sec, 1),
+                "unit": "bags/sec",
+                "vs_baseline": round(bags_per_sec / TORCH_CPU_BAGS_PER_SEC, 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,67 @@
+"""Device mesh + sharding layout — the framework's scale-out layer.
+
+The reference's only parallelism is single-process ``nn.DataParallel``
+(reference: mcat/main.py:267-268; SURVEY.md §2.8). The TPU-native design uses
+a ``jax.sharding.Mesh`` with two axes:
+
+* ``data`` — bags (batch dim). Each step's gradient all-reduce rides ICI;
+  this is the reference's DP, done the XLA way.
+* ``seq``  — the patch axis M inside each bag. Sequence parallelism the
+  reference lacks by design (SURVEY.md §2.8 "TPU-native mapping"): WSI
+  encoding, co-attention K/V and masked softmax partition over M; GSPMD
+  inserts the collectives (psum of softmax statistics / attention partials).
+
+Everything goes through ``jax.jit`` with sharded inputs — no hand-written
+collectives in the model code; XLA chooses all-gather/psum placements from the
+input layouts, which is exactly the recipe that scales on ICI.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    data: int = 1, seq: int = 1, devices: Optional[Sequence] = None
+) -> Mesh:
+    """Build a (data, seq) mesh. ``data*seq`` must not exceed device count."""
+    if devices is None:
+        devices = jax.devices()
+    n = data * seq
+    if n > len(devices):
+        raise ValueError(f"mesh {data}x{seq} needs {n} devices, have {len(devices)}")
+    grid = np.asarray(devices[:n]).reshape(data, seq)
+    return Mesh(grid, axis_names=("data", "seq"))
+
+
+def batch_spec(key: str) -> P:
+    """PartitionSpec for a batch-dict field."""
+    if key in ("wsi", "mask"):
+        return P("data", "seq")  # [B, M, ...]: bags over data, patches over seq
+    return P("data")  # per-sample vectors/scalars
+
+
+def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
+    """device_put every field with its mesh layout (omics lists handled)."""
+    out = {}
+    for key, value in batch.items():
+        if key in ("bucket", "n_real", "index"):
+            out[key] = value
+            continue
+        if key == "omics":
+            sh = NamedSharding(mesh, P("data"))
+            out[key] = [jax.device_put(np.asarray(o), sh) for o in value]
+        else:
+            sh = NamedSharding(mesh, batch_spec(key))
+            out[key] = jax.device_put(np.asarray(value), sh)
+    return out
+
+
+def replicate(tree: Any, mesh: Mesh) -> Any:
+    """Replicate a pytree (params/opt state) across the mesh."""
+    sh = NamedSharding(mesh, P())
+    return jax.device_put(tree, sh)

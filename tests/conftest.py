@@ -7,13 +7,15 @@ the very top of conftest (pytest imports conftest before test modules).
 import os
 import sys
 
-# Force CPU regardless of the ambient JAX_PLATFORMS (the shell may pre-set a
-# TPU platform; tests must run on the virtual multi-device CPU backend).
+# Force CPU regardless of the ambient platform: this environment's jax plugin
+# overrides the JAX_PLATFORMS env var with "axon,cpu", so the env var alone is
+# NOT enough — the config must be updated after import, before backend init.
 os.environ["JAX_PLATFORMS"] = "cpu"
-# This JAX build defaults f32 matmuls to low (bf16-like) precision even on
-# CPU (~1e-1 abs error at K=256); parity tests need true f32 accumulation.
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
+# This JAX build defaults f32 matmuls to low (bf16-like) precision; parity
+# tests need true f32 accumulation.
 jax.config.update("jax_default_matmul_precision", "highest")
 
 # Persistent compilation cache: model train-step compiles dominate test time

@@ -1,0 +1,105 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh.
+
+Exercises the mesh/pjit scale-out layer (parallel/mesh.py): data-parallel
+batches, sequence-parallel patch axes, and numerical equivalence between
+sharded and single-device training steps.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multimodal_path_omic_tpu.models import MCAT
+from multimodal_path_omic_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from multimodal_path_omic_tpu.train.loop import TrainState, make_train_step
+from multimodal_path_omic_tpu.train.optim import make_optimizer
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+OMIC_SIZES = [32, 48, 64]
+
+
+def _batch(b=8, m=64, seed=0):
+    rng = np.random.default_rng(seed)
+    return {
+        "wsi": rng.normal(size=(b, m, 1024)).astype(np.float32),
+        "mask": np.ones((b, m), bool),
+        "omics": [rng.normal(size=(b, s)).astype(np.float32) for s in OMIC_SIZES],
+        "label": rng.integers(0, 4, b).astype(np.int32),
+        "censorship": rng.integers(0, 2, b).astype(np.float32),
+        "survival_months": rng.uniform(1, 100, b).astype(np.float32),
+        "weight": np.ones((b,), np.float32),
+    }
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = MCAT(n_signatures=len(OMIC_SIZES), model_size="small")
+    optimizer = make_optimizer("adam", 1e-3)
+    batch = _batch()
+    wsi0 = jnp.asarray(batch["wsi"][:1])
+    omics0 = [jnp.asarray(o[:1]) for o in batch["omics"]]
+    params = jax.jit(lambda r: model.init(r, wsi0, omics0))(jax.random.key(0))["params"]
+    state = TrainState(
+        params, optimizer.init(params), jax.random.key(1), jnp.zeros((), jnp.int32)
+    )
+    step = make_train_step(model, "ces", optimizer)
+    return model, optimizer, state, step, batch
+
+
+def test_data_parallel_matches_single_device(setup):
+    model, optimizer, state, step, batch = setup
+    # single device
+    s1, m1 = step(state, jax.tree_util.tree_map(jnp.asarray, batch))
+
+    mesh = make_mesh(data=8, seq=1)
+    with mesh:
+        s2, m2 = step(replicate(state, mesh), shard_batch(batch, mesh))
+    assert np.isclose(float(m1.loss), float(m2.loss), atol=2e-4)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s1.params), jax.tree_util.tree_leaves(s2.params)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+def test_data_and_sequence_parallel(setup):
+    model, optimizer, state, step, batch = setup
+    s1, m1 = step(state, jax.tree_util.tree_map(jnp.asarray, batch))
+
+    mesh = make_mesh(data=4, seq=2)
+    with mesh:
+        s2, m2 = step(replicate(state, mesh), shard_batch(batch, mesh))
+    assert np.isclose(float(m1.loss), float(m2.loss), atol=2e-4)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s1.params), jax.tree_util.tree_leaves(s2.params)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+def test_sequence_parallel_eval_forward(setup):
+    """Pure sequence parallelism: one bag's patch axis split over all devices."""
+    model, optimizer, state, step, batch = setup
+    from multimodal_path_omic_tpu.train.loop import make_eval_step
+
+    eval_step = make_eval_step(model, "ces")
+    dev = {k: jnp.asarray(v) if k != "omics" else [jnp.asarray(o) for o in v] for k, v in batch.items()}
+    r1 = eval_step(state.params, dev)
+
+    mesh = make_mesh(data=1, seq=8)
+    with mesh:
+        r2 = eval_step(replicate(state.params, mesh), shard_batch(batch, mesh))
+    np.testing.assert_allclose(
+        np.asarray(r1["risk"]), np.asarray(r2["risk"]), atol=1e-5
+    )
+
+
+def test_dryrun_multichip_entrypoint():
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)
