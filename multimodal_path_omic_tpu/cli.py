@@ -1,0 +1,133 @@
+"""Command-line interface.
+
+The reference has no CLI: each model directory hard-codes its config path in
+``__main__`` (reference: mcat/main.py:343-345) and relies on CWD-relative
+imports. Here one entry point drives everything:
+
+    python -m multimodal_path_omic_tpu.cli train --config cfg.yaml
+    python -m multimodal_path_omic_tpu.cli train --config cfg.yaml \
+        --set training.lr=1e-4 --set model.fusion=bilinear
+    python -m multimodal_path_omic_tpu.cli validate --config cfg.yaml \
+        --checkpoint checkpoints/MCAT_...
+    python -m multimodal_path_omic_tpu.cli export-attn --config cfg.yaml \
+        --checkpoint ... --patient P013
+    python -m multimodal_path_omic_tpu.cli convert-checkpoint --config cfg.yaml \
+        --torch-checkpoint ref.pt --out ckpt_dir
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from typing import Any, Dict, List, Optional
+
+
+def _parse_overrides(pairs: List[str]) -> Dict[str, Any]:
+    import yaml
+
+    overrides: Dict[str, Any] = {}
+    for pair in pairs or []:
+        if "=" not in pair:
+            raise SystemExit(f"--set expects key=value, got {pair!r}")
+        key, value = pair.split("=", 1)
+        overrides[key] = yaml.safe_load(value)
+    return overrides
+
+
+def cmd_train(args) -> int:
+    from multimodal_path_omic_tpu.config import load_config
+    from multimodal_path_omic_tpu.train.trainer import Trainer
+
+    cfg = load_config(args.config, _parse_overrides(args.set))
+    trainer = Trainer(cfg)
+    if args.torch_checkpoint:
+        trainer.load_torch_checkpoint(args.torch_checkpoint)
+    result = trainer.fit()
+    print({k: round(float(v), 6) for k, v in result.items()})
+    return 0
+
+
+def cmd_validate(args) -> int:
+    from multimodal_path_omic_tpu.config import load_config
+    from multimodal_path_omic_tpu.train.trainer import Trainer
+
+    cfg = load_config(args.config, _parse_overrides(args.set))
+    trainer = Trainer(cfg)
+    if args.checkpoint:
+        trainer.restore(args.checkpoint)
+    elif args.torch_checkpoint:
+        trainer.load_torch_checkpoint(args.torch_checkpoint)
+    result = trainer.validate("final validation")
+    print({k: round(float(v), 6) for k, v in result.items()})
+    return 0
+
+
+def cmd_export_attn(args) -> int:
+    from multimodal_path_omic_tpu.config import load_config
+    from multimodal_path_omic_tpu.train.trainer import Trainer
+
+    overrides = _parse_overrides(args.set)
+    overrides["training.leave_one_out"] = args.patient
+    cfg = load_config(args.config, overrides)
+    trainer = Trainer(cfg)
+    if args.checkpoint:
+        trainer.restore(args.checkpoint)
+    elif args.torch_checkpoint:
+        trainer.load_torch_checkpoint(args.torch_checkpoint)
+    trainer.test(epoch=args.epoch, save=True)
+    return 0
+
+
+def cmd_convert_checkpoint(args) -> int:
+    """Convert a reference PyTorch checkpoint to this framework's format."""
+    from multimodal_path_omic_tpu.config import load_config
+    from multimodal_path_omic_tpu.train import checkpoint as ckpt
+    from multimodal_path_omic_tpu.train.trainer import Trainer
+
+    cfg = load_config(args.config, _parse_overrides(args.set))
+    trainer = Trainer(cfg)
+    trainer.load_torch_checkpoint(args.torch_checkpoint)
+    path = trainer.save(trainer.starting_epoch - 1 if trainer.starting_epoch else 0, 0.0)
+    print(f"Converted checkpoint written to {path}")
+    return 0
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    parser = argparse.ArgumentParser(prog="multimodal_path_omic_tpu")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    def common(p):
+        p.add_argument("--config", required=True, help="YAML config (reference schema)")
+        p.add_argument("--set", action="append", metavar="KEY=VALUE",
+                       help="dotted config override, e.g. training.lr=1e-4")
+        p.add_argument("--torch-checkpoint", help="reference .pt checkpoint to load")
+
+    p_train = sub.add_parser("train", help="train a model (mcat/nacagat/ge_nacagat)")
+    common(p_train)
+    p_train.set_defaults(fn=cmd_train)
+
+    p_val = sub.add_parser("validate", help="run validation only")
+    common(p_val)
+    p_val.add_argument("--checkpoint", help="framework checkpoint to restore")
+    p_val.set_defaults(fn=cmd_validate)
+
+    p_attn = sub.add_parser("export-attn", help="leave-one-out attention export")
+    common(p_attn)
+    p_attn.add_argument("--checkpoint")
+    p_attn.add_argument("--patient", required=True)
+    p_attn.add_argument("--epoch", type=int, default=0)
+    p_attn.set_defaults(fn=cmd_export_attn)
+
+    p_conv = sub.add_parser(
+        "convert-checkpoint", help="reference .pt -> framework checkpoint"
+    )
+    common(p_conv)
+    p_conv.add_argument("--out", help="(unused; checkpoint_dir from config)")
+    p_conv.set_defaults(fn=cmd_convert_checkpoint)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,21 +1,75 @@
-"""Flash-style masked (pre-gated) attention Pallas kernel — placeholder.
+"""Masked flash self-attention via JAX's production Pallas TPU kernel.
 
-Round-1 milestone order puts correctness first: until the Pallas kernel lands,
-``supported`` returns False and callers fall back to the XLA einsum path in
-ops/coattn.py. The kernel itself is implemented in a later milestone this
-round (see SURVEY.md §7.2 step 6).
+The GE-NaCAGaT path runs full M x M self-attention over patch bags (reference:
+ge_nacagat.py:49) and again inside its 2-layer path transformer — the
+reference materializes M x M (1.6 GB fp32 at M = 20k) and OOMs long before the
+24k-patch bags in BASELINE.md. Here the O(M^2) score matrix is never
+materialized: ``jax.experimental.pallas.ops.tpu.flash_attention`` streams K/V
+tiles with an online softmax and a flash backward (custom_vjp), and the bag
+validity mask rides in as segment ids (pad patches get segment 0, valid get
+segment 1 — cross-segment pairs are masked).
 """
 
 from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 
 
+def _library():
+    from jax.experimental.pallas.ops.tpu import flash_attention as fa
+
+    return fa
+
+
 def supported(q, k, v) -> bool:
-    return False
+    """Library-kernel eligibility: TPU backend, flash-friendly shapes."""
+    if jax.devices()[0].platform != "tpu":
+        return False
+    b, h, n, d = q.shape
+    m = k.shape[2]
+    if n != m:  # self-attention shapes only on this path
+        return False
+    if n % 128 != 0:
+        return False
+    if d % 128 != 0:
+        return False
+    return True
 
 
-def flash_attention(q, k, v, key_mask: Optional[jnp.ndarray], *, pre_gate: bool):
-    raise NotImplementedError
+def flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    key_mask: Optional[jnp.ndarray] = None,
+    *,
+    sm_scale: Optional[float] = None,
+) -> jnp.ndarray:
+    """q, k, v: [B, H, L, D]; key_mask: [B, L] bool (True = valid patch)."""
+    fa = _library()
+    b, h, n, d = q.shape
+    if sm_scale is None:
+        sm_scale = 1.0 / (d**0.5)
+    segment_ids = None
+    if key_mask is not None:
+        seg = key_mask.astype(jnp.int32)  # pad -> 0, valid -> 1
+        segment_ids = fa.SegmentIds(q=seg, kv=seg)
+    block = min(512, n)
+    sizes = fa.BlockSizes(
+        block_q=block,
+        block_k_major=block,
+        block_k=min(128, block),
+        block_b=1,
+        block_q_major_dkv=block,
+        block_k_major_dkv=block,
+        block_k_dkv=min(128, block),
+        block_q_dkv=min(128, block),
+        block_k_major_dq=block,
+        block_k_dq=min(128, block),
+        block_q_dq=block,
+    )
+    return fa.flash_attention(
+        q, k, v, segment_ids=segment_ids, sm_scale=sm_scale, block_sizes=sizes
+    )
