@@ -119,6 +119,8 @@ class TpuConfig:
     compute_dtype: str = "float32"
     # Data-parallel mesh axis size (1 = single chip).
     data_axis: int = 1
+    # Sequence-parallel mesh axis size (patch dimension sharding).
+    seq_axis: int = 1
     # Use Pallas fused kernels where available.
     use_pallas: bool = True
     # Host pipeline prefetch depth.

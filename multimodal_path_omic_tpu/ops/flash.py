@@ -34,7 +34,9 @@ def supported(q, k, v) -> bool:
         return False
     if n % 128 != 0:
         return False
-    if d % 128 != 0:
+    # head_dim need not be 128-aligned (the kernel handles e.g. 32 for the
+    # 8-head transformer layers); 8-lane alignment is enough
+    if d % 8 != 0:
         return False
     return True
 

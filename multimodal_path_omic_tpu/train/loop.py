@@ -231,10 +231,13 @@ def make_eval_step(
         if ge_mode:
             y, attn = out
             loss = L.cross_entropy_on_probs(y, batch["label"], sample_weight=weight)
+            # 'path' MIL scores are always produced (the GE export consumes
+            # them, reference: ge_nacagat/main.py:140-142); 'attn' (M x M) is
+            # None unless explicitly requested.
             return {
                 "loss": loss,
                 "y": y,
-                "attention": attn if want_attn else None,
+                "attention": attn,
                 "n_real": jnp.sum(weight),
             }
         loss, attn_loss = _survival_loss(

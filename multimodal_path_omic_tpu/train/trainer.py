@@ -158,6 +158,19 @@ class Trainer:
             self.model, c.training.loss, alpha=c.training.alpha, ge_mode=self.ge_mode
         )
 
+        # ----- mesh scale-out (parallel/mesh.py) ---------------------------
+        self.mesh = None
+        if c.tpu.data_axis > 1 or c.tpu.seq_axis > 1:
+            from multimodal_path_omic_tpu.parallel.mesh import make_mesh, replicate
+
+            self.mesh = make_mesh(data=c.tpu.data_axis, seq=c.tpu.seq_axis)
+            self.state = replicate(self.state, self.mesh)
+            if verbose:
+                print(
+                    f"Mesh: data={c.tpu.data_axis} x seq={c.tpu.seq_axis} "
+                    f"over {c.tpu.data_axis * c.tpu.seq_axis} devices"
+                )
+
         self.logger = MetricLogger(
             wandb_enabled=c.wandb.enabled,
             wandb_project=c.wandb.project,
@@ -205,8 +218,15 @@ class Trainer:
             "leave_one_out": c.training.leave_one_out,
         }
 
-    @staticmethod
-    def _device_batch(batch) -> Dict[str, Any]:
+    def _device_batch(self, batch) -> Dict[str, Any]:
+        if self.mesh is not None:
+            from multimodal_path_omic_tpu.parallel.mesh import shard_batch
+
+            out = shard_batch(
+                {k: v for k, v in batch.items() if k not in ("bucket", "n_real", "index")},
+                self.mesh,
+            )
+            return out
         out = {}
         for k, v in batch.items():
             if k in ("bucket", "n_real"):
@@ -345,18 +365,26 @@ class Trainer:
         batcher = BucketBatcher(
             self.test_ds, self.extras_fn, 1, tuple(c.tpu.bag_buckets), shuffle=False
         )
+        # GE exports the MIL 'path' scores [1, M] (ge_nacagat/main.py:140-142)
+        # — the M x M map is never materialized; survival models export the
+        # co-attention map [N, M] (mcat/main.py:180-183).
         eval_attn = make_eval_step(
             self.model, c.training.loss, alpha=c.training.alpha,
-            ge_mode=self.ge_mode, need_attention=True,
+            ge_mode=self.ge_mode, need_attention=not self.ge_mode,
         )
         for bi, batch in enumerate(batcher.batches()):
             dev = self._device_batch(batch)
             res = eval_attn(self.state.params, dev)
             n_patches = int(batch["mask"][0].sum())
             if self.ge_mode:
-                attn_map = np.asarray(res["attention"]["attn"])[0, :n_patches, :n_patches]
+                attn_map = np.asarray(res["attention"]["path"])[0, :, :n_patches]
                 if self.verbose:
-                    print(f"[{bi}] Y: {np.asarray(res['y'])[0]}")
+                    print(f"[{bi}] Gene Expression Class: {batch['label'][0]}")
+                    print(f"Prediction: {np.asarray(res['y'])[0]}")
+                    print(
+                        f"Attn min: {attn_map.min():.6f}, Attn max: {attn_map.max():.6f}, "
+                        f"Attn mean: {attn_map.mean():.6f}"
+                    )
             else:
                 attn_map = np.asarray(res["attention"]["coattn"])[0, :, :n_patches]
                 if self.verbose:
@@ -376,7 +404,11 @@ class Trainer:
                     )
             if save:
                 patient = c.training.leave_one_out
-                fname = f"ATTN_{c.model.name}_{patient}_{now}_E{epoch}_{bi}.npy"
+                if self.ge_mode:
+                    # GE naming has no model segment (ge_nacagat/main.py:140)
+                    fname = f"ATTN_{patient}_{now}_E{epoch}_{bi}.npy"
+                else:
+                    fname = f"ATTN_{c.model.name}_{patient}_{now}_E{epoch}_{bi}.npy"
                 path = os.path.join(out_dir, fname)
                 if self.verbose:
                     print(f"Saving attention in {path}")
