@@ -93,6 +93,9 @@ class MultimodalDataset:
     def bag(self, index: int) -> np.ndarray:
         return self.store.get(self.table.slide_ids[index])
 
+    def slide_id(self, index: int) -> str:
+        return self.table.slide_ids[index]
+
     def __getitem__(self, index: int):
         t = self.table
         if self.use_signatures:
@@ -165,6 +168,9 @@ class GeneExprDataset:
 
     def bag(self, index: int) -> np.ndarray:
         return self.store.get(self.table.slide_ids[index])
+
+    def slide_id(self, index: int) -> str:
+        return self.table.slide_ids[index]
 
     def __getitem__(self, index: int):
         return self.table.gene_expr_class[index], self.bag(index)

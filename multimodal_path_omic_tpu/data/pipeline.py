@@ -60,12 +60,36 @@ class BucketBatcher:
         # Bag lengths probed once (cheap for npy/h5 backends; .pt requires a
         # load — cached).
         self._lengths = None
+        # Native C++ batch loader (mmap + thread pool) when the store is a
+        # directory of .npy bags and the toolchain is available.
+        self._native = None
+        try:
+            from multimodal_path_omic_tpu.data.bags import NpyBagStore
+            from multimodal_path_omic_tpu.data import native as native_mod
+
+            store = getattr(dataset, "store", None)
+            if (
+                isinstance(store, NpyBagStore)
+                and hasattr(dataset, "slide_id")
+                and native_mod.available()
+            ):
+                self._native = native_mod.NativeBagStore(store.patches_dir)
+        except Exception:
+            self._native = None
 
     def _bag_lengths(self) -> np.ndarray:
         if self._lengths is None:
-            self._lengths = np.array(
-                [self.dataset.bag(i).shape[0] for i in range(len(self.dataset))]
-            )
+            if self._native is not None:
+                self._lengths = np.array(
+                    [
+                        self._native.length(self.dataset.slide_id(i))
+                        for i in range(len(self.dataset))
+                    ]
+                )
+            else:
+                self._lengths = np.array(
+                    [self.dataset.bag(i).shape[0] for i in range(len(self.dataset))]
+                )
         return self._lengths
 
     def __len__(self) -> int:
@@ -99,14 +123,19 @@ class BucketBatcher:
     def _make_batch(self, indices: List[int], bucket: int) -> Batch:
         real = len(indices)
         full = list(indices) + [indices[-1]] * (self.batch_size - real)
-        masks = np.zeros((self.batch_size, bucket), dtype=bool)
-        bags = []
-        for i in full:
-            bag = np.asarray(self.dataset.bag(i), dtype=np.float32)
-            padded, mask = pad_bag(bag, bucket)
-            bags.append(padded)
-            masks[len(bags) - 1] = mask
-        wsi = np.stack(bags)
+        if self._native is not None:
+            slide_ids = [self.dataset.slide_id(i) for i in full]
+            dim = self._native.dim(slide_ids[0])
+            wsi, masks = self._native.load_batch(slide_ids, bucket, dim)
+        else:
+            masks = np.zeros((self.batch_size, bucket), dtype=bool)
+            bags = []
+            for i in full:
+                bag = np.asarray(self.dataset.bag(i), dtype=np.float32)
+                padded, mask = pad_bag(bag, bucket)
+                bags.append(padded)
+                masks[len(bags) - 1] = mask
+            wsi = np.stack(bags)
         weight = np.zeros((self.batch_size,), np.float32)
         weight[:real] = 1.0
         batch = Batch(

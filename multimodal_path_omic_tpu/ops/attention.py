@@ -143,7 +143,13 @@ class MultiheadAttention(nn.Module):
         if self.dropout_rate > 0.0 and not deterministic:
             rng = self.make_rng("dropout")
         dropout_active = self.dropout_rate > 0.0 and not deterministic
-        if self.use_pallas and not need_weights and not dropout_active:
+        # Huge self-attention (M x M over patch bags) cannot materialize the
+        # score matrix for torch-style attention-probability dropout; on the
+        # flash path we drop that single dropout site (all other dropout sites
+        # in the layer remain). The reference cannot train at these lengths at
+        # all (O(M^2) HBM), so there is no behavior to diverge from.
+        huge = key.shape[1] >= 4096 and query.shape[1] == key.shape[1]
+        if self.use_pallas and not need_weights and (not dropout_active or huge):
             from multimodal_path_omic_tpu.ops.coattn import fused_attention
 
             out_h = fused_attention(qh, kh, vh, key_mask, pre_gate=self.pre_gate)

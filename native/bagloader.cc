@@ -1,0 +1,206 @@
+// bagloader — native WSI bag store: mmap'd .npy reads + threaded batch fill.
+//
+// The framework's training step consumes >26k bags/sec on one v5e chip; the
+// Python per-bag load/pad path cannot feed that. This library is the host IO
+// runtime: it indexes a directory of per-slide `.npy` float32 [M, D] arrays
+// (the framework's recommended bag format, data/bags.py), mmaps them, and
+// fills whole padded batches (wsi [B, bucket, D] + bool masks [B, bucket])
+// with a thread pool — one memcpy per bag straight from page cache into the
+// caller's pinned buffer.
+//
+// The reference has no native code (its loader is torch.load per item,
+// reference: dataset/dataset.py:124-126); this is the TPU-native equivalent
+// of its DataLoader-worker layer (mcat/main.py:250-252).
+//
+// C ABI (consumed via ctypes from multimodal_path_omic_tpu/data/native.py):
+//   bl_open(dir)                      -> store handle (0 on failure)
+//   bl_count(h)                       -> number of indexed slides
+//   bl_lookup(h, name)                -> slide id (-1 if missing)
+//   bl_length(h, id) / bl_dim(h, id)  -> M / D
+//   bl_load_batch(h, ids, n, bucket, dim, wsi_out, mask_out, threads) -> 0/err
+//   bl_close(h)
+
+#include <atomic>
+#include <cstdint>
+#include <cstring>
+#include <fcntl.h>
+#include <string>
+#include <sys/mman.h>
+#include <sys/stat.h>
+#include <thread>
+#include <unistd.h>
+#include <unordered_map>
+#include <vector>
+#include <dirent.h>
+
+namespace {
+
+struct Bag {
+  std::string path;
+  int64_t rows = 0;
+  int64_t cols = 0;
+  int64_t data_offset = 0;  // byte offset of payload in the file
+  int64_t file_size = 0;
+};
+
+struct Store {
+  std::vector<Bag> bags;
+  std::unordered_map<std::string, int64_t> index;
+};
+
+// Parse a .npy v1/v2 header; only little-endian float32, C-order, 2-D.
+bool parse_npy_header(int fd, Bag* bag) {
+  unsigned char magic[8];
+  if (pread(fd, magic, 8, 0) != 8) return false;
+  if (memcmp(magic, "\x93NUMPY", 6) != 0) return false;
+  int major = magic[6];
+  uint32_t header_len = 0;
+  int64_t header_start;
+  if (major == 1) {
+    unsigned char l[2];
+    if (pread(fd, l, 2, 8) != 2) return false;
+    header_len = l[0] | (l[1] << 8);
+    header_start = 10;
+  } else {
+    unsigned char l[4];
+    if (pread(fd, l, 4, 8) != 4) return false;
+    header_len = l[0] | (l[1] << 8) | (l[2] << 16) | (uint32_t(l[3]) << 24);
+    header_start = 12;
+  }
+  std::string header(header_len, '\0');
+  if (pread(fd, header.data(), header_len, header_start) != (ssize_t)header_len)
+    return false;
+  if (header.find("'<f4'") == std::string::npos) return false;
+  if (header.find("'fortran_order': False") == std::string::npos) return false;
+  auto pos = header.find("'shape': (");
+  if (pos == std::string::npos) return false;
+  pos += 10;
+  char* end = nullptr;
+  long rows = strtol(header.c_str() + pos, &end, 10);
+  while (*end == ',' || *end == ' ') ++end;
+  long cols = strtol(end, &end, 10);
+  if (rows <= 0 || cols <= 0) return false;
+  bag->rows = rows;
+  bag->cols = cols;
+  bag->data_offset = header_start + header_len;
+  return true;
+}
+
+bool ends_with(const std::string& s, const std::string& suffix) {
+  return s.size() >= suffix.size() &&
+         s.compare(s.size() - suffix.size(), suffix.size(), suffix) == 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+void* bl_open(const char* dir) {
+  DIR* d = opendir(dir);
+  if (!d) return nullptr;
+  auto* store = new Store();
+  std::string base(dir);
+  if (!base.empty() && base.back() != '/') base += '/';
+  struct dirent* entry;
+  while ((entry = readdir(d)) != nullptr) {
+    std::string name(entry->d_name);
+    if (!ends_with(name, ".npy")) continue;
+    Bag bag;
+    bag.path = base + name;
+    int fd = open(bag.path.c_str(), O_RDONLY);
+    if (fd < 0) continue;
+    struct stat st;
+    if (fstat(fd, &st) == 0 && parse_npy_header(fd, &bag)) {
+      bag.file_size = st.st_size;
+      std::string stem = name.substr(0, name.size() - 4);
+      store->index[stem] = (int64_t)store->bags.size();
+      store->bags.push_back(std::move(bag));
+    }
+    close(fd);
+  }
+  closedir(d);
+  return store;
+}
+
+int64_t bl_count(void* handle) {
+  return handle ? (int64_t)((Store*)handle)->bags.size() : -1;
+}
+
+int64_t bl_lookup(void* handle, const char* name) {
+  auto* store = (Store*)handle;
+  auto it = store->index.find(name);
+  return it == store->index.end() ? -1 : it->second;
+}
+
+int64_t bl_length(void* handle, int64_t id) {
+  auto* store = (Store*)handle;
+  if (id < 0 || id >= (int64_t)store->bags.size()) return -1;
+  return store->bags[id].rows;
+}
+
+int64_t bl_dim(void* handle, int64_t id) {
+  auto* store = (Store*)handle;
+  if (id < 0 || id >= (int64_t)store->bags.size()) return -1;
+  return store->bags[id].cols;
+}
+
+// Fill wsi_out [n, bucket, dim] (f32, zero-padded) and mask_out [n, bucket]
+// (uint8) from the bags named by ids[0..n). Rows beyond `bucket` are
+// truncated (callers bucket correctly so this does not happen in practice).
+int bl_load_batch(void* handle, const int64_t* ids, int64_t n, int64_t bucket,
+                  int64_t dim, float* wsi_out, uint8_t* mask_out,
+                  int threads) {
+  auto* store = (Store*)handle;
+  std::atomic<int64_t> next(0);
+  std::atomic<int> err(0);
+
+  auto worker = [&]() {
+    for (;;) {
+      int64_t i = next.fetch_add(1);
+      if (i >= n) return;
+      int64_t id = ids[i];
+      float* dst = wsi_out + i * bucket * dim;
+      uint8_t* mdst = mask_out + i * bucket;
+      if (id < 0 || id >= (int64_t)store->bags.size()) {
+        err.store(2);
+        continue;
+      }
+      const Bag& bag = store->bags[id];
+      if (bag.cols != dim) {
+        err.store(3);
+        continue;
+      }
+      int64_t rows = bag.rows < bucket ? bag.rows : bucket;
+      int fd = open(bag.path.c_str(), O_RDONLY);
+      if (fd < 0) {
+        err.store(4);
+        continue;
+      }
+      void* mapped =
+          mmap(nullptr, bag.file_size, PROT_READ, MAP_PRIVATE, fd, 0);
+      close(fd);
+      if (mapped == MAP_FAILED) {
+        err.store(5);
+        continue;
+      }
+      const char* payload = (const char*)mapped + bag.data_offset;
+      memcpy(dst, payload, (size_t)rows * dim * sizeof(float));
+      if (rows < bucket)
+        memset(dst + rows * dim, 0, (size_t)(bucket - rows) * dim * sizeof(float));
+      memset(mdst, 1, (size_t)rows);
+      if (rows < bucket) memset(mdst + rows, 0, (size_t)(bucket - rows));
+      munmap(mapped, bag.file_size);
+    }
+  };
+
+  int n_threads = threads > 0 ? threads : 4;
+  if (n_threads > n) n_threads = (int)n;
+  std::vector<std::thread> pool;
+  for (int t = 0; t < n_threads; ++t) pool.emplace_back(worker);
+  for (auto& t : pool) t.join();
+  return err.load();
+}
+
+void bl_close(void* handle) { delete (Store*)handle; }
+
+}  // extern "C"

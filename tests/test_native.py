@@ -1,0 +1,76 @@
+"""Native C++ bag loader tests: byte-exact parity with the Python path."""
+
+import numpy as np
+import pytest
+
+from multimodal_path_omic_tpu.data import BucketBatcher, MultimodalDataset
+from multimodal_path_omic_tpu.data.pipeline import survival_extras
+from multimodal_path_omic_tpu.data.synthetic import (
+    make_synthetic_cohort,
+    synthetic_config_dict,
+)
+
+native = pytest.importorskip("multimodal_path_omic_tpu.data.native")
+
+if not native.available():  # pragma: no cover
+    pytest.skip("native loader unavailable (no g++)", allow_module_level=True)
+
+
+@pytest.fixture(scope="module")
+def cohort(tmp_path_factory):
+    out = tmp_path_factory.mktemp("native_cohort")
+    return make_synthetic_cohort(str(out), n_patients=12, seed=7)
+
+
+def test_native_store_matches_numpy(cohort):
+    csv, sig, patches = cohort
+    store = native.NativeBagStore(patches)
+    import os
+
+    names = sorted(f[:-4] for f in os.listdir(patches) if f.endswith(".npy"))
+    assert store.exists(names[0] + ".svs")
+    for name in names[:4]:
+        ref = np.load(f"{patches}/{name}.npy")
+        assert store.length(name) == ref.shape[0]
+        assert store.dim(name) == ref.shape[1]
+        got = store.get(name)
+        np.testing.assert_array_equal(got, ref)
+
+
+def test_native_batch_fill_padding_and_mask(cohort):
+    csv, sig, patches = cohort
+    store = native.NativeBagStore(patches)
+    import os
+
+    names = sorted(f[:-4] for f in os.listdir(patches) if f.endswith(".npy"))[:5]
+    bucket = 512
+    dim = store.dim(names[0])
+    wsi, mask = store.load_batch(names, bucket, dim)
+    assert wsi.shape == (5, bucket, dim) and mask.shape == (5, bucket)
+    for i, name in enumerate(names):
+        ref = np.load(f"{patches}/{name}.npy")
+        m = ref.shape[0]
+        np.testing.assert_array_equal(wsi[i, :m], ref)
+        assert wsi[i, m:].sum() == 0
+        assert mask[i, :m].all() and not mask[i, m:].any()
+
+
+def test_batcher_uses_native_and_matches_python(cohort):
+    csv, sig, patches = cohort
+    cfg = synthetic_config_dict(csv, sig, patches)
+    ds = MultimodalDataset(csv, cfg, use_signatures=True)
+    b_native = BucketBatcher(ds, survival_extras, 4, (512,), shuffle=False)
+    assert b_native._native is not None, "native path not engaged"
+    b_python = BucketBatcher(ds, survival_extras, 4, (512,), shuffle=False)
+    b_python._native = None
+    for bn, bp in zip(b_native.batches(), b_python.batches()):
+        np.testing.assert_array_equal(bn["wsi"], bp["wsi"])
+        np.testing.assert_array_equal(bn["mask"], bp["mask"])
+        np.testing.assert_array_equal(bn["label"], bp["label"])
+
+
+def test_missing_bag_raises(cohort):
+    csv, sig, patches = cohort
+    store = native.NativeBagStore(patches)
+    with pytest.raises(FileNotFoundError):
+        store.load_batch(["nonexistent_slide"], 64, 1024)
