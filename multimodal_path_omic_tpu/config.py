@@ -115,8 +115,12 @@ class TpuConfig:
     # Device batch: bags per optimizer step = grad_acc_step in the reference.
     # Here a whole step is one batched jit call (optionally sharded over a mesh).
     batch_size: int = 32
-    # Compute dtype for matmuls: "float32" (parity) or "bfloat16" (speed).
+    # Compute dtype for matmuls: "float32" (recommended; on TPU the MXU
+    # already runs bf16 passes at default precision) or "bfloat16".
     compute_dtype: str = "float32"
+    # XLA matmul precision: "default" (fast bf16 MXU passes) or "highest"
+    # (true f32 accumulation — use for strict numerics parity runs).
+    matmul_precision: str = "default"
     # Data-parallel mesh axis size (1 = single chip).
     data_axis: int = 1
     # Sequence-parallel mesh axis size (patch dimension sharding).

@@ -61,6 +61,9 @@ class Trainer:
         self.ge_mode = _is_ge(c.model.name)
         self.leave_one_out = c.training.leave_one_out is not None
 
+        if c.tpu.matmul_precision and c.tpu.matmul_precision != "default":
+            jax.config.update("jax_default_matmul_precision", c.tpu.matmul_precision)
+
         # ----- dataset + splits (mcat/main.py:239-252) ---------------------
         if self.ge_mode:
             self.dataset = GeneExprDataset(
@@ -253,7 +256,15 @@ class Trainer:
             dev = self._device_batch(batch)
             index = batch["index"]
             self.state, metrics = self.train_step(self.state, dev)
-            total_loss += float(metrics.loss)
+            loss_val = float(metrics.loss)
+            if not math.isfinite(loss_val):
+                # failure detection: surface divergence immediately with
+                # context instead of silently training on NaNs
+                raise FloatingPointError(
+                    f"non-finite loss {loss_val} at epoch {epoch + 1} step "
+                    f"{n_steps + 1} (bucket {batch['bucket']})"
+                )
+            total_loss += loss_val
             total_attn_loss += float(metrics.attn_loss)
             n_steps += 1
             self.timer.tick(real)

@@ -1,0 +1,72 @@
+"""CLI smoke tests: train + validate + export-attn over the synthetic cohort,
+driven exactly as a user would (config YAML + dotted overrides)."""
+
+import os
+
+import numpy as np
+import pytest
+import yaml
+
+from multimodal_path_omic_tpu import cli
+from multimodal_path_omic_tpu.data.synthetic import (
+    make_synthetic_cohort,
+    synthetic_config_dict,
+)
+
+
+@pytest.fixture(scope="module")
+def config_path(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("cli")
+    csv, sig, patches = make_synthetic_cohort(
+        str(tmp), n_patients=16, bag_lengths=(48, 96), n_genes=24,
+        n_signatures=3, seed=11, signal_strength=2.0,
+    )
+    raw = synthetic_config_dict(csv, sig, patches)
+    raw["model"]["model_size"] = "small"
+    raw["model"]["checkpoint_dir"] = str(tmp / "ckpts")
+    raw["training"]["epochs"] = 1
+    raw["training"]["test_output_dir"] = str(tmp / "outputs")
+    raw["tpu"] = {"bag_buckets": [128], "batch_size": 8, "use_pallas": False}
+    path = tmp / "config.yaml"
+    path.write_text(yaml.safe_dump(raw))
+    return str(path)
+
+
+def test_cli_train(config_path, capsys):
+    rc = cli.main(["train", "--config", config_path])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "train_loss" in out
+
+
+def test_cli_train_with_overrides(config_path, capsys):
+    rc = cli.main(
+        ["train", "--config", config_path, "--set", "training.lr=0.002",
+         "--set", "model.fusion=gated_concat"]
+    )
+    assert rc == 0
+
+
+def test_cli_validate(config_path, capsys):
+    rc = cli.main(["validate", "--config", config_path])
+    assert rc == 0
+    assert "val_loss" in capsys.readouterr().out
+
+
+def test_cli_export_attn(config_path):
+    rc = cli.main(
+        ["export-attn", "--config", config_path, "--patient", "P000",
+         "--epoch", "3"]
+    )
+    assert rc == 0
+    cfg = yaml.safe_load(open(config_path))
+    out_dir = cfg["training"]["test_output_dir"]
+    files = [f for f in os.listdir(out_dir) if f.startswith("ATTN_") and "_E3_" in f]
+    assert files
+    attn = np.load(os.path.join(out_dir, files[0]))
+    assert attn.ndim == 2
+
+
+def test_cli_unknown_override_errors(config_path):
+    with pytest.raises(KeyError):
+        cli.main(["train", "--config", config_path, "--set", "training.bogus=1"])
