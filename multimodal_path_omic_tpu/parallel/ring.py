@@ -1,0 +1,103 @@
+"""Ring attention: sequence-parallel masked self-attention over the mesh.
+
+For bags beyond one chip's memory (SURVEY.md §5 "long-context" /
+§7.2 step 7), the patch axis M is sharded over the ``seq`` mesh axis and K/V
+blocks rotate around the ring with ``jax.lax.ppermute`` while each device
+computes attention for its local query shard — communication is point-to-point
+(neighbor ICI links) and overlaps with the matmuls. The running (m, l, o)
+online-softmax statistics make the result exactly equal to unsharded
+attention.
+
+This composes with the rest of the framework: queries/outputs stay sharded
+exactly as GSPMD lays them out, so a model can call ``ring_self_attention``
+in place of its attention core when ``M / n_devices`` is the only thing that
+fits.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+NEG = -0.7 * 3.4e38
+
+
+def _ring_body(q, k, v, mask_f, axis_name: str):
+    """shard_map body: q/k/v [B, H, Ml, D] local shards; mask_f [B, Ml]."""
+    n_dev = jax.lax.psum(1, axis_name)
+    d = q.shape[-1]
+    scale = 1.0 / (d**0.5)
+
+    m_stat = jnp.full(q.shape[:-1] + (1,), NEG, jnp.float32)  # [B, H, Ml, 1]
+    l_stat = jnp.zeros(q.shape[:-1] + (1,), jnp.float32)
+    o_acc = jnp.zeros(q.shape, jnp.float32)
+
+    k_blk, v_blk, mask_blk = k, v, mask_f
+    perm = None
+
+    for step in range(n_dev):
+        s = jnp.einsum(
+            "bhnd,bhmd->bhnm", q * scale, k_blk, preferred_element_type=jnp.float32
+        )
+        s = jnp.where(mask_blk[:, None, None, :] > 0, s, NEG)
+
+        m_curr = jnp.max(s, axis=-1, keepdims=True)
+        m_next = jnp.maximum(m_stat, m_curr)
+        alpha = jnp.exp(m_stat - m_next)
+        p = jnp.exp(s - m_next)
+        l_stat = alpha * l_stat + jnp.sum(p, axis=-1, keepdims=True)
+        o_acc = alpha * o_acc + jnp.einsum(
+            "bhnm,bhmd->bhnd", p, v_blk, preferred_element_type=jnp.float32
+        )
+        m_stat = m_next
+
+        if step < n_dev - 1:
+            if perm is None:
+                n = n_dev
+                perm = [(i, (i + 1) % n) for i in range(n)]
+            # rotate K/V/mask to the next device; XLA overlaps the ppermute
+            # with the next iteration's matmuls where possible
+            k_blk = jax.lax.ppermute(k_blk, axis_name, perm)
+            v_blk = jax.lax.ppermute(v_blk, axis_name, perm)
+            mask_blk = jax.lax.ppermute(mask_blk, axis_name, perm)
+
+    l_safe = jnp.where(l_stat == 0.0, 1.0, l_stat)
+    return (o_acc / l_safe).astype(q.dtype)
+
+
+def ring_self_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    key_mask: Optional[jnp.ndarray],
+    mesh: Mesh,
+    seq_axis: str = "seq",
+) -> jnp.ndarray:
+    """Exact masked self-attention with K/V ring rotation over ``seq_axis``.
+
+    q, k, v: [B, H, M, D] (M divisible by the seq axis size);
+    key_mask: [B, M] bool or None. Returns [B, H, M, D].
+    """
+    b, h, m, d = q.shape
+    n_dev = mesh.shape[seq_axis]
+    if m % n_dev != 0:
+        raise ValueError(f"M={m} not divisible by seq axis {n_dev}")
+    if key_mask is None:
+        key_mask = jnp.ones((b, m), bool)
+    mask_f = key_mask.astype(jnp.float32)
+
+    from jax.experimental.shard_map import shard_map
+
+    spec_qkv = P(None, None, seq_axis, None)
+    spec_mask = P(None, seq_axis)
+    fn = shard_map(
+        functools.partial(_ring_body, axis_name=seq_axis),
+        mesh=mesh,
+        in_specs=(spec_qkv, spec_qkv, spec_qkv, spec_mask),
+        out_specs=spec_qkv,
+    )
+    return fn(q, k, v, mask_f)
