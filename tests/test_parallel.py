@@ -145,3 +145,34 @@ def test_ring_attention_no_mask():
     mesh = make_mesh(data=2, seq=4)
     got = ring_self_attention(q, k, v, None, mesh)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+def test_trainer_data_parallel_e2e(tmp_path):
+    """Full Trainer run with tpu.data_axis=8 on the virtual CPU mesh."""
+    import os
+
+    from multimodal_path_omic_tpu.config import config_from_dict
+    from multimodal_path_omic_tpu.data.synthetic import (
+        make_synthetic_cohort,
+        synthetic_config_dict,
+    )
+    from multimodal_path_omic_tpu.train.trainer import Trainer
+
+    csv, sig, patches = make_synthetic_cohort(
+        str(tmp_path), n_patients=24, bag_lengths=(48, 96), n_genes=24,
+        n_signatures=3, seed=5, signal_strength=2.0,
+    )
+    raw = synthetic_config_dict(csv, sig, patches)
+    raw["model"]["model_size"] = "small"
+    raw["training"]["epochs"] = 1
+    raw["tpu"] = {
+        "bag_buckets": [128], "batch_size": 8, "use_pallas": False,
+        "data_axis": 8, "seq_axis": 1,
+    }
+    cfg = config_from_dict(raw)
+    cfg.model.checkpoint_dir = os.path.join(str(tmp_path), "ck")
+    cfg.training.test_output_dir = os.path.join(str(tmp_path), "out")
+    trainer = Trainer(cfg, verbose=False)
+    assert trainer.mesh is not None
+    out = trainer.fit()
+    assert np.isfinite(out["train_loss"]) and np.isfinite(out["val_loss"])

@@ -273,3 +273,21 @@ def test_mcat_learns_planted_signal_well(tmp_path):
     out = trainer.fit()
     assert out["train_c_index"] > 0.72, out
     assert out["val_c_index"] > 0.62, out
+
+
+def test_mcat_end_to_end_h5_backend(tmp_path):
+    """Full training from a single HDF5 bag file (dataset.py:48-55 backend)."""
+    csv, sig, h5_path = make_synthetic_cohort(
+        str(tmp_path), n_patients=16, bag_lengths=(48, 96), n_genes=24,
+        n_signatures=3, seed=13, bag_format="h5",
+    )
+    raw = synthetic_config_dict(csv, sig, h5_path, h5=True)
+    raw["model"]["model_size"] = "small"
+    raw["training"]["epochs"] = 1
+    raw["tpu"] = {"bag_buckets": [128], "batch_size": 8, "use_pallas": False}
+    cfg = config_from_dict(raw)
+    cfg.model.checkpoint_dir = os.path.join(str(tmp_path), "ck")
+    cfg.training.test_output_dir = os.path.join(str(tmp_path), "out")
+    trainer = Trainer(cfg, verbose=False)
+    out = trainer.fit()
+    assert np.isfinite(out["train_loss"])
