@@ -42,7 +42,13 @@ def cmd_train(args) -> int:
     trainer = Trainer(cfg)
     if args.torch_checkpoint:
         trainer.load_torch_checkpoint(args.torch_checkpoint)
-    result = trainer.fit()
+    if args.profile_dir:
+        from multimodal_path_omic_tpu.train.logging import profile_trace
+
+        with profile_trace(args.profile_dir):
+            result = trainer.fit()
+    else:
+        result = trainer.fit()
     print({k: round(float(v), 6) for k, v in result.items()})
     return 0
 
@@ -104,6 +110,7 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     p_train = sub.add_parser("train", help="train a model (mcat/nacagat/ge_nacagat)")
     common(p_train)
+    p_train.add_argument("--profile-dir", help="capture a jax.profiler trace here")
     p_train.set_defaults(fn=cmd_train)
 
     p_val = sub.add_parser("validate", help="run validation only")

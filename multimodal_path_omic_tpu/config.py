@@ -121,6 +121,9 @@ class TpuConfig:
     # XLA matmul precision: "default" (fast bf16 MXU passes) or "highest"
     # (true f32 accumulation — use for strict numerics parity runs).
     matmul_precision: str = "default"
+    # Dtype for the host->device WSI transfer: "float32" or "bfloat16"
+    # (halves H2D bytes; patch embeddings tolerate bf16).
+    transfer_dtype: str = "float32"
     # Data-parallel mesh axis size (1 = single chip).
     data_axis: int = 1
     # Sequence-parallel mesh axis size (patch dimension sharding).

@@ -42,7 +42,7 @@ def batch_spec(key: str) -> P:
     """PartitionSpec for a batch-dict field."""
     if key in ("wsi", "mask"):
         return P("data", "seq")  # [B, M, ...]: bags over data, patches over seq
-    return P("data")  # per-sample vectors/scalars
+    return P("data")  # per-sample vectors/scalars (incl. omics_packed)
 
 
 def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:

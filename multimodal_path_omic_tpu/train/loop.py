@@ -78,6 +78,19 @@ def _survival_loss(loss_name: str, out, label, censorship, months, alpha, weight
     return loss, attn_loss
 
 
+def _unpack_omics(batch, omic_sizes):
+    """Accept either an 'omics' list or a packed [B, sum(sizes)] array (fewer
+    host->device transfers; split is free inside jit)."""
+    if "omics" in batch:
+        return batch["omics"]
+    packed = batch["omics_packed"]
+    out, off = [], 0
+    for s in omic_sizes:
+        out.append(packed[:, off : off + s])
+        off += s
+    return out
+
+
 def make_train_step(
     model,
     loss_name: str,
@@ -87,6 +100,7 @@ def make_train_step(
     l1_lambda: float = 0.0,
     patch_budget: Optional[int] = 262_144,
     ge_mode: bool = False,
+    omic_sizes: Optional[Tuple[int, ...]] = None,
 ) -> Callable:
     """Build the jitted train step.
 
@@ -152,7 +166,7 @@ def make_train_step(
         mask = resh(batch["mask"])
         label = resh(batch["label"].astype(jnp.int32))
         weight = resh(batch["weight"])
-        omics = None if ge_mode else [resh(o) for o in batch["omics"]]
+        omics = None if ge_mode else [resh(o) for o in _unpack_omics(batch, omic_sizes)]
         cens = None if ge_mode else resh(batch["censorship"])
         months = None if ge_mode else resh(batch["survival_months"])
 
@@ -212,7 +226,7 @@ def make_train_step(
 
 def make_eval_step(
     model, loss_name: str, *, alpha: float = 0.75, ge_mode: bool = False,
-    need_attention: bool = False,
+    need_attention: bool = False, omic_sizes: Optional[Tuple[int, ...]] = None,
 ) -> Callable:
     """Jitted no-grad eval step mirroring validate() (mcat/main.py:106-155)."""
     want_attn = need_attention or loss_name == "cesar"
@@ -222,7 +236,7 @@ def make_eval_step(
         out = model.apply(
             {"params": params},
             batch["wsi"],
-            *(() if ge_mode else (batch["omics"],)),
+            *(() if ge_mode else (_unpack_omics(batch, omic_sizes),)),
             batch["mask"],
             deterministic=True,
             need_attention=want_attn,

@@ -156,9 +156,11 @@ class Trainer:
             alpha=c.training.alpha,
             l1_lambda=c.training.lambda_,
             ge_mode=self.ge_mode,
+            omic_sizes=tuple(self.omic_sizes),
         )
         self.eval_step = make_eval_step(
-            self.model, c.training.loss, alpha=c.training.alpha, ge_mode=self.ge_mode
+            self.model, c.training.loss, alpha=c.training.alpha,
+            ge_mode=self.ge_mode, omic_sizes=tuple(self.omic_sizes),
         )
 
         # ----- mesh scale-out (parallel/mesh.py) ---------------------------
@@ -222,6 +224,14 @@ class Trainer:
         }
 
     def _device_batch(self, batch) -> Dict[str, Any]:
+        batch = dict(batch)
+        if self.config.tpu.transfer_dtype == "bfloat16":
+            batch["wsi"] = np.asarray(batch["wsi"], np.float32).astype(jnp.bfloat16)
+        if "omics" in batch:
+            # one transfer instead of one per signature group
+            batch["omics_packed"] = np.concatenate(
+                [np.asarray(o) for o in batch.pop("omics")], axis=-1
+            )
         if self.mesh is not None:
             from multimodal_path_omic_tpu.parallel.mesh import shard_batch
 
@@ -245,48 +255,56 @@ class Trainer:
     # --------------------------------------------------------------- training
     def train_epoch(self, epoch: int) -> Dict[str, float]:
         c = self.config
-        risks, censorships, months = [], [], []
-        total_loss = 0.0
-        total_attn_loss = 0.0
+        # Metric scalars stay ON DEVICE during the epoch: reading them per
+        # step would block the dispatch pipeline (device idles while the host
+        # formats floats). Everything is pulled once at epoch end.
+        losses, attn_losses = [], []
+        risks, censorships, months, reals = [], [], [], []
         n_steps = 0
         self.timer.reset()
         epoch_t0 = time.time()
         for batch in prefetch(self.train_batcher.batches(), depth=c.tpu.prefetch):
             real = int(batch["weight"].sum())
             dev = self._device_batch(batch)
-            index = batch["index"]
             self.state, metrics = self.train_step(self.state, dev)
-            loss_val = float(metrics.loss)
-            if not math.isfinite(loss_val):
-                # failure detection: surface divergence immediately with
-                # context instead of silently training on NaNs
-                raise FloatingPointError(
-                    f"non-finite loss {loss_val} at epoch {epoch + 1} step "
-                    f"{n_steps + 1} (bucket {batch['bucket']})"
-                )
-            total_loss += loss_val
-            total_attn_loss += float(metrics.attn_loss)
+            losses.append(metrics.loss)
+            attn_losses.append(metrics.attn_loss)
             n_steps += 1
             self.timer.tick(real)
             if not self.ge_mode:
-                risk = np.asarray(metrics.risk)[:real]
-                risks.append(risk)
+                risks.append(metrics.risk)
+                reals.append(real)
                 censorships.append(batch["censorship"][:real])
                 months.append(batch["survival_months"][:real])
-            if n_steps % 10 == 0 and self.verbose:
+            if n_steps % 50 == 0 and self.verbose:
+                # periodic progress print (syncs; mirrors the reference's
+                # per-50-batch print, mcat/main.py:63-68, divisor fixed)
                 sps, bps = self.timer.rates()
                 print(
                     f"\tstep: {n_steps}, loss: {float(metrics.loss):.4f}, "
                     f"bags/s: {bps:.2f}"
                 )
+        loss_vals = np.array([float(l) for l in losses]) if losses else np.zeros(1)
+        if not np.all(np.isfinite(loss_vals)):
+            # failure detection: surface divergence with context instead of
+            # silently training on NaNs
+            bad = int(np.argmax(~np.isfinite(loss_vals)))
+            raise FloatingPointError(
+                f"non-finite loss {loss_vals[bad]} at epoch {epoch + 1} "
+                f"step {bad + 1}"
+            )
         out: Dict[str, float] = {
-            "train_loss": total_loss / max(n_steps, 1),
+            "train_loss": float(loss_vals.mean()),
             "epoch_seconds": time.time() - epoch_t0,
         }
         if self.ge_mode:
             msg = f"Epoch: {epoch + 1}, train_loss: {out['train_loss']:.4f}"
         else:
-            risks_all = np.concatenate(risks) if risks else np.zeros(0)
+            risks_all = (
+                np.concatenate([np.asarray(r)[:n] for r, n in zip(risks, reals)])
+                if risks
+                else np.zeros(0)
+            )
             cens_all = np.concatenate(censorships) if censorships else np.zeros(0)
             months_all = np.concatenate(months) if months else np.zeros(0)
             try:
@@ -296,7 +314,9 @@ class Trainer:
             except ValueError:
                 c_index = float("nan")
             out["train_c_index"] = c_index
-            out["train_attn_loss"] = total_attn_loss / max(n_steps, 1)
+            out["train_attn_loss"] = float(
+                np.mean([float(a) for a in attn_losses])
+            )
             msg = (
                 f"Epoch: {epoch + 1}, train_loss: {out['train_loss']:.4f}, "
                 f"train_c_index: {c_index:.4f}"
@@ -382,6 +402,7 @@ class Trainer:
         eval_attn = make_eval_step(
             self.model, c.training.loss, alpha=c.training.alpha,
             ge_mode=self.ge_mode, need_attention=not self.ge_mode,
+            omic_sizes=tuple(self.omic_sizes),
         )
         for bi, batch in enumerate(batcher.batches()):
             dev = self._device_batch(batch)
