@@ -11,7 +11,7 @@ bags into the static shapes XLA needs.
 from __future__ import annotations
 
 import os
-from typing import List, Optional, Protocol, Sequence, Tuple
+from typing import Optional, Protocol, Sequence, Tuple
 
 import numpy as np
 

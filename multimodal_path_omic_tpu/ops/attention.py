@@ -30,12 +30,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from multimodal_path_omic_tpu.ops.layers import (
-    NEG_INF,
-    TorchLinear,
-    make_torch_bias_init,
-    masked_softmax,
-)
+from multimodal_path_omic_tpu.ops.layers import TorchLinear, masked_softmax
 
 
 def xavier_uniform_packed_init(key, shape, dtype=jnp.float32):

@@ -23,7 +23,7 @@ anything unsupported -> the XLA einsum path (ops/attention.py).
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -7,7 +7,7 @@ inputs is a feature concat, which here is ``cat(axis=-1)``).
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -14,7 +14,6 @@ ragged bags re-trace once per bucket shape.
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
 
 import jax

@@ -22,8 +22,6 @@ optimizer state.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import optax
 
 
