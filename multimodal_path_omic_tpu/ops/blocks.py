@@ -122,6 +122,13 @@ class OmicEncoderStack(nn.Module):
     (reference: mcat.py:32-45, 90-92).
 
     omics: sequence of [B, size_i] arrays -> [B, N, dim2].
+
+    ``fused`` (default) runs all N encoders as two batched einsums over
+    zero-padded stacked kernels instead of 2N small matmuls: inputs are padded
+    to the widest signature with zeros, and the padded kernel rows are zeros,
+    so the result is exactly equal to the per-encoder path (the extra
+    zero-row products contribute nothing). Per-signature torch Linear init
+    (U(+-1/sqrt(s_i))) is preserved on each valid kernel block.
     """
 
     n_signatures: int
@@ -129,18 +136,77 @@ class OmicEncoderStack(nn.Module):
     dim2: int = 256
     dropout_rate: float = 0.25
     dtype: Optional[jnp.dtype] = None
+    fused: bool = True
 
     @nn.compact
     def __call__(self, omics: Sequence[jnp.ndarray], deterministic: bool = True):
         assert len(omics) == self.n_signatures
-        tokens = [
-            SNNOmicEncoder(
-                dim1=self.dim1,
-                dim2=self.dim2,
-                dropout_rate=self.dropout_rate,
-                dtype=self.dtype,
-                name=f"snn_{i}",
-            )(omic, deterministic=deterministic)
-            for i, omic in enumerate(omics)
-        ]
-        return jnp.stack(tokens, axis=1)  # [B, N, dim2]
+        if not self.fused:
+            tokens = [
+                SNNOmicEncoder(
+                    dim1=self.dim1,
+                    dim2=self.dim2,
+                    dropout_rate=self.dropout_rate,
+                    dtype=self.dtype,
+                    name=f"snn_{i}",
+                )(omic, deterministic=deterministic)
+                for i, omic in enumerate(omics)
+            ]
+            return jnp.stack(tokens, axis=1)  # [B, N, dim2]
+
+        import math
+
+        n = self.n_signatures
+        sizes = tuple(int(o.shape[-1]) for o in omics)
+        max_s = max(sizes)
+
+        def fc1_kernel_init(key, shape, dtype=jnp.float32):
+            # per-signature torch default U(+-1/sqrt(s_i)) on the valid block,
+            # zeros on padded rows (they multiply zero-padded inputs anyway,
+            # but zeros keep l1_reg and checkpoints clean)
+            keys = jax.random.split(key, n)
+            out = jnp.zeros(shape, dtype)
+            for i, s in enumerate(sizes):
+                k = 1.0 / math.sqrt(s)
+                blk = jax.random.uniform(keys[i], (s, self.dim1), dtype, -k, k)
+                out = out.at[i, :s].set(blk)
+            return out
+
+        def fc1_bias_init(key, shape, dtype=jnp.float32):
+            keys = jax.random.split(key, n)
+            rows = [
+                jax.random.uniform(
+                    keys[i], (self.dim1,), dtype,
+                    -1.0 / math.sqrt(s), 1.0 / math.sqrt(s),
+                )
+                for i, s in enumerate(sizes)
+            ]
+            return jnp.stack(rows)
+
+        def fc2_kernel_init(key, shape, dtype=jnp.float32):
+            k = 1.0 / math.sqrt(self.dim1)
+            return jax.random.uniform(key, shape, dtype, -k, k)
+
+        fc1_kernel = self.param("fc1_kernel", fc1_kernel_init, (n, max_s, self.dim1))
+        fc1_bias = self.param("fc1_bias", fc1_bias_init, (n, self.dim1))
+        fc2_kernel = self.param("fc2_kernel", fc2_kernel_init, (n, self.dim1, self.dim2))
+        fc2_bias = self.param("fc2_bias", fc2_kernel_init, (n, self.dim2))
+
+        x = jnp.stack(
+            [
+                jnp.pad(o.astype(jnp.float32), ((0, 0), (0, max_s - o.shape[-1])))
+                for o in omics
+            ],
+            axis=1,
+        )  # [B, N, max_s]
+        h = jnp.einsum(
+            "bns,nsd->bnd", x.astype(self.dtype), fc1_kernel.astype(self.dtype)
+        ) + fc1_bias.astype(self.dtype)
+        h = jax.nn.elu(h)
+        h = AlphaDropout(self.dropout_rate)(h, deterministic=deterministic)
+        h = jnp.einsum(
+            "bnd,nde->bne", h, fc2_kernel.astype(self.dtype)
+        ) + fc2_bias.astype(self.dtype)
+        h = jax.nn.elu(h)
+        h = AlphaDropout(self.dropout_rate)(h, deterministic=deterministic)
+        return h  # [B, N, dim2]

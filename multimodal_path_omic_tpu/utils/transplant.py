@@ -120,15 +120,28 @@ def _fusion(fusion: str):
     raise ValueError(f"unknown fusion {fusion!r}")
 
 
-def transplant_rules(model: str, n_signatures: int = 6, fusion: str = "concat"):
-    """Build the (torch_key, flax_path, transform) rule list for a model."""
+def transplant_rules(model: str, n_signatures: int = 6, fusion: str = "concat",
+                     fused_omics: bool = True):
+    """Build the (torch_key, flax_path, transform[, slot]) rule list.
+
+    ``slot`` (optional 4th element) is an integer: the value is written into
+    ``leaf[slot, :v.shape[0], ...]`` of a stacked parameter (the fused
+    OmicEncoderStack layout, ops/blocks.py)."""
     model = model.lower()
     rules: List = []
     rules += _linear("H.0", ("H", "fc"))
     if model in ("mcat", "nacagat"):
         for i in range(n_signatures):
-            rules += _linear(f"G.{i}.0.0", ("G", f"snn_{i}", "fc1"))
-            rules += _linear(f"G.{i}.1.0", ("G", f"snn_{i}", "fc2"))
+            if fused_omics:
+                rules += [
+                    (f"G.{i}.0.0.weight", ("G", "fc1_kernel"), _t, i),
+                    (f"G.{i}.0.0.bias", ("G", "fc1_bias"), _a, i),
+                    (f"G.{i}.1.0.weight", ("G", "fc2_kernel"), _t, i),
+                    (f"G.{i}.1.0.bias", ("G", "fc2_bias"), _a, i),
+                ]
+            else:
+                rules += _linear(f"G.{i}.0.0", ("G", f"snn_{i}", "fc1"))
+                rules += _linear(f"G.{i}.1.0", ("G", f"snn_{i}", "fc2"))
         if model == "mcat":
             rules += _mha("co_attention", ("co_attention",))
         else:
@@ -172,8 +185,13 @@ def from_torch_state_dict(
     # strip DataParallel's "module." prefix if present (mcat/main.py:267-268)
     sd = {k[len("module."):] if k.startswith("module.") else k: v for k, v in sd.items()}
 
+    # detect whether the target tree uses the fused omic layout
+    fused_omics = "G" in root and isinstance(root["G"], dict) and "fc1_kernel" in root["G"]
+
     matched = set()
-    for torch_key, flax_path, transform in transplant_rules(model, n_signatures, fusion):
+    for rule in transplant_rules(model, n_signatures, fusion, fused_omics):
+        torch_key, flax_path, transform = rule[:3]
+        slot = rule[3] if len(rule) > 3 else None
         if torch_key not in sd:
             warnings.warn(f"transplant: {torch_key} missing from state_dict")
             continue
@@ -182,12 +200,20 @@ def from_torch_state_dict(
             node = node[part]
         leaf = flax_path[-1]
         value = transform(sd[torch_key])
-        if node[leaf].shape != value.shape:
-            raise ValueError(
-                f"shape mismatch for {torch_key} -> {'/'.join(flax_path)}: "
-                f"{node[leaf].shape} vs {value.shape}"
-            )
-        node[leaf] = value.astype(node[leaf].dtype)
+        if slot is not None:
+            target = np.array(node[leaf])
+            if value.ndim == 1:
+                target[slot, : value.shape[0]] = value
+            else:
+                target[slot, : value.shape[0], : value.shape[1]] = value
+            node[leaf] = target.astype(target.dtype)
+        else:
+            if node[leaf].shape != value.shape:
+                raise ValueError(
+                    f"shape mismatch for {torch_key} -> {'/'.join(flax_path)}: "
+                    f"{node[leaf].shape} vs {value.shape}"
+                )
+            node[leaf] = value.astype(node[leaf].dtype)
         matched.add(torch_key)
 
     unmatched = set(sd) - matched
