@@ -131,6 +131,20 @@ class MultimodalDataset:
         ds.use_signatures = self.use_signatures
         return ds
 
+    @classmethod
+    def from_dataframe(cls, df, original_instance: "MultimodalDataset"):
+        """API shim matching the reference classmethod (dataset.py:187-243).
+
+        Builds a subset dataset from a dataframe of rows drawn from
+        ``original_instance`` — with row-ALIGNED signature omics (the
+        reference's version misaligns them, dataset.py:238-241).
+        """
+        slide_to_row = {
+            s: i for i, s in enumerate(original_instance.table.slide_ids)
+        }
+        rows = np.array([slide_to_row[s] for s in df["slide_id"]])
+        return original_instance._with_table(original_instance.table.subset(rows))
+
 
 class GeneExprDataset:
     """Gene-expression-class dataset (reference: dataset/ge_dataset.py:11-116)."""

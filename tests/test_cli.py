@@ -70,3 +70,41 @@ def test_cli_export_attn(config_path):
 def test_cli_unknown_override_errors(config_path):
     with pytest.raises(KeyError):
         cli.main(["train", "--config", config_path, "--set", "training.bogus=1"])
+
+
+def test_cli_convert_checkpoint_roundtrip(config_path, tmp_path, capsys):
+    """Reference .pt -> framework checkpoint via the CLI, then restore."""
+    torch = pytest.importorskip("torch")
+    import sys
+
+    sys.path.insert(0, "/root/reference")
+    try:
+        from models.mcat.mcat import MultimodalCoAttentionTransformer
+    except Exception as exc:
+        pytest.skip(f"reference unavailable: {exc}")
+
+    cfg = yaml.safe_load(open(config_path))
+    # build a reference model matching the synthetic config's signature sizes
+    from multimodal_path_omic_tpu.config import config_from_dict
+    from multimodal_path_omic_tpu.train.trainer import Trainer
+
+    trainer = Trainer(config_from_dict(cfg), verbose=False)
+    tmod = MultimodalCoAttentionTransformer(
+        omic_sizes=trainer.omic_sizes, model_size="small", fusion="concat"
+    )
+    pt_path = str(tmp_path / "ref.pt")
+    torch.save(
+        {
+            "epoch": 4,
+            "model_state_dict": tmod.state_dict(),
+            "optimizer_state_dict": {},
+            "loss": 0.5,
+        },
+        pt_path,
+    )
+    rc = cli.main(
+        ["convert-checkpoint", "--config", config_path, "--torch-checkpoint", pt_path]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Converted checkpoint written to" in out

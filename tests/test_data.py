@@ -217,3 +217,20 @@ def test_decider_filter(cohort):
     cfg["dataset"]["decider_only"] = True
     ds = MultimodalDataset(csv, cfg, use_signatures=True)
     assert 0 < len(ds) < 20
+
+
+def test_from_dataframe_api_shim(dataset):
+    """Reference-style from_dataframe classmethod (dataset.py:187-243) with
+    row-aligned signatures."""
+    df = dataset.table.df.iloc[[3, 7, 1]]
+    sub = type(dataset).from_dataframe(df, dataset)
+    assert len(sub) == 3
+    assert list(sub.table.slide_ids) == list(df["slide_id"])
+    # signature rows aligned with the selected slides
+    for j, slide in enumerate(sub.table.slide_ids):
+        orig = int(np.where(dataset.table.slide_ids == slide)[0][0])
+        for name in dataset.table.signature_names:
+            np.testing.assert_array_equal(
+                sub.table.signature_data[name][j],
+                dataset.table.signature_data[name][orig],
+            )
