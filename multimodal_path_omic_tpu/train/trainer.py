@@ -342,24 +342,30 @@ class Trainer:
         return out
 
     def validate(self, epoch) -> Dict[str, float]:
-        risks, censorships, months = [], [], []
-        total_loss, n_steps = 0.0, 0
+        risks, censorships, months, reals, losses = [], [], [], [], []
+        n_steps = 0
         for batch in self.val_batcher.batches():
             real = int(batch["weight"].sum())
             dev = self._device_batch(batch)
             res = self.eval_step(self.state.params, dev)
-            total_loss += float(res["loss"])
+            losses.append(res["loss"])  # device scalar; pulled after the loop
             n_steps += 1
             if not self.ge_mode:
-                risks.append(np.asarray(res["risk"])[:real])
+                risks.append(res["risk"])
+                reals.append(real)
                 censorships.append(batch["censorship"][:real])
                 months.append(batch["survival_months"][:real])
+        total_loss = float(np.sum([float(l) for l in losses])) if losses else 0.0
         out = {"val_loss": total_loss / max(n_steps, 1)}
         label = epoch if isinstance(epoch, str) else epoch + 1
         if self.ge_mode:
             msg = f"Epoch: {label}, val_loss: {out['val_loss']:.4f}"
         else:
-            risks_all = np.concatenate(risks) if risks else np.zeros(0)
+            risks_all = (
+                np.concatenate([np.asarray(r)[:n] for r, n in zip(risks, reals)])
+                if risks
+                else np.zeros(0)
+            )
             cens_all = np.concatenate(censorships) if censorships else np.zeros(0)
             months_all = np.concatenate(months) if months else np.zeros(0)
             try:

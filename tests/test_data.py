@@ -234,3 +234,21 @@ def test_from_dataframe_api_shim(dataset):
                 sub.table.signature_data[name][j],
                 dataset.table.signature_data[name][orig],
             )
+
+
+def test_multi_slide_patients_split_together(tmp_path):
+    """Patient-level splits keep all of a patient's slides on one side."""
+    csv, sig, patches = make_synthetic_cohort(
+        str(tmp_path), n_patients=10, slides_per_patient=3, seed=9
+    )
+    cfg = synthetic_config_dict(csv, sig, patches)
+    ds = MultimodalDataset(csv, cfg, use_signatures=True)
+    assert len(ds) == 30
+    tr, va, _ = ds.split(0.7, seed=1)
+    assert set(tr.table.patients).isdisjoint(set(va.table.patients))
+    # every kept patient keeps all 3 slides
+    import collections
+
+    for side in (tr, va):
+        counts = collections.Counter(side.table.patients)
+        assert all(v == 3 for v in counts.values())
