@@ -68,12 +68,15 @@ def main():
     )
     step = make_train_step(model, "ces", optimizer)
 
-    # warmup / compile
+    # warmup / compile. NOTE: sync via float() (device_get) — on remote/
+    # tunneled backends block_until_ready can return before execution
+    # completes, which would time dispatch instead of compute. The steps chain
+    # through `state`, so fetching the last loss forces the whole window.
     state, metrics = step(state, batch)
-    metrics.loss.block_until_ready()
+    float(metrics.loss)
     for _ in range(3):
         state, metrics = step(state, batch)
-    metrics.loss.block_until_ready()
+    float(metrics.loss)
 
     # timed: best of several windows (the device may be time-shared; the best
     # window reflects the hardware, the others reflect contention)
@@ -83,7 +86,7 @@ def main():
         t0 = time.perf_counter()
         for _ in range(n_steps):
             state, metrics = step(state, batch)
-        metrics.loss.block_until_ready()
+        float(metrics.loss)  # hard sync on the chained final step
         dt = time.perf_counter() - t0
         best = max(best, n_steps * BATCH / dt)
     bags_per_sec = best

@@ -53,13 +53,13 @@ def main():
             times = {}
             for name, f in (("pallas", f_ker), ("xla", f_xla)):
                 r = f(q, k, v)
-                jax.block_until_ready(r)
+                float(r[0][0, 0, 0])  # hard sync (block_until_ready can lie remotely)
                 best = 1e9
                 for _ in range(3):
                     t0 = time.perf_counter()
                     for _ in range(10):
                         r = f(q, k, v)
-                    jax.block_until_ready(r)
+                    float(r[0][0, 0, 0])
                     best = min(best, (time.perf_counter() - t0) / 10)
                 times[name] = best * 1000
             print(

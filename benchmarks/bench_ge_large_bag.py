@@ -51,21 +51,23 @@ def main():
             )
             step = make_train_step(model, "ce", opt, ge_mode=True, patch_budget=65536)
 
+        # sync via device_get (float/np.asarray): block_until_ready can
+        # return early on remote backends and would time dispatch only
         fwd = jax.jit(lambda p, w, msk: model.apply({"params": p}, w, msk)[0])
         y = fwd(params, wsi, mask)
-        y.block_until_ready()
+        float(y[0, 0])
         t0 = time.perf_counter()
         for _ in range(5):
             y = fwd(params, wsi, mask)
-        y.block_until_ready()
+            float(y[0, 0])
         fwd_ms = (time.perf_counter() - t0) / 5 / b * 1000
 
         state2, metrics = step(state, batch)
-        metrics.loss.block_until_ready()
+        float(metrics.loss)
         t0 = time.perf_counter()
         for _ in range(5):
             state2, metrics = step(state2, batch)
-        metrics.loss.block_until_ready()
+        float(metrics.loss)
         step_ms = (time.perf_counter() - t0) / 5 * 1000
 
         print(

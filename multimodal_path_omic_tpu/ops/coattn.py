@@ -381,7 +381,9 @@ def fused_attention(
     m_len = k.shape[2]
 
     # Few-query path: the custom co-attention kernel (handles pre_gate).
-    if n <= 256 and m_len >= 512 and m_len % 256 == 0 and d % 128 == 0:
+    # Threshold: below ~4k keys XLA's fused einsums win (measured with hard
+    # host syncs; the kernel's fixed overhead dominates at small M).
+    if n <= 256 and m_len >= 4096 and m_len % 256 == 0 and d % 128 == 0:
         qf = q.reshape(b * h, n, d)
         kf = k.reshape(b * h, m_len, d)
         vf = v.reshape(b * h, m_len, d)
