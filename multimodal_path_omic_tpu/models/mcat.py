@@ -29,6 +29,21 @@ from multimodal_path_omic_tpu.ops.fusion import make_fusion
 from multimodal_path_omic_tpu.ops.layers import TorchLinear
 from multimodal_path_omic_tpu.ops.transformer import TransformerEncoder
 
+def _branch_pair(module_cls, name, **kwargs):
+    """Two independent branches (path/omic) executed as ONE vmapped module
+    over stacked params — halves the token-side small-op count vs running
+    the branches sequentially (they are tiny [B, 6, D] tensors)."""
+    from flax import linen as nn
+
+    return nn.vmap(
+        module_cls,
+        in_axes=(0, None, None),
+        out_axes=0,
+        variable_axes={"params": 0},
+        split_rngs={"params": True, "dropout": True},
+        methods=["__call__"],
+    )(name=name, **kwargs)
+
 
 class MCAT(nn.Module):
     n_signatures: int
@@ -83,22 +98,28 @@ class MCAT(nn.Module):
         )
 
         # Set-based MIL transformers (mcat.py:51-53, 60-62, 101-102)
-        path_trans = TransformerEncoder(
-            d_model=d2, num_layers=2, dropout_rate=self.dropout_rate, dtype=self.dtype,
-            name="path_transformer",
-        )(h_coattn, deterministic=deterministic)
-        omic_trans = TransformerEncoder(
-            d_model=d2, num_layers=2, dropout_rate=self.dropout_rate, dtype=self.dtype,
-            name="omic_transformer",
-        )(g_bag, deterministic=deterministic)
+        branch_tr = _branch_pair(
+            TransformerEncoder,
+            "branch_transformer",
+            d_model=d2,
+            num_layers=2,
+            dropout_rate=self.dropout_rate,
+            dtype=self.dtype,
+        )
+        trans = branch_tr(jnp.stack([h_coattn, g_bag]), None, deterministic)
+        path_trans, omic_trans = trans[0], trans[1]
 
         # Global attention pooling (mcat.py:105-115)
-        h_path, a_path = GatedMILPool(
-            dim=d2, dropout_rate=self.dropout_rate, dtype=self.dtype, name="path_pool"
-        )(path_trans, deterministic=deterministic)
-        h_omic, a_omic = GatedMILPool(
-            dim=d2, dropout_rate=self.dropout_rate, dtype=self.dtype, name="omic_pool"
-        )(omic_trans, deterministic=deterministic)
+        branch_pool = _branch_pair(
+            GatedMILPool,
+            "branch_pool",
+            dim=d2,
+            dropout_rate=self.dropout_rate,
+            dtype=self.dtype,
+        )
+        pooled, scores = branch_pool(trans, None, deterministic)
+        h_path, a_path = pooled[0], scores[0]
+        h_omic, a_omic = pooled[1], scores[1]
 
         # Fusion (mcat.py:69-79, 119)
         h = make_fusion(self.fusion, hidden=d2, output=d2, dtype=self.dtype, name="fusion_layer")(h_path, h_omic)

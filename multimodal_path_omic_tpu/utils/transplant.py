@@ -147,10 +147,17 @@ def transplant_rules(model: str, n_signatures: int = 6, fusion: str = "concat",
         else:
             rules += _mha("co_attention", ("co_attention", "mha"))
             rules += _cag("co_attention.CAG", ("co_attention", "cag"))
-        rules += _transformer("path_transformer", ("path_transformer",))
-        rules += _transformer("omic_transformer", ("omic_transformer",))
-        rules += _mil_pool("path_attention_head", "path_rho", "path_pool")
-        rules += _mil_pool("omic_attention_head", "omic_rho", "omic_pool")
+        # path/omic branches live as ONE vmapped module with a leading branch
+        # axis (models/mcat.py _branch_pair): slot 0 = path, slot 1 = omic
+        for slot, prefix in ((0, "path_transformer"), (1, "omic_transformer")):
+            for tk, path, tr in _transformer(prefix, ("branch_transformer",)):
+                rules.append((tk, path, tr, slot))
+        for slot, (head, rho) in (
+            (0, ("path_attention_head", "path_rho")),
+            (1, ("omic_attention_head", "omic_rho")),
+        ):
+            for tk, path, tr in _mil_pool(head, rho, "branch_pool"):
+                rules.append((tk, path, tr, slot))
         rules += _fusion(fusion)
     elif model in ("ge_nacagat", "genacagat"):
         rules += _mha("self_attention", ("self_attention",))

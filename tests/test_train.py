@@ -52,12 +52,13 @@ def _make_cfg(tmp, *, model="MCAT", loss="ces", epochs=2, seed=0, **kw):
 
 
 def test_mcat_end_to_end(tmp_path):
-    cfg = _make_cfg(tmp_path, epochs=3)
+    cfg = _make_cfg(tmp_path, epochs=6)
     trainer = Trainer(cfg, verbose=False)
     out = trainer.fit()
     assert np.isfinite(out["train_loss"])
     assert np.isfinite(out["val_loss"])
-    # planted signal: c-index must beat chance on train
+    # planted signal: c-index must beat chance on train (24-patient cohort,
+    # so a loose bar; the strict bar lives in test_mcat_learns_planted_signal_well)
     assert out["train_c_index"] > 0.55, out
 
 
