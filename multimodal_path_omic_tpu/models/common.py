@@ -38,7 +38,8 @@ def survival_head(logits: jnp.ndarray) -> SurvivalOutput:
 
 def build_model(name: str, *, omic_sizes: Sequence[int] = (), model_size: str = "medium",
                 fusion: str = "concat", n_classes: Optional[int] = None,
-                dropout: float = 0.25, dtype=None, use_pallas: bool = False) -> Any:
+                dropout: float = 0.25, dtype=None, use_pallas: bool = False,
+                ring_mesh: Any = None) -> Any:
     """Model factory keyed by the reference's config ``model.name`` values."""
     from multimodal_path_omic_tpu.models.ge_nacagat import GENaCAGaT
     from multimodal_path_omic_tpu.models.mcat import MCAT
@@ -60,6 +61,6 @@ def build_model(name: str, *, omic_sizes: Sequence[int] = (), model_size: str = 
     if key in ("ge_nacagat", "genacagat", "geneexpr_nacagat", "geneexprnacagat"):
         return GENaCAGaT(
             model_size=model_size, n_classes=n_classes or 3, dropout_rate=dropout,
-            dtype=dtype, use_pallas=use_pallas,
+            dtype=dtype, use_pallas=use_pallas, ring_mesh=ring_mesh,
         )
     raise ValueError(f"Unknown model name: {name}")

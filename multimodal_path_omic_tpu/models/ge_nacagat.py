@@ -15,7 +15,7 @@ never materialized (flash kernel); the full map is only emitted when
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Any, Optional
 
 from flax import linen as nn
 import jax
@@ -34,6 +34,10 @@ class GENaCAGaT(nn.Module):
     dropout_rate: float = 0.25
     dtype: Optional[jnp.dtype] = None
     use_pallas: bool = False
+    # Mesh with a 'seq' axis > 1: self-attention and the path transformer run
+    # ring attention over the sharded patch axis (parallel/ring.py) — for
+    # bags that exceed one chip.
+    ring_mesh: Any = None
 
     @nn.compact
     def __call__(
@@ -57,6 +61,7 @@ class GENaCAGaT(nn.Module):
             dropout_rate=0.0,
             dtype=self.dtype,
             use_pallas=self.use_pallas,
+            ring_mesh=self.ring_mesh,
             name="self_attention",
         )(
             h_bag,
@@ -73,6 +78,7 @@ class GENaCAGaT(nn.Module):
             dropout_rate=self.dropout_rate,
             dtype=self.dtype,
             use_pallas=self.use_pallas,
+            ring_mesh=self.ring_mesh,
             name="path_transformer",
         )(h_attn, mask, deterministic=deterministic)
 

@@ -24,7 +24,7 @@ computed by a fused Pallas kernel (ops/coattn.py) instead of XLA einsums.
 from __future__ import annotations
 
 import math
-from typing import Optional, Tuple
+from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -106,6 +106,10 @@ class MultiheadAttention(nn.Module):
     # Route the score/softmax/PV chain through the fused Pallas kernel when
     # weights are not requested (ops/coattn.py). Falls back to XLA otherwise.
     use_pallas: bool = False
+    # Sequence-parallel ring attention: when a Mesh with a 'seq' axis > 1 is
+    # supplied, self-attention K/V blocks rotate around the ring
+    # (parallel/ring.py) — for bags whose patch axis is sharded across chips.
+    ring_mesh: Any = None
 
     @nn.compact
     def __call__(
@@ -144,7 +148,19 @@ class MultiheadAttention(nn.Module):
         # in the layer remain). The reference cannot train at these lengths at
         # all (O(M^2) HBM), so there is no behavior to diverge from.
         huge = key.shape[1] >= 4096 and query.shape[1] == key.shape[1]
-        if self.use_pallas and not need_weights and (not dropout_active or huge):
+        ring_eligible = (
+            self.ring_mesh is not None
+            and dict(self.ring_mesh.shape).get("seq", 1) > 1
+            and not need_weights
+            and query.shape[1] == key.shape[1]
+            and (not dropout_active or huge)
+        )
+        if ring_eligible:
+            from multimodal_path_omic_tpu.parallel.ring import ring_self_attention
+
+            out_h = ring_self_attention(qh, kh, vh, key_mask, self.ring_mesh)
+            weights = None
+        elif self.use_pallas and not need_weights and (not dropout_active or huge):
             from multimodal_path_omic_tpu.ops.coattn import fused_attention
 
             out_h = fused_attention(qh, kh, vh, key_mask, pre_gate=self.pre_gate)

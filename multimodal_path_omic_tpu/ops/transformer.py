@@ -13,7 +13,7 @@ reference never masks because it feeds unpadded batch-of-1 bags).
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
@@ -30,6 +30,7 @@ class TransformerEncoderLayer(nn.Module):
     dropout_rate: float = 0.25
     dtype: Optional[jnp.dtype] = None
     use_pallas: bool = False
+    ring_mesh: Any = None
 
     @nn.compact
     def __call__(
@@ -44,6 +45,7 @@ class TransformerEncoderLayer(nn.Module):
             dropout_rate=self.dropout_rate,
             dtype=self.dtype,
             use_pallas=self.use_pallas,
+            ring_mesh=self.ring_mesh,
             name="self_attn",
         )(x, x, x, mask, need_weights=False, deterministic=deterministic)
         attn_out = nn.Dropout(self.dropout_rate)(attn_out, deterministic=deterministic)
@@ -67,6 +69,7 @@ class TransformerEncoder(nn.Module):
     dropout_rate: float = 0.25
     dtype: Optional[jnp.dtype] = None
     use_pallas: bool = False
+    ring_mesh: Any = None
 
     @nn.compact
     def __call__(
@@ -83,6 +86,7 @@ class TransformerEncoder(nn.Module):
                 dropout_rate=self.dropout_rate,
                 dtype=self.dtype,
                 use_pallas=self.use_pallas,
+                ring_mesh=self.ring_mesh,
                 name=f"layer_{i}",
             )(x, mask, deterministic=deterministic)
         return x

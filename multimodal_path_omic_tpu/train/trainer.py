@@ -104,8 +104,25 @@ class Trainer:
             self.val_ds, self.extras_fn, self.batch_size, buckets, shuffle=False
         )
 
+        # ----- mesh scale-out (parallel/mesh.py) ----------------------------
+        self.mesh = None
+        if c.tpu.data_axis > 1 or c.tpu.seq_axis > 1:
+            from multimodal_path_omic_tpu.parallel.mesh import make_mesh
+
+            self.mesh = make_mesh(data=c.tpu.data_axis, seq=c.tpu.seq_axis)
+            if verbose:
+                print(
+                    f"Mesh: data={c.tpu.data_axis} x seq={c.tpu.seq_axis} "
+                    f"over {c.tpu.data_axis * c.tpu.seq_axis} devices"
+                )
+
         # ----- model (mcat/main.py:254-259) --------------------------------
         dtype = jnp.bfloat16 if c.tpu.compute_dtype == "bfloat16" else None
+        # GE bags sharded over a seq axis use ring attention inside the model
+        ring_mesh = (
+            self.mesh if (self.ge_mode and self.mesh is not None and c.tpu.seq_axis > 1)
+            else None
+        )
         self.model = build_model(
             c.model.name,
             omic_sizes=self.omic_sizes,
@@ -115,6 +132,7 @@ class Trainer:
             dropout=c.model.dropout,
             dtype=dtype,
             use_pallas=c.tpu.use_pallas,
+            ring_mesh=ring_mesh,
         )
         rng = jax.random.key(c.training.seed)
         rng, init_rng = jax.random.split(rng)
@@ -144,6 +162,10 @@ class Trainer:
             step=jnp.zeros((), jnp.int32),
         )
         self.starting_epoch = 0
+        if self.mesh is not None:
+            from multimodal_path_omic_tpu.parallel.mesh import replicate
+
+            self.state = replicate(self.state, self.mesh)
 
         # checkpoint restore (mcat/main.py:261-266, 309-312)
         if c.model.load_from_checkpoint:
@@ -162,19 +184,6 @@ class Trainer:
             self.model, c.training.loss, alpha=c.training.alpha,
             ge_mode=self.ge_mode, omic_sizes=tuple(self.omic_sizes),
         )
-
-        # ----- mesh scale-out (parallel/mesh.py) ---------------------------
-        self.mesh = None
-        if c.tpu.data_axis > 1 or c.tpu.seq_axis > 1:
-            from multimodal_path_omic_tpu.parallel.mesh import make_mesh, replicate
-
-            self.mesh = make_mesh(data=c.tpu.data_axis, seq=c.tpu.seq_axis)
-            self.state = replicate(self.state, self.mesh)
-            if verbose:
-                print(
-                    f"Mesh: data={c.tpu.data_axis} x seq={c.tpu.seq_axis} "
-                    f"over {c.tpu.data_axis * c.tpu.seq_axis} devices"
-                )
 
         self.logger = MetricLogger(
             wandb_enabled=c.wandb.enabled,

@@ -176,3 +176,82 @@ def test_trainer_data_parallel_e2e(tmp_path):
     assert trainer.mesh is not None
     out = trainer.fit()
     assert np.isfinite(out["train_loss"]) and np.isfinite(out["val_loss"])
+
+
+def test_ge_model_with_ring_mesh_matches_plain():
+    """GE-NaCAGaT with ring_mesh (seq=8) equals the plain model in eval."""
+    from multimodal_path_omic_tpu.models import GENaCAGaT
+
+    rng = np.random.default_rng(21)
+    b, m = 1, 256
+    wsi = jnp.array(rng.normal(size=(b, m, 1024)), jnp.float32)
+    mask = jnp.array(np.arange(m)[None, :] < 200, bool)
+
+    plain = GENaCAGaT(model_size="small", use_pallas=False)
+    params = plain.init(jax.random.key(0), wsi, mask)
+    y_ref, _ = plain.apply(params, wsi, mask)
+
+    mesh = make_mesh(data=1, seq=8)
+    ring = GENaCAGaT(model_size="small", use_pallas=False, ring_mesh=mesh)
+    y_ring, _ = jax.jit(lambda w, msk: ring.apply(params, w, msk))(wsi, mask)
+    np.testing.assert_allclose(np.asarray(y_ring), np.asarray(y_ref), atol=5e-5)
+
+
+def test_ge_ring_mesh_training_step():
+    """Full GE train step with ring attention over the seq axis."""
+    from multimodal_path_omic_tpu.models import GENaCAGaT
+    from multimodal_path_omic_tpu.train.loop import TrainState, make_train_step
+    from multimodal_path_omic_tpu.train.optim import make_optimizer
+
+    rng = np.random.default_rng(22)
+    b, m = 2, 256
+    mesh = make_mesh(data=1, seq=8)
+    model = GENaCAGaT(model_size="small", use_pallas=False, ring_mesh=mesh)
+    wsi = jnp.array(rng.normal(size=(b, m, 1024)), jnp.float32)
+    mask = jnp.ones((b, m), bool)
+    batch = {
+        "wsi": wsi,
+        "mask": mask,
+        "label": jnp.array(rng.integers(0, 3, b), jnp.int32),
+        "weight": jnp.ones((b,), jnp.float32),
+    }
+    params = model.init(jax.random.key(0), wsi, mask)["params"]
+    opt = make_optimizer("adam", 1e-3)
+    state = TrainState(params, opt.init(params), jax.random.key(1), jnp.zeros((), jnp.int32))
+    step = make_train_step(model, "ce", opt, ge_mode=True)
+    state2, metrics = step(state, batch)
+    assert np.isfinite(float(metrics.loss))
+
+
+def test_trainer_ge_sequence_parallel_e2e(tmp_path):
+    """Full GE Trainer with tpu.seq_axis=4 (ring attention) on the CPU mesh."""
+    import os
+
+    from multimodal_path_omic_tpu.config import config_from_dict
+    from multimodal_path_omic_tpu.data.synthetic import (
+        make_synthetic_cohort,
+        synthetic_config_dict,
+    )
+    from multimodal_path_omic_tpu.train.trainer import Trainer
+
+    csv, sig, patches = make_synthetic_cohort(
+        str(tmp_path), n_patients=12, bag_lengths=(48, 96), n_genes=24,
+        n_signatures=3, seed=6,
+    )
+    raw = synthetic_config_dict(csv, sig, patches)
+    raw["model"]["name"] = "GeneExpr-NaCAGaT"
+    raw["model"]["model_size"] = "small"
+    raw["model"]["gene"] = "G000"
+    raw["training"]["loss"] = "ce"
+    raw["training"]["epochs"] = 1
+    raw["tpu"] = {
+        "bag_buckets": [128], "batch_size": 4, "use_pallas": False,
+        "data_axis": 2, "seq_axis": 4,
+    }
+    cfg = config_from_dict(raw)
+    cfg.model.checkpoint_dir = os.path.join(str(tmp_path), "ck")
+    cfg.training.test_output_dir = os.path.join(str(tmp_path), "out")
+    trainer = Trainer(cfg, verbose=False)
+    assert trainer.model.ring_mesh is not None
+    out = trainer.fit()
+    assert np.isfinite(out["train_loss"]) and np.isfinite(out["val_loss"])
