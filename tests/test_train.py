@@ -292,3 +292,22 @@ def test_mcat_end_to_end_h5_backend(tmp_path):
     trainer = Trainer(cfg, verbose=False)
     out = trainer.fit()
     assert np.isfinite(out["train_loss"])
+
+
+def test_bag_beyond_largest_bucket_trains(tmp_path):
+    """Bags exceeding the largest configured bucket round up to a multiple of
+    it (data/bags.py bucket_for) and still train."""
+    csv, sig, patches = make_synthetic_cohort(
+        str(tmp_path), n_patients=8, bag_lengths=(40, 100), n_genes=24,
+        n_signatures=3, seed=17,
+    )
+    raw = synthetic_config_dict(csv, sig, patches)
+    raw["model"]["model_size"] = "small"
+    raw["training"]["epochs"] = 1
+    raw["tpu"] = {"bag_buckets": [64], "batch_size": 4, "use_pallas": False}
+    cfg = config_from_dict(raw)
+    cfg.model.checkpoint_dir = os.path.join(str(tmp_path), "ck")
+    cfg.training.test_output_dir = os.path.join(str(tmp_path), "out")
+    trainer = Trainer(cfg, verbose=False)
+    out = trainer.fit()
+    assert np.isfinite(out["train_loss"])
