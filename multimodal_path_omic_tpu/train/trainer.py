@@ -59,6 +59,9 @@ class Trainer:
         c = config
 
         self.ge_mode = _is_ge(c.model.name)
+        if self.ge_mode and c.training.loss != "ce":
+            # faithful to the GE driver's restriction (ge_nacagat/main.py:32-35)
+            raise RuntimeError(f'Loss "{c.training.loss}" not implemented')
         self.leave_one_out = c.training.leave_one_out is not None
 
         if c.tpu.matmul_precision and c.tpu.matmul_precision != "default":

@@ -311,3 +311,37 @@ def test_bag_beyond_largest_bucket_trains(tmp_path):
     trainer = Trainer(cfg, verbose=False)
     out = trainer.fit()
     assert np.isfinite(out["train_loss"])
+
+
+def test_ge_rejects_non_ce_loss(tmp_path):
+    # faithful to the GE driver's loss restriction (ge_nacagat/main.py:32-35)
+    cfg = _make_cfg(
+        tmp_path, model="GeneExpr-NaCAGaT", loss="ces", epochs=1,
+        model_kw={"gene": "G000"},
+    )
+    with pytest.raises(RuntimeError, match="not implemented"):
+        Trainer(cfg, verbose=False)
+
+
+def test_profile_trace_writes_files(tmp_path):
+    import os
+
+    import jax.numpy as jnp
+
+    from multimodal_path_omic_tpu.train.logging import profile_trace
+
+    with profile_trace(str(tmp_path / "trace")):
+        (jnp.ones((8, 8)) @ jnp.ones((8, 8))).block_until_ready()
+    files = []
+    for root, _, names in os.walk(tmp_path / "trace"):
+        files += names
+    assert files, "no profiler artifacts written"
+
+
+def test_long_soak_training_stays_finite(tmp_path):
+    """30 epochs: no divergence, no NaN, c-index stays sane."""
+    cfg = _make_cfg(tmp_path, epochs=30)
+    trainer = Trainer(cfg, verbose=False)
+    out = trainer.fit()
+    assert np.isfinite(out["train_loss"]) and np.isfinite(out["val_loss"])
+    assert 0.0 <= out["train_c_index"] <= 1.0
