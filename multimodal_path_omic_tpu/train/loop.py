@@ -139,9 +139,6 @@ def make_train_step(
 
     grad_fn = jax.value_and_grad(forward_loss, has_aux=True)
 
-    def _chunk(tree, i):
-        return jax.tree_util.tree_map(lambda x: x[i] if x is not None else None, tree)
-
     @jax.jit
     def train_step(state: TrainState, batch: Dict[str, Any]) -> Tuple[TrainState, StepMetrics]:
         b, m = batch["wsi"].shape[0], batch["wsi"].shape[1]
