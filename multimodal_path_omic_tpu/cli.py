@@ -84,6 +84,19 @@ def cmd_export_attn(args) -> int:
     return 0
 
 
+def cmd_predict(args) -> int:
+    from multimodal_path_omic_tpu.config import load_config
+    from multimodal_path_omic_tpu.serve import Predictor
+
+    cfg = load_config(args.config, _parse_overrides(args.set))
+    predictor = Predictor.from_config(
+        cfg, checkpoint=args.checkpoint, torch_checkpoint=args.torch_checkpoint
+    )
+    path = predictor.predict_to_csv(args.out)
+    print(f"Predictions written to {path}")
+    return 0
+
+
 def cmd_convert_checkpoint(args) -> int:
     """Convert a reference PyTorch checkpoint to this framework's format."""
     from multimodal_path_omic_tpu.config import load_config
@@ -124,6 +137,12 @@ def main(argv: Optional[List[str]] = None) -> int:
     p_attn.add_argument("--patient", required=True)
     p_attn.add_argument("--epoch", type=int, default=0)
     p_attn.set_defaults(fn=cmd_export_attn)
+
+    p_pred = sub.add_parser("predict", help="batch inference -> CSV")
+    common(p_pred)
+    p_pred.add_argument("--checkpoint")
+    p_pred.add_argument("--out", required=True, help="output CSV path")
+    p_pred.set_defaults(fn=cmd_predict)
 
     p_conv = sub.add_parser(
         "convert-checkpoint", help="reference .pt -> framework checkpoint"

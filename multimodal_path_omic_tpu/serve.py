@@ -1,0 +1,130 @@
+"""Batch inference / serving API.
+
+The reference's only inference surface is the leave-one-out ``test()`` loop
+(reference: mcat/main.py:158-183). For production use this module provides a
+``Predictor``: load a checkpoint (framework or reference ``.pt``), then score
+whole datasets (bucketed, batched, jitted per bucket) or single bags.
+
+CLI: ``python -m multimodal_path_omic_tpu.cli predict --config cfg.yaml
+--checkpoint ck --out predictions.csv`` writes one row per slide with
+hazards/survs/risk (survival models) or class probabilities (GE).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+from multimodal_path_omic_tpu.config import Config
+from multimodal_path_omic_tpu.data.bags import bucket_for, pad_bag
+from multimodal_path_omic_tpu.data.pipeline import BucketBatcher, prefetch
+from multimodal_path_omic_tpu.train.loop import make_eval_step
+from multimodal_path_omic_tpu.train.trainer import Trainer
+
+
+class Predictor:
+    """Inference-only wrapper around a trained model.
+
+    Built from a Trainer (shares model/params/buckets); use
+    ``Predictor.from_config`` for the common path.
+    """
+
+    def __init__(self, trainer: Trainer):
+        self._t = trainer
+        self.eval_step = make_eval_step(
+            trainer.model,
+            trainer.config.training.loss,
+            alpha=trainer.config.training.alpha,
+            ge_mode=trainer.ge_mode,
+            omic_sizes=tuple(trainer.omic_sizes),
+        )
+
+    @classmethod
+    def from_config(
+        cls,
+        config: Config,
+        checkpoint: Optional[str] = None,
+        torch_checkpoint: Optional[str] = None,
+        verbose: bool = False,
+    ) -> "Predictor":
+        trainer = Trainer(config, verbose=verbose)
+        if checkpoint:
+            trainer.restore(checkpoint)
+        elif torch_checkpoint:
+            trainer.load_torch_checkpoint(torch_checkpoint)
+        return cls(trainer)
+
+    # ------------------------------------------------------------------ single
+    def predict_bag(self, bag: np.ndarray, omics=None) -> Dict[str, np.ndarray]:
+        """Score one bag [M, 1024] (+ omics signature list for survival models).
+
+        The bag is padded to its bucket; outputs are de-batched.
+        """
+        t = self._t
+        bucket = bucket_for(bag.shape[0], tuple(t.config.tpu.bag_buckets))
+        padded, mask = pad_bag(np.asarray(bag, np.float32), bucket)
+        batch: Dict[str, Any] = {
+            "wsi": padded[None],
+            "mask": mask[None],
+            "label": np.zeros((1,), np.int32),
+            "weight": np.ones((1,), np.float32),
+        }
+        if not t.ge_mode:
+            if omics is None:
+                raise ValueError("survival models need the omics signature list")
+            batch["omics"] = [np.asarray(o, np.float32)[None] for o in omics]
+            batch["censorship"] = np.zeros((1,), np.float32)
+            batch["survival_months"] = np.zeros((1,), np.float32)
+        res = self.eval_step(t.state.params, t._device_batch(batch))
+        return self._debatch(res, 1)
+
+    # ----------------------------------------------------------------- dataset
+    def predict_dataset(self, dataset=None) -> Dict[str, np.ndarray]:
+        """Score every sample of a dataset (defaults to the full config
+        dataset); returns column arrays aligned with ``slide_id``."""
+        t = self._t
+        if dataset is None:
+            dataset = t.dataset
+        batcher = BucketBatcher(
+            dataset,
+            t.extras_fn,
+            t.batch_size,
+            tuple(t.config.tpu.bag_buckets),
+            shuffle=False,
+        )
+        rows: Dict[str, list] = {}
+        for batch in prefetch(batcher.batches(), depth=t.config.tpu.prefetch):
+            real = int(batch["weight"].sum())
+            res = self.eval_step(t.state.params, t._device_batch(batch))
+            out = self._debatch(res, real)
+            out["slide_id"] = np.array(
+                [dataset.slide_id(int(i)) for i in batch["index"][:real]]
+            )
+            for k, v in out.items():
+                rows.setdefault(k, []).append(v)
+        return {k: np.concatenate(v) for k, v in rows.items()}
+
+    def predict_to_csv(self, path: str, dataset=None) -> str:
+        import pandas as pd
+
+        cols = self.predict_dataset(dataset)
+        flat: Dict[str, Any] = {"slide_id": cols["slide_id"]}
+        if "risk" in cols:
+            flat["risk"] = cols["risk"]
+            for j in range(cols["hazards"].shape[1]):
+                flat[f"hazard_{j}"] = cols["hazards"][:, j]
+                flat[f"surv_{j}"] = cols["survs"][:, j]
+        for j in range(cols["y"].shape[1]):
+            flat[f"y_{j}"] = cols["y"][:, j]
+        pd.DataFrame(flat).to_csv(path, index=False)
+        return path
+
+    # ------------------------------------------------------------------- util
+    def _debatch(self, res, real: int) -> Dict[str, np.ndarray]:
+        out: Dict[str, np.ndarray] = {"y": np.asarray(res["y"])[:real]}
+        if not self._t.ge_mode:
+            out["risk"] = np.asarray(res["risk"])[:real]
+            out["hazards"] = np.asarray(res["hazards"])[:real]
+            out["survs"] = np.asarray(res["survs"])[:real]
+        return out

@@ -108,3 +108,30 @@ def test_cli_convert_checkpoint_roundtrip(config_path, tmp_path, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "Converted checkpoint written to" in out
+
+
+def test_cli_predict_writes_csv(config_path, tmp_path):
+    out_csv = str(tmp_path / "preds.csv")
+    rc = cli.main(["predict", "--config", config_path, "--out", out_csv])
+    assert rc == 0
+    import pandas as pd
+
+    df = pd.read_csv(out_csv)
+    assert "slide_id" in df.columns and "risk" in df.columns
+    assert len(df) == 16  # every slide in the synthetic cohort
+    assert set(f"hazard_{j}" for j in range(4)) <= set(df.columns)
+
+
+def test_predictor_single_bag(config_path):
+    import yaml as _yaml
+
+    from multimodal_path_omic_tpu.config import config_from_dict
+    from multimodal_path_omic_tpu.serve import Predictor
+
+    cfg = config_from_dict(_yaml.safe_load(open(config_path)))
+    pred = Predictor.from_config(cfg)
+    ds = pred._t.dataset
+    _, _, _, omics, bag = ds[0]
+    out = pred.predict_bag(bag, omics)
+    assert out["hazards"].shape == (1, 4)
+    np.testing.assert_allclose(out["y"].sum(), 1.0, rtol=1e-5)
