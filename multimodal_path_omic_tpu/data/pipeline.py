@@ -93,13 +93,18 @@ class BucketBatcher:
         return self._lengths
 
     def __len__(self) -> int:
+        """Exact number of batches an epoch yields (bucket histogram based)."""
         n = len(self.dataset)
         if n == 0:
             return 0
+        lengths = self._bag_lengths()
+        counts: Dict[int, int] = {}
+        for length in lengths:
+            b = bucket_for(int(length), self.buckets)
+            counts[b] = counts.get(b, 0) + 1
         if self.drop_remainder:
-            return n // self.batch_size
-        # upper bound (per-bucket remainders); exact count depends on bucketing
-        return int(np.ceil(n / self.batch_size)) + len(self.buckets)
+            return sum(c // self.batch_size for c in counts.values())
+        return sum(-(-c // self.batch_size) for c in counts.values())
 
     def batches(self) -> Iterator[Batch]:
         n = len(self.dataset)

@@ -252,3 +252,10 @@ def test_multi_slide_patients_split_together(tmp_path):
     for side in (tr, va):
         counts = collections.Counter(side.table.patients)
         assert all(v == 3 for v in counts.values())
+
+
+def test_batcher_len_is_exact(dataset):
+    batcher = BucketBatcher(
+        dataset, survival_extras, batch_size=8, buckets=(256, 512), shuffle=True
+    )
+    assert len(batcher) == sum(1 for _ in batcher.batches())
