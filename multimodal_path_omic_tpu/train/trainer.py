@@ -270,7 +270,7 @@ class Trainer:
         # Metric scalars stay ON DEVICE during the epoch: reading them per
         # step would block the dispatch pipeline (device idles while the host
         # formats floats). Everything is pulled once at epoch end.
-        losses, attn_losses = [], []
+        losses, attn_losses, step_reals = [], [], []
         risks, censorships, months, reals = [], [], [], []
         n_steps = 0
         self.timer.reset()
@@ -281,6 +281,7 @@ class Trainer:
             self.state, metrics = self.train_step(self.state, dev)
             losses.append(metrics.loss)
             attn_losses.append(metrics.attn_loss)
+            step_reals.append(real)
             n_steps += 1
             self.timer.tick(real)
             if not self.ge_mode:
@@ -305,8 +306,11 @@ class Trainer:
                 f"non-finite loss {loss_vals[bad]} at epoch {epoch + 1} "
                 f"step {bad + 1}"
             )
+        # per-SAMPLE mean like the reference (mcat/main.py:61, 77), exact even
+        # with weight-padded partial batches
+        w = np.array(step_reals, float) if step_reals else np.ones(1)
         out: Dict[str, float] = {
-            "train_loss": float(loss_vals.mean()),
+            "train_loss": float((loss_vals * w).sum() / max(w.sum(), 1.0)),
             "epoch_seconds": time.time() - epoch_t0,
         }
         if self.ge_mode:
@@ -326,9 +330,8 @@ class Trainer:
             except ValueError:
                 c_index = float("nan")
             out["train_c_index"] = c_index
-            out["train_attn_loss"] = float(
-                np.mean([float(a) for a in attn_losses])
-            )
+            attn_vals = np.array([float(a) for a in attn_losses]) if attn_losses else np.zeros(1)
+            out["train_attn_loss"] = float((attn_vals * w).sum() / max(w.sum(), 1.0))
             msg = (
                 f"Epoch: {epoch + 1}, train_loss: {out['train_loss']:.4f}, "
                 f"train_c_index: {c_index:.4f}"
@@ -354,21 +357,24 @@ class Trainer:
         return out
 
     def validate(self, epoch) -> Dict[str, float]:
-        risks, censorships, months, reals, losses = [], [], [], [], []
+        risks, censorships, months, reals, losses, step_reals = [], [], [], [], [], []
         n_steps = 0
         for batch in self.val_batcher.batches():
             real = int(batch["weight"].sum())
             dev = self._device_batch(batch)
             res = self.eval_step(self.state.params, dev)
             losses.append(res["loss"])  # device scalar; pulled after the loop
+            step_reals.append(real)
             n_steps += 1
             if not self.ge_mode:
                 risks.append(res["risk"])
                 reals.append(real)
                 censorships.append(batch["censorship"][:real])
                 months.append(batch["survival_months"][:real])
-        total_loss = float(np.sum([float(l) for l in losses])) if losses else 0.0
-        out = {"val_loss": total_loss / max(n_steps, 1)}
+        # per-sample mean (reference: mcat/main.py:147)
+        lv = np.array([float(l) for l in losses]) if losses else np.zeros(1)
+        wv = np.array(step_reals, float) if step_reals else np.ones(1)
+        out = {"val_loss": float((lv * wv).sum() / max(wv.sum(), 1.0))}
         label = epoch if isinstance(epoch, str) else epoch + 1
         if self.ge_mode:
             msg = f"Epoch: {label}, val_loss: {out['val_loss']:.4f}"
