@@ -87,10 +87,49 @@ class BucketBatcher:
                     ]
                 )
             else:
-                self._lengths = np.array(
-                    [self.dataset.bag(i).shape[0] for i in range(len(self.dataset))]
-                )
+                self._lengths = self._lengths_with_sidecar()
         return self._lengths
+
+    def _lengths_with_sidecar(self) -> np.ndarray:
+        """Bag lengths via a JSON sidecar cache next to the store when
+        possible. Probing a .pt store otherwise deserializes every bag just to
+        read its shape (reference-format stores can be large)."""
+        import json
+        import os
+
+        store = getattr(self.dataset, "store", None)
+        sidecar = None
+        cache = {}
+        patches_dir = getattr(store, "patches_dir", None)
+        if patches_dir and os.path.isdir(patches_dir):
+            sidecar = os.path.join(patches_dir, ".bag_lengths.json")
+            if os.path.exists(sidecar):
+                try:
+                    with open(sidecar) as f:
+                        cache = json.load(f)
+                except Exception:
+                    cache = {}
+        lengths = []
+        dirty = False
+        for i in range(len(self.dataset)):
+            key = None
+            if sidecar is not None and hasattr(self.dataset, "slide_id"):
+                key = str(self.dataset.slide_id(i))
+            if key is not None and key in cache:
+                lengths.append(int(cache[key]))
+                continue
+            m = int(self.dataset.bag(i).shape[0])
+            lengths.append(m)
+            if key is not None:
+                cache[key] = m
+                dirty = True
+        if sidecar is not None and dirty:
+            try:
+                with open(sidecar, "w") as f:
+                    json.dump(cache, f)
+            except OSError:
+                pass  # read-only store: just skip the cache
+        return np.array(lengths)
 
     def __len__(self) -> int:
         """Exact number of batches an epoch yields (bucket histogram based)."""

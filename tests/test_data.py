@@ -259,3 +259,24 @@ def test_batcher_len_is_exact(dataset):
         dataset, survival_extras, batch_size=8, buckets=(256, 512), shuffle=True
     )
     assert len(batcher) == sum(1 for _ in batcher.batches())
+
+
+def test_pt_store_length_sidecar(tmp_path):
+    pytest.importorskip("torch")
+    import json
+    import os
+
+    csv, sig, patches = make_synthetic_cohort(
+        str(tmp_path), n_patients=4, bag_format="pt", seed=5
+    )
+    cfg = synthetic_config_dict(csv, sig, patches)
+    ds = MultimodalDataset(csv, cfg, use_signatures=True)
+    b1 = BucketBatcher(ds, survival_extras, 2, (512,), shuffle=False)
+    lengths1 = b1._bag_lengths()
+    sidecar = os.path.join(patches, ".bag_lengths.json")
+    assert os.path.exists(sidecar)
+    cached = json.load(open(sidecar))
+    assert len(cached) == 4
+    # second batcher reads from the sidecar and agrees
+    b2 = BucketBatcher(ds, survival_extras, 2, (512,), shuffle=False)
+    np.testing.assert_array_equal(lengths1, b2._bag_lengths())
