@@ -275,9 +275,14 @@ class Trainer:
         n_steps = 0
         self.timer.reset()
         epoch_t0 = time.time()
-        for batch in prefetch(self.train_batcher.batches(), depth=c.tpu.prefetch):
+        # the prefetch thread also issues the host->device transfer, so H2D
+        # overlaps the previous step's compute
+        def _staged(batches):
+            for b in batches:
+                yield b, self._device_batch(b)
+
+        for batch, dev in prefetch(_staged(self.train_batcher.batches()), depth=c.tpu.prefetch):
             real = int(batch["weight"].sum())
-            dev = self._device_batch(batch)
             self.state, metrics = self.train_step(self.state, dev)
             losses.append(metrics.loss)
             attn_losses.append(metrics.attn_loss)
