@@ -322,6 +322,9 @@ def coattention(
         interpret = jax.devices()[0].platform != "tpu"
     b, n, d = q.shape
     m_len = k.shape[1]
+    # block_k swept on v5e: 512 optimal; >=2048 exceeds the backward kernel's
+    # scoped VMEM (k/v/s tiles), so cap defensively
+    block_k = min(block_k, 1024)
     # pad queries to lane width: the MXU operates on 128-wide tiles anyway
     np_ = max(LANES, _round_up(n, LANES))
     if np_ != n:
