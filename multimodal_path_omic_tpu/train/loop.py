@@ -169,29 +169,48 @@ def make_train_step(
         rng, step_rng = jax.random.split(state.rng)
         chunk_rngs = jax.random.split(step_rng, accum)
 
-        zero_grads = jax.tree_util.tree_map(jnp.zeros_like, state.params)
-
-        def body(carry, i):
-            grads_acc, loss_acc, attn_acc, w_acc = carry
-            (loss_i, (attn_i, risk_i, w_i)), grads_i = grad_fn(
+        if accum == 1:
+            # no accumulation: skip the scan wrapper (and its per-iteration
+            # dynamic slices of the whole batch)
+            (loss_sum, (attn_sum, risk_single, w_sum)), grads = grad_fn(
                 state.params,
-                chunk_rngs[i],
-                wsi[i],
-                mask[i],
-                None if ge_mode else [o[i] for o in omics],
-                label[i],
-                None if ge_mode else cens[i],
-                None if ge_mode else months[i],
-                weight[i],
+                chunk_rngs[0],
+                wsi[0],
+                mask[0],
+                None if ge_mode else [o[0] for o in omics],
+                label[0],
+                None if ge_mode else cens[0],
+                None if ge_mode else months[0],
+                weight[0],
             )
-            grads_acc = jax.tree_util.tree_map(jnp.add, grads_acc, grads_i)
-            return (grads_acc, loss_acc + loss_i, attn_acc + attn_i, w_acc + w_i), risk_i
+            risks = risk_single[None]
+        else:
+            zero_grads = jax.tree_util.tree_map(jnp.zeros_like, state.params)
 
-        (grads, loss_sum, attn_sum, w_sum), risks = jax.lax.scan(
-            body,
-            (zero_grads, jnp.zeros(()), jnp.zeros(()), jnp.zeros(())),
-            jnp.arange(accum),
-        )
+            def body(carry, i):
+                grads_acc, loss_acc, attn_acc, w_acc = carry
+                (loss_i, (attn_i, risk_i, w_i)), grads_i = grad_fn(
+                    state.params,
+                    chunk_rngs[i],
+                    wsi[i],
+                    mask[i],
+                    None if ge_mode else [o[i] for o in omics],
+                    label[i],
+                    None if ge_mode else cens[i],
+                    None if ge_mode else months[i],
+                    weight[i],
+                )
+                grads_acc = jax.tree_util.tree_map(jnp.add, grads_acc, grads_i)
+                return (
+                    (grads_acc, loss_acc + loss_i, attn_acc + attn_i, w_acc + w_i),
+                    risk_i,
+                )
+
+            (grads, loss_sum, attn_sum, w_sum), risks = jax.lax.scan(
+                body,
+                (zero_grads, jnp.zeros(()), jnp.zeros(()), jnp.zeros(())),
+                jnp.arange(accum),
+            )
         w_sum = jnp.maximum(w_sum, 1.0)
         grads = jax.tree_util.tree_map(lambda g: g / w_sum, grads)
         loss = loss_sum / w_sum
