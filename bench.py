@@ -66,7 +66,7 @@ def main():
         rng=jax.random.key(1),
         step=jnp.zeros((), jnp.int32),
     )
-    step = make_train_step(model, "ces", optimizer)
+    step = make_train_step(model, "ces", optimizer, donate_state=True)
 
     # warmup / compile. NOTE: sync via float() (device_get) — on remote/
     # tunneled backends block_until_ready can return before execution

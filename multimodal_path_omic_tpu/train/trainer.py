@@ -182,6 +182,7 @@ class Trainer:
             l1_lambda=c.training.lambda_,
             ge_mode=self.ge_mode,
             omic_sizes=tuple(self.omic_sizes),
+            donate_state=True,  # Trainer steps form a linear state chain
         )
         self.eval_step = make_eval_step(
             self.model, c.training.loss, alpha=c.training.alpha,
