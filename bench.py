@@ -29,6 +29,8 @@ BUCKET = 512
 
 def main():
     import jax
+
+    jax.config.update("jax_default_prng_impl", "rbg")  # fast dropout keys
     import jax.numpy as jnp
 
     from multimodal_path_omic_tpu.models import MCAT

@@ -66,6 +66,8 @@ class Trainer:
 
         if c.tpu.matmul_precision and c.tpu.matmul_precision != "default":
             jax.config.update("jax_default_matmul_precision", c.tpu.matmul_precision)
+        if c.tpu.prng_impl:
+            jax.config.update("jax_default_prng_impl", c.tpu.prng_impl)
 
         # ----- dataset + splits (mcat/main.py:239-252) ---------------------
         if self.ge_mode:
