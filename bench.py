@@ -15,9 +15,13 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 TORCH_CPU_BAGS_PER_SEC = 40.54  # measured 2026-08-16, see BASELINE.md
 

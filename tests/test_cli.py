@@ -135,3 +135,21 @@ def test_predictor_single_bag(config_path):
     out = pred.predict_bag(bag, omics)
     assert out["hazards"].shape == (1, 4)
     np.testing.assert_allclose(out["y"].sum(), 1.0, rtol=1e-5)
+
+
+def test_predictor_matches_eval_risks(config_path):
+    """Predictor risks equal the Trainer eval path on the same samples."""
+    import yaml as _yaml
+
+    from multimodal_path_omic_tpu.config import config_from_dict
+    from multimodal_path_omic_tpu.serve import Predictor
+
+    cfg = config_from_dict(_yaml.safe_load(open(config_path)))
+    pred = Predictor.from_config(cfg)
+    cols = pred.predict_dataset(pred._t.val_ds)
+    # recompute one sample through predict_bag
+    ds = pred._t.val_ds
+    _, _, _, omics, bag = ds[0]
+    single = pred.predict_bag(bag, omics)
+    i = list(cols["slide_id"]).index(ds.slide_id(0))
+    np.testing.assert_allclose(single["risk"][0], cols["risk"][i], atol=1e-4)
