@@ -68,6 +68,38 @@ def qcut_classes(values: pd.Series, q: int, verbose: bool = True) -> np.ndarray:
     return classes.to_numpy()
 
 
+
+
+def patient_level_split(
+    patients: np.ndarray,
+    train_size: float,
+    *,
+    seed: int = 0,
+    test: bool = False,
+    patient: str = "",
+):
+    """Row indices for a seeded patient-level split (reference semantics:
+    dataset.py:145-185, but reproducible). Returns (train_rows, val_rows,
+    test_rows-or-None)."""
+    if not 0 < train_size < 1:
+        raise ValueError("train_size should be a float between 0 and 1.")
+    rng = np.random.default_rng(seed)
+    unique_patients = pd.unique(patients)
+    unique_patients = unique_patients[rng.permutation(len(unique_patients))]
+    n_train = int(len(unique_patients) * train_size)
+    train_patients = set(unique_patients[:n_train])
+    val_patients = set(unique_patients[n_train:])
+    in_train = np.array([p in train_patients for p in patients])
+    in_val = np.array([p in val_patients for p in patients])
+    test_rows = None
+    if test:
+        is_test = patients == patient
+        test_rows = np.where(is_test)[0]
+        in_train &= ~is_test
+        in_val &= ~is_test
+    return np.where(in_train)[0], np.where(in_val)[0], test_rows
+
+
 @dataclass
 class MultimodalTable:
     """Parsed clinical table + omics arrays for the survival models."""
@@ -224,28 +256,13 @@ class MultimodalTable:
         With ``test=True`` the named ``patient`` becomes a one-patient test set
         excluded from train and val (leave-one-out, dataset.py:164-171).
         """
-        if not 0 < train_size < 1:
-            raise ValueError("train_size should be a float between 0 and 1.")
-        rng = np.random.default_rng(seed)
-        unique_patients = pd.unique(self.patients)
-        perm = rng.permutation(len(unique_patients))
-        unique_patients = unique_patients[perm]
-        n_train = int(len(unique_patients) * train_size)
-        train_patients = set(unique_patients[:n_train])
-        val_patients = set(unique_patients[n_train:])
-
-        in_train = np.array([p in train_patients for p in self.patients])
-        in_val = np.array([p in val_patients for p in self.patients])
-        test_table = None
-        if test:
-            is_test = self.patients == patient
-            test_table = self.subset(np.where(is_test)[0])
-            in_train &= ~is_test
-            in_val &= ~is_test
+        tr, va, te = patient_level_split(
+            self.patients, train_size, seed=seed, test=test, patient=patient
+        )
         return (
-            self.subset(np.where(in_train)[0]),
-            self.subset(np.where(in_val)[0]),
-            test_table,
+            self.subset(tr),
+            self.subset(va),
+            self.subset(te) if te is not None else None,
         )
 
 
@@ -301,24 +318,11 @@ class GeneExprTable:
         )
 
     def split(self, train_size: float, *, seed: int = 0, test: bool = False, patient: str = ""):
-        if not 0 < train_size < 1:
-            raise ValueError("train_size should be a float between 0 and 1.")
-        rng = np.random.default_rng(seed)
-        unique_patients = pd.unique(self.patients)
-        unique_patients = unique_patients[rng.permutation(len(unique_patients))]
-        n_train = int(len(unique_patients) * train_size)
-        train_patients = set(unique_patients[:n_train])
-        val_patients = set(unique_patients[n_train:])
-        in_train = np.array([p in train_patients for p in self.patients])
-        in_val = np.array([p in val_patients for p in self.patients])
-        test_table = None
-        if test:
-            is_test = self.patients == patient
-            test_table = self.subset(np.where(is_test)[0])
-            in_train &= ~is_test
-            in_val &= ~is_test
+        tr, va, te = patient_level_split(
+            self.patients, train_size, seed=seed, test=test, patient=patient
+        )
         return (
-            self.subset(np.where(in_train)[0]),
-            self.subset(np.where(in_val)[0]),
-            test_table,
+            self.subset(tr),
+            self.subset(va),
+            self.subset(te) if te is not None else None,
         )

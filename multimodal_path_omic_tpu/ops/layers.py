@@ -119,7 +119,3 @@ def masked_softmax(scores: jnp.ndarray, mask: Optional[jnp.ndarray], axis: int =
         scores = jnp.where(mask, scores, NEG_INF)
     return jax.nn.softmax(scores, axis=axis)
 
-
-def elu(x):
-    """torch nn.ELU default (alpha=1)."""
-    return jax.nn.elu(x)
