@@ -169,3 +169,33 @@ def test_losses_are_jittable():
 def test_l1_reg_matches_manual_sum():
     params = {"a": jnp.array([[1.0, -2.0]]), "b": {"w": jnp.array([3.0, -4.0])}}
     assert np.isclose(float(losses.l1_reg(params)), 10.0)
+
+
+def test_cox_weight_masks_risk_sets():
+    """Weight-0 (padded) samples must not appear in any risk set."""
+    theta = jnp.array([1.0, 2.0, 3.0])
+    months = jnp.array([5.0, 3.0, 1.0])
+    c = jnp.array([0.0, 0.0, 0.0])
+    w = jnp.array([1.0, 1.0, 0.0])
+    masked = losses.cox_survival(theta, months, c, sample_weight=w)
+    ref = losses.cox_survival(theta[:2], months[:2], c[:2])
+    assert np.isclose(float(masked), float(ref), atol=1e-6)
+
+
+def test_masked_softmax_fully_masked_row_is_finite():
+    from multimodal_path_omic_tpu.ops.layers import masked_softmax
+
+    scores = jnp.array([[1.0, 2.0, 3.0]])
+    mask = jnp.zeros((1, 3), bool)
+    out = masked_softmax(scores, mask)
+    assert np.all(np.isfinite(np.asarray(out)))
+    np.testing.assert_allclose(np.asarray(out).sum(), 1.0, rtol=1e-6)
+
+
+def test_alpha_dropout_deterministic_passthrough():
+    from multimodal_path_omic_tpu.ops.layers import AlphaDropout
+
+    x = jnp.array([[1.0, -2.0, 3.0]])
+    mod = AlphaDropout(0.5)
+    out = mod.apply({}, x, deterministic=True)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(x))
