@@ -101,3 +101,73 @@ def ring_self_attention(
         out_specs=spec_qkv,
     )
     return fn(q, k, v, mask_f)
+
+
+def _cross_body(q, k, v, mask_f, axis_name: str):
+    """shard_map body for cross-attention: q [B, H, N, D] replicated, k/v
+    [B, H, Ml, D] local shards. Local partial softmax stats merged across the
+    axis with pmax/psum (the 'reduce-scatter the output' scheme)."""
+    d = q.shape[-1]
+    scale = 1.0 / (d**0.5)
+    s = jnp.einsum(
+        "bhnd,bhmd->bhnm", q * scale, k, preferred_element_type=jnp.float32
+    )
+    s = jnp.where(mask_f[:, None, None, :] > 0, s, NEG)
+
+    m_local = jnp.max(s, axis=-1, keepdims=True)
+    # softmax is shift-invariant, so the max carries no gradient (and pmax has
+    # no differentiation rule anyway)
+    m_global = jax.lax.stop_gradient(jax.lax.pmax(m_local, axis_name))
+    p = jnp.exp(s - m_global)
+    l_local = jnp.sum(p, axis=-1, keepdims=True)
+    o_local = jnp.einsum(
+        "bhnm,bhmd->bhnd", p, v, preferred_element_type=jnp.float32
+    )
+    l_global = jax.lax.psum(l_local, axis_name)
+    o_global = jax.lax.psum(o_local, axis_name)
+    l_safe = jnp.where(l_global == 0.0, 1.0, l_global)
+    return (o_global / l_safe).astype(q.dtype)
+
+
+def sequence_parallel_cross_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    key_mask: Optional[jnp.ndarray],
+    mesh: Mesh,
+    seq_axis: str = "seq",
+) -> jnp.ndarray:
+    """Exact masked cross-attention with K/V sharded over ``seq_axis`` and the
+    (few) queries replicated — the survival models' co-attention over
+    mega-bags (N ~ 6 omic queries, M up to many chips' worth of patches).
+
+    No rotation needed: each device attends over its local K/V shard and the
+    softmax statistics merge with one pmax + two psums (O(N*D) bytes per
+    device, independent of M).
+
+    q: [B, H, N, D]; k, v: [B, H, M, D] (M divisible by the axis size);
+    key_mask: [B, M] bool or None. Returns [B, H, N, D] (replicated).
+    """
+    b, h, n, d = q.shape
+    m = k.shape[2]
+    n_dev = mesh.shape[seq_axis]
+    if m % n_dev != 0:
+        raise ValueError(f"M={m} not divisible by seq axis {n_dev}")
+    if key_mask is None:
+        key_mask = jnp.ones((b, m), bool)
+    mask_f = key_mask.astype(jnp.float32)
+
+    from jax.experimental.shard_map import shard_map
+
+    fn = shard_map(
+        functools.partial(_cross_body, axis_name=seq_axis),
+        mesh=mesh,
+        in_specs=(
+            P(None, None, None, None),
+            P(None, None, seq_axis, None),
+            P(None, None, seq_axis, None),
+            P(None, seq_axis),
+        ),
+        out_specs=P(None, None, None, None),
+    )
+    return fn(q, k, v, mask_f)

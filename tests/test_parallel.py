@@ -255,3 +255,60 @@ def test_trainer_ge_sequence_parallel_e2e(tmp_path):
     assert trainer.model.ring_mesh is not None
     out = trainer.fit()
     assert np.isfinite(out["train_loss"]) and np.isfinite(out["val_loss"])
+
+
+def test_sequence_parallel_cross_attention_matches_local():
+    """Sharded-KV co-attention (pmax/psum merge) == unsharded attention."""
+    from multimodal_path_omic_tpu.ops.attention import attention_core
+    from multimodal_path_omic_tpu.parallel.ring import (
+        sequence_parallel_cross_attention,
+    )
+
+    rng = np.random.default_rng(31)
+    b, h, n, m, d = 2, 1, 6, 512, 64
+    q = jnp.array(rng.normal(size=(b, h, n, d)), jnp.float32)
+    k = jnp.array(rng.normal(size=(b, h, m, d)), jnp.float32)
+    v = jnp.array(rng.normal(size=(b, h, m, d)), jnp.float32)
+    lengths = rng.integers(m // 2, m, size=b)
+    mask = jnp.array(np.arange(m)[None, :] < lengths[:, None], bool)
+
+    ref, _ = attention_core(
+        q, k, v, mask, pre_gate=False, dropout_rate=0.0,
+        deterministic=True, need_weights=False,
+    )
+    mesh = make_mesh(data=1, seq=8)
+    got = jax.jit(
+        lambda q, k, v: sequence_parallel_cross_attention(q, k, v, mask, mesh)
+    )(q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+def test_sequence_parallel_cross_attention_grads():
+    from multimodal_path_omic_tpu.ops.attention import attention_core
+    from multimodal_path_omic_tpu.parallel.ring import (
+        sequence_parallel_cross_attention,
+    )
+
+    rng = np.random.default_rng(32)
+    b, h, n, m, d = 1, 1, 6, 256, 32
+    q = jnp.array(rng.normal(size=(b, h, n, d)), jnp.float32)
+    k = jnp.array(rng.normal(size=(b, h, m, d)), jnp.float32)
+    v = jnp.array(rng.normal(size=(b, h, m, d)), jnp.float32)
+    mesh = make_mesh(data=1, seq=8)
+
+    def loss_ref(q, k, v):
+        out, _ = attention_core(
+            q, k, v, None, pre_gate=False, dropout_rate=0.0,
+            deterministic=True, need_weights=False,
+        )
+        return jnp.sum(out**2)
+
+    def loss_sp(q, k, v):
+        return jnp.sum(sequence_parallel_cross_attention(q, k, v, None, mesh) ** 2)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    g_sp = jax.jit(jax.grad(loss_sp, argnums=(0, 1, 2)))(q, k, v)
+    for a, b_, name in zip(g_ref, g_sp, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(b_), np.asarray(a), atol=1e-4, err_msg=f"d{name}"
+        )
