@@ -114,10 +114,11 @@ def _cross_body(q, k, v, mask_f, axis_name: str):
     )
     s = jnp.where(mask_f[:, None, None, :] > 0, s, NEG)
 
-    m_local = jnp.max(s, axis=-1, keepdims=True)
-    # softmax is shift-invariant, so the max carries no gradient (and pmax has
-    # no differentiation rule anyway)
-    m_global = jax.lax.stop_gradient(jax.lax.pmax(m_local, axis_name))
+    # softmax is shift-invariant, so the max shift carries no gradient (and
+    # pmax has no differentiation rule anyway): cut the tape BEFORE pmax so
+    # its input tangent is a symbolic zero
+    m_local = jax.lax.stop_gradient(jnp.max(s, axis=-1, keepdims=True))
+    m_global = jax.lax.pmax(m_local, axis_name)
     p = jnp.exp(s - m_global)
     l_local = jnp.sum(p, axis=-1, keepdims=True)
     o_local = jnp.einsum(
