@@ -50,13 +50,13 @@ def build_model(name: str, *, omic_sizes: Sequence[int] = (), model_size: str = 
         return MCAT(
             n_signatures=len(omic_sizes), model_size=model_size, fusion=fusion,
             n_classes=n_classes or 4, dropout_rate=dropout, dtype=dtype,
-            use_pallas=use_pallas,
+            use_pallas=use_pallas, ring_mesh=ring_mesh,
         )
     if key in ("nacagat", "narrowcontextualattentiongatetransformer"):
         return NaCAGaT(
             n_signatures=len(omic_sizes), model_size=model_size, fusion=fusion,
             n_classes=n_classes or 4, dropout_rate=dropout, dtype=dtype,
-            use_pallas=use_pallas,
+            use_pallas=use_pallas, ring_mesh=ring_mesh,
         )
     if key in ("ge_nacagat", "genacagat", "geneexpr_nacagat", "geneexprnacagat"):
         return GENaCAGaT(

@@ -17,7 +17,7 @@ TPU-first differences:
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Any, Optional, Sequence
 
 from flax import linen as nn
 import jax.numpy as jnp
@@ -53,6 +53,9 @@ class MCAT(nn.Module):
     fusion: str = "concat"
     dtype: Optional[jnp.dtype] = None
     use_pallas: bool = False
+    # Mesh with a 'seq' axis > 1: the patch axis of K/V is sharded; the
+    # co-attention merges shard-local softmax stats (parallel/ring.py)
+    ring_mesh: Any = None
 
     @nn.compact
     def __call__(
@@ -87,6 +90,7 @@ class MCAT(nn.Module):
             dropout_rate=0.0,
             dtype=self.dtype,
             use_pallas=self.use_pallas,
+            ring_mesh=self.ring_mesh,
             name="co_attention",
         )(
             g_bag,

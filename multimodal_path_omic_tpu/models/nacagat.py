@@ -10,7 +10,7 @@ nacagat/main.py:49-50).
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Any, Optional, Sequence
 
 from flax import linen as nn
 import jax.numpy as jnp
@@ -46,6 +46,9 @@ class NaCAGaT(nn.Module):
     fusion: str = "concat"
     dtype: Optional[jnp.dtype] = None
     use_pallas: bool = False
+    # Mesh with a 'seq' axis > 1: the patch axis of K/V is sharded; the
+    # co-attention merges shard-local softmax stats (parallel/ring.py)
+    ring_mesh: Any = None
 
     @nn.compact
     def __call__(
@@ -78,6 +81,7 @@ class NaCAGaT(nn.Module):
             num_heads=1,
             dropout_rate=self.dropout_rate,
             dtype=self.dtype,
+            ring_mesh=self.ring_mesh,
             name="co_attention",
         )(g_bag, h_bag, h_bag, mask, deterministic=deterministic)
 

@@ -148,17 +148,27 @@ class MultiheadAttention(nn.Module):
         # in the layer remain). The reference cannot train at these lengths at
         # all (O(M^2) HBM), so there is no behavior to diverge from.
         huge = key.shape[1] >= 4096 and query.shape[1] == key.shape[1]
-        ring_eligible = (
+        seq_sharded = (
             self.ring_mesh is not None
             and dict(self.ring_mesh.shape).get("seq", 1) > 1
             and not need_weights
-            and query.shape[1] == key.shape[1]
             and (not dropout_active or huge)
         )
-        if ring_eligible:
+        if seq_sharded and query.shape[1] == key.shape[1]:
+            # self-attention: K/V blocks rotate around the ring
             from multimodal_path_omic_tpu.parallel.ring import ring_self_attention
 
             out_h = ring_self_attention(qh, kh, vh, key_mask, self.ring_mesh)
+            weights = None
+        elif seq_sharded and query.shape[1] <= 256:
+            # few-query cross-attention: local shard attention + stat merge
+            from multimodal_path_omic_tpu.parallel.ring import (
+                sequence_parallel_cross_attention,
+            )
+
+            out_h = sequence_parallel_cross_attention(
+                qh, kh, vh, key_mask, self.ring_mesh, pre_gate=self.pre_gate
+            )
             weights = None
         elif self.use_pallas and not need_weights and (not dropout_active or huge):
             from multimodal_path_omic_tpu.ops.coattn import fused_attention
@@ -227,6 +237,7 @@ class PreGatingContextualAttention(nn.Module):
     num_heads: int = 1
     dropout_rate: float = 0.25
     dtype: Optional[jnp.dtype] = None
+    ring_mesh: Any = None
 
     @nn.compact
     def __call__(
@@ -245,6 +256,7 @@ class PreGatingContextualAttention(nn.Module):
             dropout_rate=self.dropout_rate,
             pre_gate=True,
             dtype=self.dtype,
+            ring_mesh=self.ring_mesh,
             name="mha",
         )(
             query,

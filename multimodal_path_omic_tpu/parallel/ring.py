@@ -103,7 +103,7 @@ def ring_self_attention(
     return fn(q, k, v, mask_f)
 
 
-def _cross_body(q, k, v, mask_f, axis_name: str):
+def _cross_body(q, k, v, mask_f, axis_name: str, pre_gate: bool = False):
     """shard_map body for cross-attention: q [B, H, N, D] replicated, k/v
     [B, H, Ml, D] local shards. Local partial softmax stats merged across the
     axis with pmax/psum (the 'reduce-scatter the output' scheme)."""
@@ -112,6 +112,16 @@ def _cross_body(q, k, v, mask_f, axis_name: str):
     s = jnp.einsum(
         "bhnd,bhmd->bhnm", q * scale, k, preferred_element_type=jnp.float32
     )
+    if pre_gate:
+        # NaCAGaT pre-gate, computed shard-locally (reference blocks.py:185-187)
+        gate = (
+            jnp.einsum(
+                "bhnd,bhmd->bhnm", jnp.tanh(q), jnp.tanh(k),
+                preferred_element_type=jnp.float32,
+            )
+            + 1.0
+        ) * 0.5
+        s = s * gate
     s = jnp.where(mask_f[:, None, None, :] > 0, s, NEG)
 
     # softmax is shift-invariant, so the max shift carries no gradient (and
@@ -137,6 +147,7 @@ def sequence_parallel_cross_attention(
     key_mask: Optional[jnp.ndarray],
     mesh: Mesh,
     seq_axis: str = "seq",
+    pre_gate: bool = False,
 ) -> jnp.ndarray:
     """Exact masked cross-attention with K/V sharded over ``seq_axis`` and the
     (few) queries replicated — the survival models' co-attention over
@@ -161,7 +172,7 @@ def sequence_parallel_cross_attention(
     from jax.experimental.shard_map import shard_map
 
     fn = shard_map(
-        functools.partial(_cross_body, axis_name=seq_axis),
+        functools.partial(_cross_body, axis_name=seq_axis, pre_gate=pre_gate),
         mesh=mesh,
         in_specs=(
             P(None, None, None, None),

@@ -123,10 +123,10 @@ class Trainer:
 
         # ----- model (mcat/main.py:254-259) --------------------------------
         dtype = jnp.bfloat16 if c.tpu.compute_dtype == "bfloat16" else None
-        # GE bags sharded over a seq axis use ring attention inside the model
+        # bags sharded over a seq axis: GE self-attention rotates K/V around
+        # the ring; survival co-attention merges shard-local softmax stats
         ring_mesh = (
-            self.mesh if (self.ge_mode and self.mesh is not None and c.tpu.seq_axis > 1)
-            else None
+            self.mesh if (self.mesh is not None and c.tpu.seq_axis > 1) else None
         )
         self.model = build_model(
             c.model.name,

@@ -312,3 +312,58 @@ def test_sequence_parallel_cross_attention_grads():
         np.testing.assert_allclose(
             np.asarray(b_), np.asarray(a), atol=1e-4, err_msg=f"d{name}"
         )
+
+
+def test_mcat_with_ring_mesh_matches_plain():
+    """MCAT with ring_mesh: sharded-KV co-attention equals the plain model."""
+    from multimodal_path_omic_tpu.models import MCAT
+
+    rng = np.random.default_rng(41)
+    b, m = 1, 256
+    wsi = jnp.array(rng.normal(size=(b, m, 1024)), jnp.float32)
+    omics = [jnp.array(rng.normal(size=(b, s)), jnp.float32) for s in OMIC_SIZES]
+    mask = jnp.array(np.arange(m)[None, :] < 200, bool)
+
+    plain = MCAT(n_signatures=len(OMIC_SIZES), model_size="small", use_pallas=False)
+    params = plain.init(jax.random.key(0), wsi, omics, mask)
+    out_ref = plain.apply(params, wsi, omics, mask)
+
+    mesh = make_mesh(data=1, seq=8)
+    sharded = MCAT(
+        n_signatures=len(OMIC_SIZES), model_size="small", use_pallas=False,
+        ring_mesh=mesh,
+    )
+    out_sp = jax.jit(lambda w, o, msk: sharded.apply(params, w, o, msk))(wsi, omics, mask)
+    np.testing.assert_allclose(
+        np.asarray(out_sp.hazards), np.asarray(out_ref.hazards), atol=5e-5
+    )
+
+
+def test_trainer_mcat_sequence_parallel_e2e(tmp_path):
+    import os
+
+    from multimodal_path_omic_tpu.config import config_from_dict
+    from multimodal_path_omic_tpu.data.synthetic import (
+        make_synthetic_cohort,
+        synthetic_config_dict,
+    )
+    from multimodal_path_omic_tpu.train.trainer import Trainer
+
+    csv, sig, patches = make_synthetic_cohort(
+        str(tmp_path), n_patients=12, bag_lengths=(48, 96), n_genes=24,
+        n_signatures=3, seed=8,
+    )
+    raw = synthetic_config_dict(csv, sig, patches)
+    raw["model"]["model_size"] = "small"
+    raw["training"]["epochs"] = 1
+    raw["tpu"] = {
+        "bag_buckets": [128], "batch_size": 4, "use_pallas": False,
+        "data_axis": 2, "seq_axis": 4,
+    }
+    cfg = config_from_dict(raw)
+    cfg.model.checkpoint_dir = os.path.join(str(tmp_path), "ck")
+    cfg.training.test_output_dir = os.path.join(str(tmp_path), "out")
+    trainer = Trainer(cfg, verbose=False)
+    assert trainer.model.ring_mesh is not None
+    out = trainer.fit()
+    assert np.isfinite(out["train_loss"]) and np.isfinite(out["val_loss"])
