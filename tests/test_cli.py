@@ -153,3 +153,28 @@ def test_predictor_matches_eval_risks(config_path):
     single = pred.predict_bag(bag, omics)
     i = list(cols["slide_id"]).index(ds.slide_id(0))
     np.testing.assert_allclose(single["risk"][0], cols["risk"][i], atol=1e-4)
+
+
+def test_reference_yaml_configs_load_unchanged():
+    """The reference's own config files parse into our typed Config (drop-in
+    schema compatibility)."""
+    import os
+
+    from multimodal_path_omic_tpu.config import load_config
+
+    ref = "/root/reference/models/mcat/config/config.yaml"
+    if not os.path.exists(ref):
+        pytest.skip("reference unavailable")
+    cfg = load_config(ref)
+    assert cfg.model.name == "MCAT"
+    assert cfg.model.fusion == "concat"
+    assert cfg.training.loss == "ces"
+    assert cfg.training.grad_acc_step == 32
+    assert cfg.training.lambda_ == 0.0
+    assert cfg.dataset.tcga_only is True
+
+    ge = "/root/reference/models/ge_nacagat/config/config.yaml"
+    if os.path.exists(ge):
+        cfg = load_config(ge)
+        assert cfg.model.gene == "CCNE1"
+        assert cfg.training.leave_one_out == "M013"
