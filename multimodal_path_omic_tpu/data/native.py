@@ -153,3 +153,131 @@ class NativeBagStore:
         if err != 0:
             raise IOError(f"native bag load failed (code {err})")
         return wsi, mask.astype(bool)
+
+
+class NativePipeline:
+    """C++ pipelined epoch executor: worker threads fill a ring of slot
+    buffers according to a precomputed batch plan; Python consumes ready
+    batches in order and releases slots after the device transfer.
+
+    plan: list of (slide_ids: list[str], bucket: int) batches.
+    """
+
+    def __init__(
+        self,
+        store: "NativeBagStore",
+        plan,
+        batch_size: int,
+        dim: int,
+        n_slots: int = 3,
+        threads: int = 4,
+    ):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native loader unavailable")
+        self._lib = lib
+        self._store = store
+        self.plan = plan
+        self.batch_size = batch_size
+        self.dim = dim
+        self.max_bucket = max(b for _, b in plan) if plan else 0
+        self.n_slots = n_slots
+
+        # NOTE: hasattr() on a CDLL resolves (and caches) the symbol without
+        # setting argtypes/restype — always bind explicitly (idempotent),
+        # otherwise the returned pointer is truncated to a C int.
+        self._bind_pipe(lib)
+
+        flat, offsets, buckets = [], [0], []
+        for ids, bucket in plan:
+            flat.extend(store.lookup(s) for s in ids)
+            offsets.append(len(flat))
+            buckets.append(bucket)
+        self._flat = np.array(flat, dtype=np.int64)
+        self._offsets = np.array(offsets, dtype=np.int64)
+        self._buckets = np.array(buckets, dtype=np.int64)
+        self.wsi_slots = np.empty(
+            (n_slots, batch_size, self.max_bucket, dim), dtype=np.float32
+        )
+        self.mask_slots = np.empty(
+            (n_slots, batch_size, self.max_bucket), dtype=np.uint8
+        )
+        self._pipe = lib.bl_pipe_create(
+            store._handle,
+            self._flat.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            self._offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            self._buckets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            len(plan),
+            batch_size,
+            dim,
+            self.max_bucket,
+            self.wsi_slots.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            self.mask_slots.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            n_slots,
+            threads,
+        )
+
+    @staticmethod
+    def _bind_pipe(lib):
+        lib.bl_pipe_create.restype = ctypes.c_void_p
+        lib.bl_pipe_create.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int64,
+            ctypes.c_int,
+        ]
+        lib.bl_pipe_next.restype = ctypes.c_int64
+        lib.bl_pipe_next.argtypes = [ctypes.c_void_p]
+        lib.bl_pipe_release.restype = None
+        lib.bl_pipe_release.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+        lib.bl_pipe_error.restype = ctypes.c_int
+        lib.bl_pipe_error.argtypes = [ctypes.c_void_p]
+        lib.bl_pipe_destroy.restype = None
+        lib.bl_pipe_destroy.argtypes = [ctypes.c_void_p]
+
+    def batches(self):
+        """Yield (batch_index, wsi_view [B, bucket, D], mask_view [B, bucket]).
+
+        The views alias the slot buffer — consume (e.g. device_put) before the
+        next iteration, which releases the slot.
+        """
+        pending = None
+        try:
+            while True:
+                b = int(self._lib.bl_pipe_next(self._pipe))
+                if pending is not None:
+                    self._lib.bl_pipe_release(self._pipe, pending)
+                if b < 0:
+                    break
+                err = int(self._lib.bl_pipe_error(self._pipe))
+                if err:
+                    raise IOError(f"native pipeline fill failed (code {err})")
+                slot = b % self.n_slots
+                bucket = int(self._buckets[b])
+                yield (
+                    b,
+                    self.wsi_slots[slot, :, :bucket, :],
+                    self.mask_slots[slot, :, :bucket].astype(bool),
+                )
+                pending = b
+        finally:
+            self.close()
+
+    def close(self):
+        if getattr(self, "_pipe", None):
+            self._lib.bl_pipe_destroy(self._pipe)
+            self._pipe = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass

@@ -204,3 +204,182 @@ int bl_load_batch(void* handle, const int64_t* ids, int64_t n, int64_t bucket,
 void bl_close(void* handle) { delete (Store*)handle; }
 
 }  // extern "C"
+
+// ============================================================================
+// Pipelined batch executor: a ring of caller-allocated slot buffers filled by
+// a worker pool according to a precomputed epoch plan. The host feeds the
+// device from ready slots while workers prepare the next batches — no Python
+// thread in the fill path.
+//
+//   bl_pipe_create(store, flat_ids, batch_offsets, batch_buckets, n_batches,
+//                  batch_size, dim, max_bucket, wsi_slots, mask_slots,
+//                  n_slots, threads) -> pipe handle
+//   bl_pipe_next(pipe)              -> batch index now ready (in plan order),
+//                                      or -1 when the plan is exhausted
+//   bl_pipe_release(pipe, batch)    -> recycle that batch's slot
+//   bl_pipe_destroy(pipe)
+//
+// Slot buffers are wsi [n_slots, batch_size, max_bucket, dim] f32 and mask
+// [n_slots, batch_size, max_bucket] u8, owned by the caller (numpy). Batch b
+// lands in slot b % n_slots; rows are zero-padded to max_bucket (the consumer
+// slices [:, :bucket_b] before the device transfer).
+
+#include <condition_variable>
+#include <mutex>
+
+namespace {
+
+struct Pipe {
+  Store* store = nullptr;
+  const int64_t* flat_ids = nullptr;
+  const int64_t* batch_offsets = nullptr;  // n_batches + 1
+  const int64_t* batch_buckets = nullptr;
+  int64_t n_batches = 0;
+  int64_t batch_size = 0;
+  int64_t dim = 0;
+  int64_t max_bucket = 0;
+  float* wsi_slots = nullptr;
+  uint8_t* mask_slots = nullptr;
+  int64_t n_slots = 0;
+
+  std::mutex mu;
+  std::condition_variable cv;
+  std::vector<int> slot_state;  // 0 free, 1 ready (holding batch slot_batch[i])
+  std::vector<int64_t> slot_batch;
+  // Per-slot fill order: slot s must next be filled by THIS batch index.
+  // Without it, two workers whose claims map to the same slot (|b - b'| a
+  // multiple of n_slots) can acquire it out of order and deadlock the
+  // in-order consumer.
+  std::vector<int64_t> slot_next_fill;
+  std::atomic<int64_t> next_to_fill{0};
+  int64_t next_to_consume = 0;
+  std::atomic<int> error{0};
+  bool stopping = false;
+  std::vector<std::thread> workers;
+};
+
+void pipe_worker(Pipe* p) {
+  for (;;) {
+    int64_t b = p->next_to_fill.fetch_add(1);
+    if (b >= p->n_batches) return;
+    int64_t slot = b % p->n_slots;
+    {
+      std::unique_lock<std::mutex> lock(p->mu);
+      p->cv.wait(lock, [&] {
+        return p->stopping ||
+               (p->slot_state[slot] == 0 && p->slot_next_fill[slot] == b);
+      });
+      if (p->stopping) return;
+      p->slot_state[slot] = 2;  // filling
+      p->slot_next_fill[slot] = b + p->n_slots;
+    }
+    float* wsi = p->wsi_slots + slot * p->batch_size * p->max_bucket * p->dim;
+    uint8_t* mask = p->mask_slots + slot * p->batch_size * p->max_bucket;
+    int64_t start = p->batch_offsets[b];
+    int64_t count = p->batch_offsets[b + 1] - start;
+    int64_t bucket = p->batch_buckets[b];
+    // fill `count` bags, zero-padding rows to max_bucket
+    for (int64_t i = 0; i < count; ++i) {
+      int64_t id = p->flat_ids[start + i];
+      float* dst = wsi + i * p->max_bucket * p->dim;
+      uint8_t* mdst = mask + i * p->max_bucket;
+      if (id < 0 || id >= (int64_t)p->store->bags.size()) {
+        p->error.store(2);
+        continue;
+      }
+      const Bag& bag = p->store->bags[id];
+      int64_t rows = bag.rows < bucket ? bag.rows : bucket;
+      int fd = open(bag.path.c_str(), O_RDONLY);
+      if (fd < 0) { p->error.store(4); continue; }
+      void* mapped = mmap(nullptr, bag.file_size, PROT_READ, MAP_PRIVATE, fd, 0);
+      close(fd);
+      if (mapped == MAP_FAILED) { p->error.store(5); continue; }
+      memcpy(dst, (const char*)mapped + bag.data_offset,
+             (size_t)rows * p->dim * sizeof(float));
+      munmap(mapped, bag.file_size);
+      if (rows < p->max_bucket)
+        memset(dst + rows * p->dim, 0,
+               (size_t)(p->max_bucket - rows) * p->dim * sizeof(float));
+      memset(mdst, 1, (size_t)rows);
+      if (rows < p->max_bucket)
+        memset(mdst + rows, 0, (size_t)(p->max_bucket - rows));
+    }
+    {
+      std::lock_guard<std::mutex> lock(p->mu);
+      p->slot_state[slot] = 1;
+      p->slot_batch[slot] = b;
+    }
+    p->cv.notify_all();
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+void* bl_pipe_create(void* store, const int64_t* flat_ids,
+                     const int64_t* batch_offsets, const int64_t* batch_buckets,
+                     int64_t n_batches, int64_t batch_size, int64_t dim,
+                     int64_t max_bucket, float* wsi_slots, uint8_t* mask_slots,
+                     int64_t n_slots, int threads) {
+  auto* p = new Pipe();
+  p->store = (Store*)store;
+  p->flat_ids = flat_ids;
+  p->batch_offsets = batch_offsets;
+  p->batch_buckets = batch_buckets;
+  p->n_batches = n_batches;
+  p->batch_size = batch_size;
+  p->dim = dim;
+  p->max_bucket = max_bucket;
+  p->wsi_slots = wsi_slots;
+  p->mask_slots = mask_slots;
+  p->n_slots = n_slots;
+  p->slot_state.assign(n_slots, 0);
+  p->slot_batch.assign(n_slots, -1);
+  p->slot_next_fill.resize(n_slots);
+  for (int64_t i = 0; i < n_slots; ++i) p->slot_next_fill[i] = i;
+  int n_threads = threads > 0 ? threads : 2;
+  for (int t = 0; t < n_threads; ++t) p->workers.emplace_back(pipe_worker, p);
+  return p;
+}
+
+// Blocks until the next batch (in plan order) is ready; returns its index or
+// -1 when the plan is exhausted. Check bl_pipe_error afterwards.
+int64_t bl_pipe_next(void* pipe) {
+  auto* p = (Pipe*)pipe;
+  if (p->next_to_consume >= p->n_batches) return -1;
+  int64_t b = p->next_to_consume++;
+  int64_t slot = b % p->n_slots;
+  std::unique_lock<std::mutex> lock(p->mu);
+  p->cv.wait(lock, [&] {
+    return p->slot_state[slot] == 1 && p->slot_batch[slot] == b;
+  });
+  return b;
+}
+
+void bl_pipe_release(void* pipe, int64_t batch) {
+  auto* p = (Pipe*)pipe;
+  int64_t slot = batch % p->n_slots;
+  {
+    std::lock_guard<std::mutex> lock(p->mu);
+    p->slot_state[slot] = 0;
+    p->slot_batch[slot] = -1;
+  }
+  p->cv.notify_all();
+}
+
+int bl_pipe_error(void* pipe) { return ((Pipe*)pipe)->error.load(); }
+
+void bl_pipe_destroy(void* pipe) {
+  auto* p = (Pipe*)pipe;
+  {
+    std::lock_guard<std::mutex> lock(p->mu);
+    p->stopping = true;
+    p->next_to_fill.store(p->n_batches);
+  }
+  p->cv.notify_all();
+  for (auto& t : p->workers) t.join();
+  delete p;
+}
+
+}  // extern "C"

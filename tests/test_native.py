@@ -74,3 +74,36 @@ def test_missing_bag_raises(cohort):
     store = native.NativeBagStore(patches)
     with pytest.raises(FileNotFoundError):
         store.load_batch(["nonexistent_slide"], 64, 1024)
+
+
+def test_native_pipeline_matches_batch_loads(cohort):
+    """The pipelined executor yields byte-identical batches, in plan order."""
+    csv, sig, patches = cohort
+    store = native.NativeBagStore(patches)
+    import os
+
+    names = sorted(f[:-4] for f in os.listdir(patches) if f.endswith(".npy"))
+    plan = [(names[0:4], 512), (names[4:8], 512), (names[8:12], 384)]
+    pipe = native.NativePipeline(store, plan, batch_size=4, dim=1024, n_slots=2)
+    seen = 0
+    for b, wsi, mask in pipe.batches():
+        ids, bucket = plan[b]
+        ref_wsi, ref_mask = store.load_batch(ids, bucket, 1024)
+        np.testing.assert_array_equal(wsi, ref_wsi)
+        np.testing.assert_array_equal(mask, ref_mask)
+        seen += 1
+    assert seen == len(plan)
+
+
+def test_native_pipeline_many_batches(cohort):
+    """More batches than slots: ring recycling under worker contention."""
+    csv, sig, patches = cohort
+    store = native.NativeBagStore(patches)
+    import os
+
+    names = sorted(f[:-4] for f in os.listdir(patches) if f.endswith(".npy"))
+    plan = [(names[i % len(names):][:2] + names[:2], 256) for i in range(17)]
+    plan = [(ids[:2], 256) for ids, _ in [(p[0], None) for p in plan]]
+    pipe = native.NativePipeline(store, plan, batch_size=2, dim=1024, n_slots=3, threads=3)
+    order = [b for b, _, _ in pipe.batches()]
+    assert order == list(range(17))
