@@ -145,7 +145,8 @@ class BucketBatcher:
             return sum(c // self.batch_size for c in counts.values())
         return sum(-(-c // self.batch_size) for c in counts.values())
 
-    def batches(self) -> Iterator[Batch]:
+    def _epoch_plan(self) -> List:
+        """The epoch's batches as (indices, bucket) in emission order."""
         n = len(self.dataset)
         order = np.arange(n)
         if self.shuffle:
@@ -153,16 +154,71 @@ class BucketBatcher:
             rng.shuffle(order)
         self._epoch += 1
         lengths = self._bag_lengths()
-
+        plan: List = []
         pending: Dict[int, List[int]] = {}
         for i in order:
             b = bucket_for(int(lengths[i]), self.buckets)
             pending.setdefault(b, []).append(int(i))
             if len(pending[b]) == self.batch_size:
-                yield self._make_batch(pending.pop(b), b)
+                plan.append((pending.pop(b), b))
         for b, idxs in sorted(pending.items()):
             if idxs and not self.drop_remainder:
-                yield self._make_batch(idxs, b)
+                plan.append((idxs, b))
+        return plan
+
+    # slot-ring budget for the C++ pipelined executor (bytes of wsi buffers)
+    PIPELINE_BUDGET_BYTES = 2 << 30
+
+    def batches(self) -> Iterator[Batch]:
+        """Yield bucketed padded batches.
+
+        ALIASING CONTRACT: when the native pipeline is engaged, a yielded
+        batch's ``wsi`` array aliases a reusable slot buffer — consume it
+        (device transfer or copy) BEFORE advancing the iterator. The Trainer
+        and Predictor transfer inside their prefetch stage; plain sequential
+        loops are naturally safe.
+        """
+        plan = self._epoch_plan()
+        if self._native is not None and plan:
+            max_bucket = max(b for _, b in plan)
+            dim = self._native.dim(self.dataset.slide_id(int(plan[0][0][0])))
+            n_slots = 3
+            if (
+                n_slots * self.batch_size * max_bucket * dim * 4
+                <= self.PIPELINE_BUDGET_BYTES
+            ):
+                yield from self._pipelined(plan, dim, n_slots)
+                return
+        for indices, bucket in plan:
+            yield self._make_batch(indices, bucket)
+
+    def _pipelined(self, plan, dim: int, n_slots: int) -> Iterator[Batch]:
+        """C++ pipelined epoch executor: worker threads fill a slot ring ahead
+        of consumption (data/native.py::NativePipeline)."""
+        from multimodal_path_omic_tpu.data.native import NativePipeline
+
+        id_plan = []
+        for indices, bucket in plan:
+            full = list(indices) + [indices[-1]] * (self.batch_size - len(indices))
+            id_plan.append(([self.dataset.slide_id(i) for i in full], bucket))
+        pipe = NativePipeline(
+            self._native, id_plan, self.batch_size, dim, n_slots=n_slots
+        )
+        for (bi, wsi, mask), (indices, bucket) in zip(pipe.batches(), plan):
+            real = len(indices)
+            full = list(indices) + [indices[-1]] * (self.batch_size - real)
+            weight = np.zeros((self.batch_size,), np.float32)
+            weight[:real] = 1.0
+            batch = Batch(
+                wsi=wsi,
+                mask=mask,
+                weight=weight,
+                index=np.array(full, np.int32),
+                bucket=bucket,
+                n_real=real,
+            )
+            batch.update(self.extras_fn(self.dataset, np.array(full)))
+            yield batch
 
     def _make_batch(self, indices: List[int], bucket: int) -> Batch:
         real = len(indices)

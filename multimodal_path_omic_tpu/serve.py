@@ -94,9 +94,17 @@ class Predictor:
             shuffle=False,
         )
         rows: Dict[str, list] = {}
-        for batch in prefetch(batcher.batches(), depth=t.config.tpu.prefetch):
+
+        # transfer in the prefetch thread: pipelined batches alias reusable
+        # slot buffers, so they must reach the device before the iterator
+        # advances (same contract as the Trainer loop)
+        def _staged(batches):
+            for b in batches:
+                yield b, t._device_batch(b)
+
+        for batch, dev in prefetch(_staged(batcher.batches()), depth=t.config.tpu.prefetch):
             real = int(batch["weight"].sum())
-            res = self.eval_step(t.state.params, t._device_batch(batch))
+            res = self.eval_step(t.state.params, dev)
             out = self._debatch(res, real)
             out["slide_id"] = np.array(
                 [dataset.slide_id(int(i)) for i in batch["index"][:real]]
