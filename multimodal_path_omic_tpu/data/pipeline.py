@@ -166,7 +166,12 @@ class BucketBatcher:
                 plan.append((idxs, b))
         return plan
 
-    # slot-ring budget for the C++ pipelined executor (bytes of wsi buffers)
+    # slot-ring budget for the C++ pipelined executor (bytes of wsi buffers).
+    # Tradeoff: the executor fills each batch on ONE worker (three batches in
+    # flight), which overlaps fully with training compute; a consumer that
+    # does no work between batches drains faster via the per-batch
+    # multi-threaded fill. Training is the target, so the pipeline is the
+    # default when available.
     PIPELINE_BUDGET_BYTES = 2 << 30
 
     def batches(self) -> Iterator[Batch]:
