@@ -225,6 +225,7 @@ void bl_close(void* handle) { delete (Store*)handle; }
 // slices [:, :bucket_b] before the device transfer).
 
 #include <condition_variable>
+#include <memory>
 #include <mutex>
 
 namespace {
@@ -241,75 +242,93 @@ struct Pipe {
   float* wsi_slots = nullptr;
   uint8_t* mask_slots = nullptr;
   int64_t n_slots = 0;
+  int64_t n_tasks = 0;  // total bag-fill tasks (sum of batch sizes)
 
   std::mutex mu;
   std::condition_variable cv;
   std::vector<int> slot_state;  // 0 free, 1 ready (holding batch slot_batch[i])
   std::vector<int64_t> slot_batch;
-  // Per-slot fill order: slot s must next be filled by THIS batch index.
-  // Without it, two workers whose claims map to the same slot (|b - b'| a
-  // multiple of n_slots) can acquire it out of order and deadlock the
-  // in-order consumer.
+  // Per-slot fill order: slot s must next be ACQUIRED by this batch index —
+  // out-of-order acquisition would deadlock the in-order consumer.
   std::vector<int64_t> slot_next_fill;
-  std::atomic<int64_t> next_to_fill{0};
+  // Per-batch lifecycle: 0 = slot not yet acquired, 1 = acquired (bags may
+  // fill). Readiness is tracked by `remaining` hitting zero.
+  std::vector<int> batch_state;
+  std::unique_ptr<std::atomic<int64_t>[]> remaining;
+  std::vector<int64_t> task_batch;  // task index -> batch index
+  std::atomic<int64_t> next_task{0};
   int64_t next_to_consume = 0;
   std::atomic<int> error{0};
   bool stopping = false;
   std::vector<std::thread> workers;
 };
 
+// Fill one bag (task t) of batch b into its slot row. Bags are zero-padded to
+// max_bucket so the consumer can take a [:, :bucket] view.
+void fill_bag(Pipe* p, int64_t b, int64_t t) {
+  int64_t slot = b % p->n_slots;
+  int64_t row = t - p->batch_offsets[b];
+  int64_t bucket = p->batch_buckets[b];
+  float* dst = p->wsi_slots +
+               (slot * p->batch_size + row) * p->max_bucket * p->dim;
+  uint8_t* mdst = p->mask_slots + (slot * p->batch_size + row) * p->max_bucket;
+  int64_t id = p->flat_ids[t];
+  if (id < 0 || id >= (int64_t)p->store->bags.size()) {
+    p->error.store(2);
+    return;
+  }
+  const Bag& bag = p->store->bags[id];
+  int64_t rows = bag.rows < bucket ? bag.rows : bucket;
+  int fd = open(bag.path.c_str(), O_RDONLY);
+  if (fd < 0) { p->error.store(4); return; }
+  void* mapped = mmap(nullptr, bag.file_size, PROT_READ, MAP_PRIVATE, fd, 0);
+  close(fd);
+  if (mapped == MAP_FAILED) { p->error.store(5); return; }
+  memcpy(dst, (const char*)mapped + bag.data_offset,
+         (size_t)rows * p->dim * sizeof(float));
+  munmap(mapped, bag.file_size);
+  if (rows < p->max_bucket)
+    memset(dst + rows * p->dim, 0,
+           (size_t)(p->max_bucket - rows) * p->dim * sizeof(float));
+  memset(mdst, 1, (size_t)rows);
+  if (rows < p->max_bucket)
+    memset(mdst + rows, 0, (size_t)(p->max_bucket - rows));
+}
+
+// Work-stealing worker: tasks are individual bag fills claimed in flat order,
+// so several workers cooperate on the same batch (low fill latency) and at
+// most a handful of consecutive batches are in flight (bounded by the slot
+// ring + monotone claims).
 void pipe_worker(Pipe* p) {
   for (;;) {
-    int64_t b = p->next_to_fill.fetch_add(1);
-    if (b >= p->n_batches) return;
+    int64_t t = p->next_task.fetch_add(1);
+    if (t >= p->n_tasks) return;
+    int64_t b = p->task_batch[t];
     int64_t slot = b % p->n_slots;
     {
       std::unique_lock<std::mutex> lock(p->mu);
       p->cv.wait(lock, [&] {
-        return p->stopping ||
-               (p->slot_state[slot] == 0 && p->slot_next_fill[slot] == b);
+        return p->stopping || p->batch_state[b] == 1 ||
+               (p->batch_state[b] == 0 && p->slot_state[slot] == 0 &&
+                p->slot_next_fill[slot] == b);
       });
       if (p->stopping) return;
-      p->slot_state[slot] = 2;  // filling
-      p->slot_next_fill[slot] = b + p->n_slots;
-    }
-    float* wsi = p->wsi_slots + slot * p->batch_size * p->max_bucket * p->dim;
-    uint8_t* mask = p->mask_slots + slot * p->batch_size * p->max_bucket;
-    int64_t start = p->batch_offsets[b];
-    int64_t count = p->batch_offsets[b + 1] - start;
-    int64_t bucket = p->batch_buckets[b];
-    // fill `count` bags, zero-padding rows to max_bucket
-    for (int64_t i = 0; i < count; ++i) {
-      int64_t id = p->flat_ids[start + i];
-      float* dst = wsi + i * p->max_bucket * p->dim;
-      uint8_t* mdst = mask + i * p->max_bucket;
-      if (id < 0 || id >= (int64_t)p->store->bags.size()) {
-        p->error.store(2);
-        continue;
+      if (p->batch_state[b] == 0) {  // first worker of this batch: claim slot
+        p->slot_state[slot] = 2;     // filling
+        p->slot_next_fill[slot] = b + p->n_slots;
+        p->batch_state[b] = 1;
+        p->cv.notify_all();  // peers waiting to fill bags of b
       }
-      const Bag& bag = p->store->bags[id];
-      int64_t rows = bag.rows < bucket ? bag.rows : bucket;
-      int fd = open(bag.path.c_str(), O_RDONLY);
-      if (fd < 0) { p->error.store(4); continue; }
-      void* mapped = mmap(nullptr, bag.file_size, PROT_READ, MAP_PRIVATE, fd, 0);
-      close(fd);
-      if (mapped == MAP_FAILED) { p->error.store(5); continue; }
-      memcpy(dst, (const char*)mapped + bag.data_offset,
-             (size_t)rows * p->dim * sizeof(float));
-      munmap(mapped, bag.file_size);
-      if (rows < p->max_bucket)
-        memset(dst + rows * p->dim, 0,
-               (size_t)(p->max_bucket - rows) * p->dim * sizeof(float));
-      memset(mdst, 1, (size_t)rows);
-      if (rows < p->max_bucket)
-        memset(mdst + rows, 0, (size_t)(p->max_bucket - rows));
     }
-    {
-      std::lock_guard<std::mutex> lock(p->mu);
-      p->slot_state[slot] = 1;
-      p->slot_batch[slot] = b;
+    fill_bag(p, b, t);
+    if (p->remaining[b].fetch_sub(1) == 1) {  // last bag of the batch
+      {
+        std::lock_guard<std::mutex> lock(p->mu);
+        p->slot_state[slot] = 1;  // ready
+        p->slot_batch[slot] = b;
+      }
+      p->cv.notify_all();
     }
-    p->cv.notify_all();
   }
 }
 
@@ -338,6 +357,15 @@ void* bl_pipe_create(void* store, const int64_t* flat_ids,
   p->slot_batch.assign(n_slots, -1);
   p->slot_next_fill.resize(n_slots);
   for (int64_t i = 0; i < n_slots; ++i) p->slot_next_fill[i] = i;
+  p->batch_state.assign(n_batches, 0);
+  p->n_tasks = batch_offsets[n_batches];
+  p->remaining.reset(new std::atomic<int64_t>[n_batches]);
+  p->task_batch.resize(p->n_tasks);
+  for (int64_t b = 0; b < n_batches; ++b) {
+    p->remaining[b].store(batch_offsets[b + 1] - batch_offsets[b]);
+    for (int64_t t = batch_offsets[b]; t < batch_offsets[b + 1]; ++t)
+      p->task_batch[t] = b;
+  }
   int n_threads = threads > 0 ? threads : 2;
   for (int t = 0; t < n_threads; ++t) p->workers.emplace_back(pipe_worker, p);
   return p;
@@ -375,7 +403,7 @@ void bl_pipe_destroy(void* pipe) {
   {
     std::lock_guard<std::mutex> lock(p->mu);
     p->stopping = true;
-    p->next_to_fill.store(p->n_batches);
+    p->next_task.store(p->n_tasks);
   }
   p->cv.notify_all();
   for (auto& t : p->workers) t.join();
