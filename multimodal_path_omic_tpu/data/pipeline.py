@@ -166,25 +166,24 @@ class BucketBatcher:
                 plan.append((idxs, b))
         return plan
 
-    # slot-ring budget for the C++ pipelined executor (bytes of wsi buffers).
-    # Tradeoff: the executor fills each batch on ONE worker (three batches in
-    # flight), which overlaps fully with training compute; a consumer that
-    # does no work between batches drains faster via the per-batch
-    # multi-threaded fill. Training is the target, so the pipeline is the
-    # default when available.
+    # slot-ring budget for the C++ pipelined executor (bytes of wsi buffers)
     PIPELINE_BUDGET_BYTES = 2 << 30
+    # The pipelined executor is OPT-IN: its yielded wsi arrays alias reusable
+    # slot buffers, and jax.device_put on CPU can zero-copy numpy views — a
+    # consumer that holds the device array past the next iteration would read
+    # recycled memory. Enable only where the consumer copies/uploads each
+    # batch synchronously before advancing.
+    use_native_pipeline: bool = False
 
     def batches(self) -> Iterator[Batch]:
         """Yield bucketed padded batches.
 
-        ALIASING CONTRACT: when the native pipeline is engaged, a yielded
-        batch's ``wsi`` array aliases a reusable slot buffer — consume it
-        (device transfer or copy) BEFORE advancing the iterator. The Trainer
-        and Predictor transfer inside their prefetch stage; plain sequential
-        loops are naturally safe.
+        ALIASING CONTRACT when ``use_native_pipeline`` is set: a yielded
+        batch's ``wsi`` array aliases a reusable slot buffer — copy it (or
+        complete a guaranteed-copy transfer) BEFORE advancing the iterator.
         """
         plan = self._epoch_plan()
-        if self._native is not None and plan:
+        if self.use_native_pipeline and self._native is not None and plan:
             max_bucket = max(b for _, b in plan)
             dim = self._native.dim(self.dataset.slide_id(int(plan[0][0][0])))
             n_slots = 3

@@ -95,9 +95,7 @@ class Predictor:
         )
         rows: Dict[str, list] = {}
 
-        # transfer in the prefetch thread: pipelined batches alias reusable
-        # slot buffers, so they must reach the device before the iterator
-        # advances (same contract as the Trainer loop)
+        # transfer in the prefetch thread so host IO overlaps device compute
         def _staged(batches):
             for b in batches:
                 yield b, t._device_batch(b)

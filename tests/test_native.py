@@ -107,3 +107,26 @@ def test_native_pipeline_many_batches(cohort):
     pipe = native.NativePipeline(store, plan, batch_size=2, dim=1024, n_slots=3, threads=3)
     order = [b for b, _, _ in pipe.batches()]
     assert order == list(range(17))
+
+
+def test_batcher_opt_in_pipeline_matches(cohort):
+    """Opt-in pipelined batches equal the default path when each batch is
+    copied before advancing (the documented aliasing contract)."""
+    csv, sig, patches = cohort
+    from multimodal_path_omic_tpu.data import BucketBatcher, MultimodalDataset
+    from multimodal_path_omic_tpu.data.pipeline import survival_extras
+    from multimodal_path_omic_tpu.data.synthetic import synthetic_config_dict
+
+    cfg = synthetic_config_dict(csv, sig, patches)
+    ds = MultimodalDataset(csv, cfg, use_signatures=True)
+    ref_b = BucketBatcher(ds, survival_extras, 4, (512,), shuffle=False)
+    ref = [(b["wsi"].copy(), b["mask"].copy(), b["label"].copy()) for b in ref_b.batches()]
+
+    pipe_b = BucketBatcher(ds, survival_extras, 4, (512,), shuffle=False)
+    pipe_b.use_native_pipeline = True
+    got = [(b["wsi"].copy(), b["mask"].copy(), b["label"].copy()) for b in pipe_b.batches()]
+    assert len(ref) == len(got)
+    for (w1, m1, l1), (w2, m2, l2) in zip(ref, got):
+        np.testing.assert_array_equal(w1, w2)
+        np.testing.assert_array_equal(m1, m2)
+        np.testing.assert_array_equal(l1, l2)
