@@ -116,9 +116,10 @@ def cox_survival(
         # padded (weight-0) samples must not appear in any risk set
         r_mat = r_mat * sample_weight.astype(theta.dtype)[None, :]
     exp_theta = jnp.exp(theta)
-    per = (theta - jnp.log(jnp.sum(exp_theta[None, :] * r_mat, axis=1))) * (
-        1.0 - c.astype(theta.dtype)
-    )
+    # a weight-0 padded row can end up with an empty risk set (log 0 = -inf,
+    # and -inf * 0 = NaN in the weighted mean) — clamp the reduction
+    risk_sum = jnp.maximum(jnp.sum(exp_theta[None, :] * r_mat, axis=1), 1e-30)
+    per = (theta - jnp.log(risk_sum)) * (1.0 - c.astype(theta.dtype))
     return -_wmean(per, sample_weight)
 
 

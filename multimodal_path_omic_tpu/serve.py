@@ -62,7 +62,7 @@ class Predictor:
         The bag is padded to its bucket; outputs are de-batched.
         """
         t = self._t
-        bucket = bucket_for(bag.shape[0], tuple(t.config.tpu.bag_buckets))
+        bucket = bucket_for(bag.shape[0], t.buckets)
         padded, mask = pad_bag(np.asarray(bag, np.float32), bucket)
         batch: Dict[str, Any] = {
             "wsi": padded[None],
@@ -90,7 +90,7 @@ class Predictor:
             dataset,
             t.extras_fn,
             t.batch_size,
-            tuple(t.config.tpu.bag_buckets),
+            t.buckets,
             shuffle=False,
         )
         rows: Dict[str, list] = {}

@@ -225,10 +225,15 @@ def make_train_step(
 
         if l1_lambda and l1_lambda > 0.0:
             # L1 regularization over all params (reference: utils.py:33-40,
-            # mcat/main.py:51-54, 314-318)
+            # mcat/main.py:51-54, 314-318). The reference backwards
+            # ``loss/grad_acc_step + loss_reg`` for EVERY sample
+            # (mcat/main.py:69-70), so the effective per-step L1 gradient is
+            # n_samples * lambda — matched here by scaling with w_sum — while
+            # the REPORTED loss adds loss_reg once per sample mean
+            # (mcat/main.py:60), i.e. a single lambda * reg term.
             reg, reg_grads = jax.value_and_grad(L.l1_reg)(state.params)
             grads = jax.tree_util.tree_map(
-                lambda g, r: g + l1_lambda * r, grads, reg_grads
+                lambda g, r: g + l1_lambda * w_sum * r, grads, reg_grads
             )
             loss = loss + l1_lambda * reg
 
@@ -249,8 +254,14 @@ def make_train_step(
 def make_eval_step(
     model, loss_name: str, *, alpha: float = 0.75, ge_mode: bool = False,
     need_attention: bool = False, omic_sizes: Optional[Tuple[int, ...]] = None,
+    l1_lambda: float = 0.0,
 ) -> Callable:
-    """Jitted no-grad eval step mirroring validate() (mcat/main.py:106-155)."""
+    """Jitted no-grad eval step mirroring validate() (mcat/main.py:106-155).
+
+    When ``training.lambda`` is set the reference adds ``reg_function(model) *
+    lambda`` to every per-sample val loss (mcat/main.py:134-147, same in
+    ge_nacagat/main.py:105-110) — reproduced via ``l1_lambda``.
+    """
     want_attn = need_attention or loss_name == "cesar"
 
     @jax.jit
@@ -264,9 +275,15 @@ def make_eval_step(
             need_attention=want_attn,
         )
         weight = batch["weight"]
+        reg_term = (
+            l1_lambda * L.l1_reg(params) if l1_lambda and l1_lambda > 0.0 else 0.0
+        )
         if ge_mode:
             y, attn = out
-            loss = L.cross_entropy_on_probs(y, batch["label"], sample_weight=weight)
+            loss = (
+                L.cross_entropy_on_probs(y, batch["label"], sample_weight=weight)
+                + reg_term
+            )
             # 'path' MIL scores are always produced (the GE export consumes
             # them, reference: ge_nacagat/main.py:140-142); 'attn' (M x M) is
             # None unless explicitly requested.
@@ -286,7 +303,7 @@ def make_eval_step(
             weight,
         )
         return {
-            "loss": loss,
+            "loss": loss + reg_term,
             "attn_loss": attn_loss,
             "risk": -jnp.sum(out.survs, axis=1),
             "hazards": out.hazards,

@@ -99,14 +99,17 @@ class Trainer:
             if self.test_ds is not None:
                 print(f"Testing patient {c.training.leave_one_out}")
 
-        buckets = tuple(c.tpu.bag_buckets) or DEFAULT_BUCKETS
+        # resolved once; every batcher (train/val/test/predict) must use this,
+        # not the raw config value — an empty tpu.bag_buckets otherwise trains
+        # fine but crashes in bucket_for at test/predict time
+        self.buckets = tuple(c.tpu.bag_buckets) or DEFAULT_BUCKETS
         self.batch_size = c.tpu.batch_size or c.training.grad_acc_step
         self.train_batcher = BucketBatcher(
-            self.train_ds, self.extras_fn, self.batch_size, buckets,
+            self.train_ds, self.extras_fn, self.batch_size, self.buckets,
             shuffle=True, seed=c.training.seed,
         )
         self.val_batcher = BucketBatcher(
-            self.val_ds, self.extras_fn, self.batch_size, buckets, shuffle=False
+            self.val_ds, self.extras_fn, self.batch_size, self.buckets, shuffle=False
         )
 
         # ----- mesh scale-out (parallel/mesh.py) ----------------------------
@@ -189,6 +192,7 @@ class Trainer:
         self.eval_step = make_eval_step(
             self.model, c.training.loss, alpha=c.training.alpha,
             ge_mode=self.ge_mode, omic_sizes=tuple(self.omic_sizes),
+            l1_lambda=c.training.lambda_,
         )
 
         self.logger = MetricLogger(
@@ -426,7 +430,7 @@ class Trainer:
         out_dir = c.training.test_output_dir
         os.makedirs(out_dir, exist_ok=True)
         batcher = BucketBatcher(
-            self.test_ds, self.extras_fn, 1, tuple(c.tpu.bag_buckets), shuffle=False
+            self.test_ds, self.extras_fn, 1, self.buckets, shuffle=False
         )
         # GE exports the MIL 'path' scores [1, M] (ge_nacagat/main.py:140-142)
         # — the M x M map is never materialized; survival models export the
@@ -517,6 +521,9 @@ class Trainer:
             step=jnp.asarray(payload["step"], jnp.int32),
         )
         self.starting_epoch = int(payload["epoch"])
+        # resume must reproduce the shuffle order an uninterrupted run would
+        # use at this epoch (the batcher seeds each epoch as seed + epoch)
+        self.train_batcher._epoch = self.starting_epoch
 
     def load_torch_checkpoint(self, path: str) -> None:
         """Drop-in restore of a reference PyTorch checkpoint's model weights."""
@@ -535,6 +542,7 @@ class Trainer:
         )
         self.state = self.state._replace(params=params["params"])
         self.starting_epoch = int(payload.get("epoch", 0))
+        self.train_batcher._epoch = self.starting_epoch
 
     # -------------------------------------------------------------------- fit
     def fit(self) -> Dict[str, float]:

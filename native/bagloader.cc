@@ -49,6 +49,9 @@ struct Store {
 };
 
 // Parse a .npy v1/v2 header; only little-endian float32, C-order, 2-D.
+// Requires bag->file_size to be set: the header-declared payload must fit
+// inside the file, or a truncated/corrupt .npy would let fill paths memcpy
+// past the mmapped region (SIGBUS) or copy garbage.
 bool parse_npy_header(int fd, Bag* bag) {
   unsigned char magic[8];
   if (pread(fd, magic, 8, 0) != 8) return false;
@@ -83,6 +86,9 @@ bool parse_npy_header(int fd, Bag* bag) {
   bag->rows = rows;
   bag->cols = cols;
   bag->data_offset = header_start + header_len;
+  // Reject files whose payload does not match the declared shape.
+  int64_t payload = (int64_t)rows * cols * (int64_t)sizeof(float);
+  if (bag->data_offset + payload > bag->file_size) return false;
   return true;
 }
 
@@ -110,8 +116,8 @@ void* bl_open(const char* dir) {
     int fd = open(bag.path.c_str(), O_RDONLY);
     if (fd < 0) continue;
     struct stat st;
-    if (fstat(fd, &st) == 0 && parse_npy_header(fd, &bag)) {
-      bag.file_size = st.st_size;
+    if (fstat(fd, &st) == 0 && (bag.file_size = st.st_size, true) &&
+        parse_npy_header(fd, &bag)) {
       std::string stem = name.substr(0, name.size() - 4);
       store->index[stem] = (int64_t)store->bags.size();
       store->bags.push_back(std::move(bag));
@@ -278,6 +284,10 @@ void fill_bag(Pipe* p, int64_t b, int64_t t) {
     return;
   }
   const Bag& bag = p->store->bags[id];
+  if (bag.cols != p->dim) {  // same check as bl_load_batch
+    p->error.store(3);
+    return;
+  }
   int64_t rows = bag.rows < bucket ? bag.rows : bucket;
   int fd = open(bag.path.c_str(), O_RDONLY);
   if (fd < 0) { p->error.store(4); return; }

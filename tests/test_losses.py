@@ -182,6 +182,19 @@ def test_cox_weight_masks_risk_sets():
     assert np.isclose(float(masked), float(ref), atol=1e-6)
 
 
+def test_cox_padded_row_with_empty_risk_set_stays_finite():
+    """A weight-0 padded row whose time exceeds every real sample's gets an
+    EMPTY risk set — log(0) would poison the weighted mean with -inf * 0."""
+    theta = jnp.array([1.0, 2.0, 0.5])
+    months = jnp.array([5.0, 3.0, 100.0])  # padded row outlives everyone
+    c = jnp.array([0.0, 0.0, 0.0])
+    w = jnp.array([1.0, 1.0, 0.0])
+    masked = losses.cox_survival(theta, months, c, sample_weight=w)
+    assert np.isfinite(float(masked))
+    ref = losses.cox_survival(theta[:2], months[:2], c[:2])
+    assert np.isclose(float(masked), float(ref), atol=1e-6)
+
+
 def test_masked_softmax_fully_masked_row_is_finite():
     from multimodal_path_omic_tpu.ops.layers import masked_softmax
 

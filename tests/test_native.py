@@ -76,6 +76,40 @@ def test_missing_bag_raises(cohort):
         store.load_batch(["nonexistent_slide"], 64, 1024)
 
 
+def test_truncated_npy_rejected_at_open(tmp_path):
+    """A .npy whose header-declared payload exceeds the file size must be
+    skipped at index time (it would otherwise SIGBUS the fill memcpy)."""
+    import os
+
+    good = np.random.default_rng(0).normal(size=(16, 32)).astype(np.float32)
+    np.save(tmp_path / "good.npy", good)
+    np.save(tmp_path / "bad.npy", good)
+    # truncate the payload, keeping the header intact
+    full = os.path.getsize(tmp_path / "bad.npy")
+    os.truncate(tmp_path / "bad.npy", full - 512)
+    store = native.NativeBagStore(str(tmp_path))
+    assert store.exists("good")
+    assert not store.exists("bad")
+
+
+def test_pipeline_dim_mismatch_errors(tmp_path):
+    """fill_bag must reject bags whose feature dim differs from the batch's
+    (same check bl_load_batch performs) instead of memcpy-ing garbage."""
+    rng = np.random.default_rng(1)
+    np.save(tmp_path / "a.npy", rng.normal(size=(8, 64)).astype(np.float32))
+    np.save(tmp_path / "b.npy", rng.normal(size=(8, 32)).astype(np.float32))
+    store = native.NativeBagStore(str(tmp_path))
+    # batch path
+    with pytest.raises(IOError):
+        store.load_batch(["a", "b"], bucket=16, dim=64)
+    # pipelined path
+    pipe = native.NativePipeline(
+        store, [(["a", "b"], 16)], batch_size=2, dim=64, n_slots=2
+    )
+    with pytest.raises(IOError):
+        list(pipe.batches())
+
+
 def test_native_pipeline_matches_batch_loads(cohort):
     """The pipelined executor yields byte-identical batches, in plan order."""
     csv, sig, patches = cohort
