@@ -22,7 +22,7 @@ import sys
 from typing import Any, Dict, List, Optional
 
 
-def _parse_overrides(pairs: List[str]) -> Dict[str, Any]:
+def _parse_overrides(pairs: List[str], args=None) -> Dict[str, Any]:
     import yaml
 
     overrides: Dict[str, Any] = {}
@@ -31,6 +31,8 @@ def _parse_overrides(pairs: List[str]) -> Dict[str, Any]:
             raise SystemExit(f"--set expects key=value, got {pair!r}")
         key, value = pair.split("=", 1)
         overrides[key] = yaml.safe_load(value)
+    if args is not None and getattr(args, "bug_compat", False):
+        overrides["training.bug_compat"] = True
     return overrides
 
 
@@ -38,7 +40,7 @@ def cmd_train(args) -> int:
     from multimodal_path_omic_tpu.config import load_config
     from multimodal_path_omic_tpu.train.trainer import Trainer
 
-    cfg = load_config(args.config, _parse_overrides(args.set))
+    cfg = load_config(args.config, _parse_overrides(args.set, args))
     trainer = Trainer(cfg)
     if args.torch_checkpoint:
         trainer.load_torch_checkpoint(args.torch_checkpoint)
@@ -57,7 +59,7 @@ def cmd_validate(args) -> int:
     from multimodal_path_omic_tpu.config import load_config
     from multimodal_path_omic_tpu.train.trainer import Trainer
 
-    cfg = load_config(args.config, _parse_overrides(args.set))
+    cfg = load_config(args.config, _parse_overrides(args.set, args))
     trainer = Trainer(cfg)
     if args.checkpoint:
         trainer.restore(args.checkpoint)
@@ -72,7 +74,7 @@ def cmd_export_attn(args) -> int:
     from multimodal_path_omic_tpu.config import load_config
     from multimodal_path_omic_tpu.train.trainer import Trainer
 
-    overrides = _parse_overrides(args.set)
+    overrides = _parse_overrides(args.set, args)
     overrides["training.leave_one_out"] = args.patient
     cfg = load_config(args.config, overrides)
     trainer = Trainer(cfg)
@@ -88,7 +90,7 @@ def cmd_predict(args) -> int:
     from multimodal_path_omic_tpu.config import load_config
     from multimodal_path_omic_tpu.serve import Predictor
 
-    cfg = load_config(args.config, _parse_overrides(args.set))
+    cfg = load_config(args.config, _parse_overrides(args.set, args))
     predictor = Predictor.from_config(
         cfg, checkpoint=args.checkpoint, torch_checkpoint=args.torch_checkpoint
     )
@@ -103,7 +105,7 @@ def cmd_convert_checkpoint(args) -> int:
     from multimodal_path_omic_tpu.train import checkpoint as ckpt
     from multimodal_path_omic_tpu.train.trainer import Trainer
 
-    cfg = load_config(args.config, _parse_overrides(args.set))
+    cfg = load_config(args.config, _parse_overrides(args.set, args))
     trainer = Trainer(cfg)
     trainer.load_torch_checkpoint(args.torch_checkpoint)
     path = trainer.save(trainer.starting_epoch - 1 if trainer.starting_epoch else 0, 0.0)
@@ -120,6 +122,11 @@ def main(argv: Optional[List[str]] = None) -> int:
         p.add_argument("--set", action="append", metavar="KEY=VALUE",
                        help="dotted config override, e.g. training.lr=1e-4")
         p.add_argument("--torch-checkpoint", help="reference .pt checkpoint to load")
+        p.add_argument(
+            "--bug-compat", action="store_true",
+            help="replicate the reference's bugs exactly (unseeded split, "
+            "misaligned signature subsets, frozen fusion gates) for A/B studies",
+        )
 
     p_train = sub.add_parser("train", help="train a model (mcat/nacagat/ge_nacagat)")
     common(p_train)

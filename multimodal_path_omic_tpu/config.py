@@ -89,10 +89,22 @@ class TrainingConfig:
     lambda_: float = 0.0  # "lambda" in YAML; L1 reg coefficient
     gamma: float = 1.0
     seed: int = 0  # NEW: the reference split shuffle is unseeded (dataset.py:154)
+    # Attention-map export format: "npy" (native) or "pt" (drop-in compatible
+    # with the reference's torch.save export, mcat/main.py:180-183).
+    attn_export_format: str = "npy"
+    # Replicate the reference's bugs exactly for A/B reproduction studies
+    # (SURVEY.md §7.1): unseeded patient split (dataset.py:154), misaligned
+    # signature/label subsets in splits (dataset.py:238-241, ge_dataset.py:114),
+    # frozen untrained gates in GatedConcatFusion (fusion.py:25-27).
+    bug_compat: bool = False
 
     def __post_init__(self):
         if self.loss not in VALID_LOSSES:
             raise ValueError(f"loss must be one of {VALID_LOSSES}, got {self.loss!r}")
+        if self.attn_export_format not in ("npy", "pt"):
+            raise ValueError(
+                f'attn_export_format must be "npy" or "pt", got {self.attn_export_format!r}'
+            )
         if self.scheduler not in VALID_SCHEDULERS:
             raise ValueError(
                 f"scheduler must be one of {VALID_SCHEDULERS}, got {self.scheduler!r}"

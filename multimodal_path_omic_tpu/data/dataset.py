@@ -115,9 +115,16 @@ class MultimodalDataset:
         )
 
     def split(
-        self, train_size: float, test: bool = False, patient: str = "", seed: int = 0
+        self,
+        train_size: float,
+        test: bool = False,
+        patient: str = "",
+        seed: Optional[int] = 0,
+        bug_compat: bool = False,
     ) -> Tuple["MultimodalDataset", "MultimodalDataset", Optional["MultimodalDataset"]]:
-        tr, va, te = self.table.split(train_size, seed=seed, test=test, patient=patient)
+        tr, va, te = self.table.split(
+            train_size, seed=seed, test=test, patient=patient, bug_compat=bug_compat
+        )
         return (
             self._with_table(tr),
             self._with_table(va),
@@ -189,8 +196,17 @@ class GeneExprDataset:
     def __getitem__(self, index: int):
         return self.table.gene_expr_class[index], self.bag(index)
 
-    def split(self, train_size: float, test: bool = False, patient: str = "", seed: int = 0):
-        tr, va, te = self.table.split(train_size, seed=seed, test=test, patient=patient)
+    def split(
+        self,
+        train_size: float,
+        test: bool = False,
+        patient: str = "",
+        seed: Optional[int] = 0,
+        bug_compat: bool = False,
+    ):
+        tr, va, te = self.table.split(
+            train_size, seed=seed, test=test, patient=patient, bug_compat=bug_compat
+        )
         return (
             self._with_table(tr),
             self._with_table(va),

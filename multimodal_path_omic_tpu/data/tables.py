@@ -74,13 +74,14 @@ def patient_level_split(
     patients: np.ndarray,
     train_size: float,
     *,
-    seed: int = 0,
+    seed: Optional[int] = 0,
     test: bool = False,
     patient: str = "",
 ):
     """Row indices for a seeded patient-level split (reference semantics:
-    dataset.py:145-185, but reproducible). Returns (train_rows, val_rows,
-    test_rows-or-None)."""
+    dataset.py:145-185, but reproducible). ``seed=None`` reproduces the
+    reference's UNSEEDED shuffle (dataset.py:154) for bug-compat runs.
+    Returns (train_rows, val_rows, test_rows-or-None)."""
     if not 0 < train_size < 1:
         raise ValueError("train_size should be a float between 0 and 1.")
     rng = np.random.default_rng(seed)
@@ -209,10 +210,16 @@ class MultimodalTable:
     def __len__(self) -> int:
         return len(self.df)
 
-    def subset(self, rows: np.ndarray) -> "MultimodalTable":
+    def subset(
+        self, rows: np.ndarray, misalign_signatures: bool = False
+    ) -> "MultimodalTable":
         """Row-aligned subset (fixes the reference's signature misalignment,
-        dataset.py:238-241)."""
+        dataset.py:238-241). ``misalign_signatures`` replicates the reference
+        bug instead: signature omics come from rows 0..n-1 of the ORIGINAL
+        tensors (``from_dataframe`` indexes with the reset index), so they are
+        misaligned with the subset's patients — for bug-compat A/B studies."""
         rows = np.asarray(rows)
+        sig_rows = np.arange(len(rows)) if misalign_signatures else rows
         return MultimodalTable(
             df=self.df.iloc[rows].reset_index(drop=True),
             slide_ids=self.slide_ids[rows],
@@ -225,7 +232,7 @@ class MultimodalTable:
             mut=self.mut[rows],
             use_signatures=self.use_signatures,
             signature_names=self.signature_names,
-            signature_data={k: v[rows] for k, v in self.signature_data.items()},
+            signature_data={k: v[sig_rows] for k, v in self.signature_data.items()},
             signature_sizes=self.signature_sizes,
         )
 
@@ -247,22 +254,29 @@ class MultimodalTable:
         self,
         train_size: float,
         *,
-        seed: int = 0,
+        seed: Optional[int] = 0,
         test: bool = False,
         patient: str = "",
+        bug_compat: bool = False,
     ) -> Tuple["MultimodalTable", "MultimodalTable", Optional["MultimodalTable"]]:
         """Patient-level split (reference: dataset.py:145-185), seeded.
 
         With ``test=True`` the named ``patient`` becomes a one-patient test set
         excluded from train and val (leave-one-out, dataset.py:164-171).
+        ``bug_compat`` replicates the reference exactly: unseeded shuffle +
+        misaligned signature subsets (dataset.py:154, 238-241).
         """
         tr, va, te = patient_level_split(
-            self.patients, train_size, seed=seed, test=test, patient=patient
+            self.patients,
+            train_size,
+            seed=None if bug_compat else seed,
+            test=test,
+            patient=patient,
         )
         return (
-            self.subset(tr),
-            self.subset(va),
-            self.subset(te) if te is not None else None,
+            self.subset(tr, misalign_signatures=bug_compat),
+            self.subset(va, misalign_signatures=bug_compat),
+            self.subset(te, misalign_signatures=bug_compat) if te is not None else None,
         )
 
 
@@ -308,21 +322,38 @@ class GeneExprTable:
     def __len__(self) -> int:
         return len(self.df)
 
-    def subset(self, rows: np.ndarray) -> "GeneExprTable":
+    def subset(self, rows: np.ndarray, misalign_labels: bool = False) -> "GeneExprTable":
+        """``misalign_labels`` replicates the reference's from_dataframe bug:
+        the subset keeps positions 0..n-1 of the ORIGINAL gene_expr_class
+        array (ge_dataset.py:114 copies the full array; __getitem__ then
+        indexes it by subset row position)."""
         rows = np.asarray(rows)
+        label_rows = np.arange(len(rows)) if misalign_labels else rows
         return GeneExprTable(
             df=self.df.iloc[rows].reset_index(drop=True),
             slide_ids=self.slide_ids[rows],
             patients=self.patients[rows],
-            gene_expr_class=self.gene_expr_class[rows],
+            gene_expr_class=self.gene_expr_class[label_rows],
         )
 
-    def split(self, train_size: float, *, seed: int = 0, test: bool = False, patient: str = ""):
+    def split(
+        self,
+        train_size: float,
+        *,
+        seed: Optional[int] = 0,
+        test: bool = False,
+        patient: str = "",
+        bug_compat: bool = False,
+    ):
         tr, va, te = patient_level_split(
-            self.patients, train_size, seed=seed, test=test, patient=patient
+            self.patients,
+            train_size,
+            seed=None if bug_compat else seed,
+            test=test,
+            patient=patient,
         )
         return (
-            self.subset(tr),
-            self.subset(va),
-            self.subset(te) if te is not None else None,
+            self.subset(tr, misalign_labels=bug_compat),
+            self.subset(va, misalign_labels=bug_compat),
+            self.subset(te, misalign_labels=bug_compat) if te is not None else None,
         )

@@ -39,7 +39,7 @@ def survival_head(logits: jnp.ndarray) -> SurvivalOutput:
 def build_model(name: str, *, omic_sizes: Sequence[int] = (), model_size: str = "medium",
                 fusion: str = "concat", n_classes: Optional[int] = None,
                 dropout: float = 0.25, dtype=None, use_pallas: bool = False,
-                ring_mesh: Any = None) -> Any:
+                ring_mesh: Any = None, bug_compat: bool = False) -> Any:
     """Model factory keyed by the reference's config ``model.name`` values."""
     from multimodal_path_omic_tpu.models.ge_nacagat import GENaCAGaT
     from multimodal_path_omic_tpu.models.mcat import MCAT
@@ -50,13 +50,13 @@ def build_model(name: str, *, omic_sizes: Sequence[int] = (), model_size: str = 
         return MCAT(
             n_signatures=len(omic_sizes), model_size=model_size, fusion=fusion,
             n_classes=n_classes or 4, dropout_rate=dropout, dtype=dtype,
-            use_pallas=use_pallas, ring_mesh=ring_mesh,
+            use_pallas=use_pallas, ring_mesh=ring_mesh, bug_compat=bug_compat,
         )
     if key in ("nacagat", "narrowcontextualattentiongatetransformer"):
         return NaCAGaT(
             n_signatures=len(omic_sizes), model_size=model_size, fusion=fusion,
             n_classes=n_classes or 4, dropout_rate=dropout, dtype=dtype,
-            use_pallas=use_pallas, ring_mesh=ring_mesh,
+            use_pallas=use_pallas, ring_mesh=ring_mesh, bug_compat=bug_compat,
         )
     if key in ("ge_nacagat", "genacagat", "geneexpr_nacagat", "geneexprnacagat"):
         return GENaCAGaT(

@@ -56,6 +56,8 @@ class MCAT(nn.Module):
     # Mesh with a 'seq' axis > 1: the patch axis of K/V is sharded; the
     # co-attention merges shard-local softmax stats (parallel/ring.py)
     ring_mesh: Any = None
+    # Replicate the reference's frozen-gate GatedConcatFusion bug
+    bug_compat: bool = False
 
     @nn.compact
     def __call__(
@@ -126,7 +128,10 @@ class MCAT(nn.Module):
         h_omic, a_omic = pooled[1], scores[1]
 
         # Fusion (mcat.py:69-79, 119)
-        h = make_fusion(self.fusion, hidden=d2, output=d2, dtype=self.dtype, name="fusion_layer")(h_path, h_omic)
+        h = make_fusion(
+            self.fusion, hidden=d2, output=d2, dtype=self.dtype,
+            name="fusion_layer", bug_compat=self.bug_compat,
+        )(h_path, h_omic)
 
         # Survival head (mcat.py:126-138)
         logits = TorchLinear(self.n_classes, dtype=self.dtype, name="classifier")(h)

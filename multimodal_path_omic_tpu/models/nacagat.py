@@ -49,6 +49,8 @@ class NaCAGaT(nn.Module):
     # Mesh with a 'seq' axis > 1: the patch axis of K/V is sharded; the
     # co-attention merges shard-local softmax stats (parallel/ring.py)
     ring_mesh: Any = None
+    # Replicate the reference's frozen-gate GatedConcatFusion bug
+    bug_compat: bool = False
 
     @nn.compact
     def __call__(
@@ -107,7 +109,10 @@ class NaCAGaT(nn.Module):
         h_path, a_path = pooled[0], scores[0]
         h_omic, a_omic = pooled[1], scores[1]
 
-        h = make_fusion(self.fusion, hidden=d2, output=d2, dtype=self.dtype, name="fusion_layer")(h_path, h_omic)
+        h = make_fusion(
+            self.fusion, hidden=d2, output=d2, dtype=self.dtype,
+            name="fusion_layer", bug_compat=self.bug_compat,
+        )(h_path, h_omic)
 
         logits = TorchLinear(self.n_classes, dtype=self.dtype, name="classifier")(h)
         hazards, survs, y = survival_head(logits)

@@ -38,19 +38,45 @@ class GatedConcatFusion(nn.Module):
     Fidelity note: the reference keeps its gate layers in a plain Python list
     (fusion.py:25-27), so their parameters are invisible to the optimizer and
     never trained. Here the gates are proper registered parameters — the
-    documented fix chosen in SURVEY.md §7.1; frozen-random-gate behavior is not
-    replicated.
+    documented fix chosen in SURVEY.md §7.1. ``bug_compat`` restores the
+    reference behavior: gates are applied at their random init but frozen
+    (stop_gradient on the gate params; gradients still flow through the
+    inputs, exactly as unregistered-but-requires-grad torch layers behave).
     """
 
     hidden_size: int = 256
     output_size: int = 256
     dtype: Optional[jnp.dtype] = None
+    bug_compat: bool = False
 
     @nn.compact
     def __call__(self, *x: jnp.ndarray):
         gated = []
         for i, item in enumerate(x):
-            g = jax.nn.sigmoid(TorchLinear(1, dtype=self.dtype, name=f"gate_{i}")(item))
+            if self.bug_compat:
+                # gate params frozen at their random init; gradients still
+                # flow through the data path (the reference's unregistered
+                # gates behave exactly like this under its CPU runs)
+                from multimodal_path_omic_tpu.ops.layers import (
+                    make_torch_bias_init,
+                    torch_linear_kernel_init,
+                )
+
+                fan_in = item.shape[-1]
+                kernel = jax.lax.stop_gradient(
+                    self.param(f"gate_{i}_kernel", torch_linear_kernel_init, (fan_in, 1))
+                )
+                bias = jax.lax.stop_gradient(
+                    self.param(f"gate_{i}_bias", make_torch_bias_init(fan_in), (1,))
+                )
+                g = jax.nn.sigmoid(
+                    jnp.dot(item.astype(self.dtype), kernel.astype(self.dtype))
+                    + bias.astype(self.dtype)
+                )
+            else:
+                g = jax.nn.sigmoid(
+                    TorchLinear(1, dtype=self.dtype, name=f"gate_{i}")(item)
+                )
             gated.append(item * g)
         concat = jnp.concatenate(gated, axis=-1)
         h = jax.nn.relu(TorchLinear(self.hidden_size, dtype=self.dtype, name="fc1")(concat))
@@ -164,12 +190,17 @@ class BilinearFusion(nn.Module):
         return out
 
 
-def make_fusion(kind: str, hidden: int, output: int, dtype=None, name=None) -> nn.Module:
+def make_fusion(
+    kind: str, hidden: int, output: int, dtype=None, name=None, bug_compat: bool = False
+) -> nn.Module:
     """Fusion factory mirroring the reference's config dispatch (mcat.py:69-79)."""
     if kind == "concat":
         return ConcatFusion(hidden_size=hidden, output_size=output, dtype=dtype, name=name)
     if kind == "gated_concat":
-        return GatedConcatFusion(hidden_size=hidden, output_size=output, dtype=dtype, name=name)
+        return GatedConcatFusion(
+            hidden_size=hidden, output_size=output, dtype=dtype, name=name,
+            bug_compat=bug_compat,
+        )
     if kind == "bilinear":
         return BilinearFusion(output_size=output, dtype=dtype, name=name)
     raise RuntimeError(f"Fusion mechanism {kind} not implemented")

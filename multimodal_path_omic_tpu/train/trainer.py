@@ -90,6 +90,7 @@ class Trainer:
             test=self.leave_one_out,
             patient=c.training.leave_one_out or "",
             seed=c.training.seed,
+            bug_compat=c.training.bug_compat,
         )
         if verbose:
             print(
@@ -141,6 +142,7 @@ class Trainer:
             dtype=dtype,
             use_pallas=c.tpu.use_pallas,
             ring_mesh=ring_mesh,
+            bug_compat=c.training.bug_compat,
         )
         rng = jax.random.key(c.training.seed)
         rng, init_rng = jax.random.split(rng)
@@ -326,6 +328,9 @@ class Trainer:
             "epoch_seconds": time.time() - epoch_t0,
         }
         if self.ge_mode:
+            # GE logs each loss under both *_loss and *_mse keys
+            # (ge_nacagat/main.py:82)
+            out["train_mse"] = out["train_loss"]
             msg = f"Epoch: {epoch + 1}, train_loss: {out['train_loss']:.4f}"
         else:
             risks_all = (
@@ -389,6 +394,8 @@ class Trainer:
         out = {"val_loss": float((lv * wv).sum() / max(wv.sum(), 1.0))}
         label = epoch if isinstance(epoch, str) else epoch + 1
         if self.ge_mode:
+            # *_mse alias keys (ge_nacagat/main.py:119)
+            out["val_mse"] = out["val_loss"]
             msg = f"Epoch: {label}, val_loss: {out['val_loss']:.4f}"
         else:
             risks_all = (
@@ -472,15 +479,23 @@ class Trainer:
                     )
             if save:
                 patient = c.training.leave_one_out
+                ext = c.training.attn_export_format
                 if self.ge_mode:
                     # GE naming has no model segment (ge_nacagat/main.py:140)
-                    fname = f"ATTN_{patient}_{now}_E{epoch}_{bi}.npy"
+                    fname = f"ATTN_{patient}_{now}_E{epoch}_{bi}.{ext}"
                 else:
-                    fname = f"ATTN_{c.model.name}_{patient}_{now}_E{epoch}_{bi}.npy"
+                    fname = f"ATTN_{c.model.name}_{patient}_{now}_E{epoch}_{bi}.{ext}"
                 path = os.path.join(out_dir, fname)
                 if self.verbose:
                     print(f"Saving attention in {path}")
-                np.save(path, attn_map)
+                if ext == "pt":
+                    # drop-in compatible with the reference's torch.save
+                    # export (mcat/main.py:180-183, ge_nacagat/main.py:140)
+                    import torch
+
+                    torch.save(torch.from_numpy(np.ascontiguousarray(attn_map)), path)
+                else:
+                    np.save(path, attn_map)
 
     # ------------------------------------------------------------- checkpoint
     def save(self, epoch: int, loss: float) -> str:

@@ -280,3 +280,50 @@ def test_pt_store_length_sidecar(tmp_path):
     # second batcher reads from the sidecar and agrees
     b2 = BucketBatcher(ds, survival_extras, 2, (512,), shuffle=False)
     np.testing.assert_array_equal(lengths1, b2._bag_lengths())
+
+
+# ---------------------------------------------------------------------------
+# --bug-compat: exact replication of the reference's bugs (SURVEY.md §7.1)
+# ---------------------------------------------------------------------------
+
+
+def test_bug_compat_split_is_unseeded(dataset):
+    """bug-compat splits reproduce the reference's UNSEEDED patient shuffle
+    (dataset.py:154): repeated splits give different orders."""
+    orders = [
+        tuple(dataset.split(0.8, seed=7, bug_compat=True)[0].table.patients)
+        for _ in range(5)
+    ]
+    assert len(set(orders)) > 1, "bug-compat split unexpectedly deterministic"
+
+
+def test_bug_compat_misaligns_signature_subsets(dataset):
+    """bug-compat subsets take rows 0..n-1 of the ORIGINAL signature tensors
+    (the reference's from_dataframe reset-index bug, dataset.py:238-241)."""
+    tr, va, _ = dataset.split(0.8, seed=3, bug_compat=True)
+    name = dataset.table.signature_names[0]
+    np.testing.assert_array_equal(
+        tr.table.signature_data[name],
+        dataset.table.signature_data[name][: len(tr)],
+    )
+    np.testing.assert_array_equal(
+        va.table.signature_data[name],
+        dataset.table.signature_data[name][: len(va)],
+    )
+    # and the fixed (default) path is row-aligned, i.e. different whenever the
+    # split isn't the identity prefix
+    tr_fixed, _, _ = dataset.split(0.8, seed=3)
+    assert not np.array_equal(
+        tr_fixed.table.signature_data[name],
+        dataset.table.signature_data[name][: len(tr_fixed)],
+    )
+
+
+def test_bug_compat_ge_labels_misaligned(cohort):
+    csv, sig, patches = cohort
+    cfg = synthetic_config_dict(csv, sig, patches)
+    ds = GeneExprDataset(csv, cfg, gene="G000", verbose=False)
+    tr, _, _ = ds.split(0.8, seed=3, bug_compat=True)
+    np.testing.assert_array_equal(
+        tr.table.gene_expr_class, ds.table.gene_expr_class[: len(tr)]
+    )

