@@ -67,8 +67,11 @@ class MCAT(nn.Module):
         mask: Optional[jnp.ndarray] = None,
         *,
         deterministic: bool = True,
-        need_attention: bool = False,
+        need_attention=False,
     ) -> SurvivalOutput:
+        # need_attention: True = full co-attention map (need_weights=inference
+        # in the reference, mcat.py:97); False = none (fused kernel path);
+        # "ssq" = per-query weight sum-of-squares for the cesar penalty.
         d1, d2 = MODEL_SIZES[self.model_size]
 
         # H: [B, M, d1] (mcat.py:24-29, 87)
@@ -99,7 +102,7 @@ class MCAT(nn.Module):
             h_bag,
             h_bag,
             mask,
-            need_weights=need_attention,
+            need_weights=need_attention if need_attention in (True, False) else "ssq",
             deterministic=deterministic,
         )
 
@@ -136,9 +139,15 @@ class MCAT(nn.Module):
         # Survival head (mcat.py:126-138)
         logits = TorchLinear(self.n_classes, dtype=self.dtype, name="classifier")(h)
         hazards, survs, y = survival_head(logits)
+        attention = {"path": a_path, "omic": a_omic}
+        if need_attention == "ssq":
+            attention["coattn"] = None
+            attention["coattn_ssq"] = a_coattn  # [B, N]
+        else:
+            attention["coattn"] = a_coattn if need_attention else None
         return SurvivalOutput(
             hazards=hazards,
             survs=survs,
             y=y,
-            attention={"coattn": a_coattn, "path": a_path, "omic": a_omic},
+            attention=attention,
         )

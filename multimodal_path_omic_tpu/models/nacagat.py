@@ -60,8 +60,15 @@ class NaCAGaT(nn.Module):
         mask: Optional[jnp.ndarray] = None,
         *,
         deterministic: bool = True,
-        need_attention: bool = True,  # NaCAGaT always returns weights (nacagat.py:80)
+        need_attention=True,
     ) -> SurvivalOutput:
+        """``need_attention``: True returns the full co-attention map under
+        ``attention['coattn']`` (the reference ALWAYS materializes it,
+        nacagat.py:80 — even for ces runs that never consume it); False skips
+        it so training dispatches the fused pre-gated Pallas kernel
+        (ops/coattn.py); "ssq" returns the per-query weight sum-of-squares
+        under ``attention['coattn_ssq']`` — all the cesar loss needs
+        (loss.py:97-98), still on the fused kernel path."""
         d1, d2 = MODEL_SIZES[self.model_size]
 
         h_bag = WSIEncoder(dim=d1, dropout_rate=self.dropout_rate, dtype=self.dtype, name="H")(
@@ -84,8 +91,13 @@ class NaCAGaT(nn.Module):
             dropout_rate=self.dropout_rate,
             dtype=self.dtype,
             ring_mesh=self.ring_mesh,
+            use_pallas=self.use_pallas,
             name="co_attention",
-        )(g_bag, h_bag, h_bag, mask, deterministic=deterministic)
+        )(
+            g_bag, h_bag, h_bag, mask,
+            deterministic=deterministic,
+            need_weights=need_attention if need_attention in (True, False) else "ssq",
+        )
 
         branch_tr = _branch_pair(
             TransformerEncoder,
@@ -116,9 +128,15 @@ class NaCAGaT(nn.Module):
 
         logits = TorchLinear(self.n_classes, dtype=self.dtype, name="classifier")(h)
         hazards, survs, y = survival_head(logits)
+        attention = {"path": a_path, "omic": a_omic}
+        if need_attention == "ssq":
+            attention["coattn"] = None
+            attention["coattn_ssq"] = a_coattn  # [B, N]
+        else:
+            attention["coattn"] = a_coattn if need_attention else None
         return SurvivalOutput(
             hazards=hazards,
             survs=survs,
             y=y,
-            attention={"coattn": a_coattn, "path": a_path, "omic": a_omic},
+            attention=attention,
         )

@@ -119,11 +119,17 @@ class MultiheadAttention(nn.Module):
         value: jnp.ndarray,
         key_mask: Optional[jnp.ndarray] = None,
         *,
-        need_weights: bool = True,
+        need_weights=True,
         average_attn_weights: bool = True,
         deterministic: bool = True,
         return_projected_q: bool = False,
     ):
+        """``need_weights``: True returns the full [B, N, M] weights; False
+        returns None (enables the fused kernels); "ssq" returns the per-query
+        sum of squares of the final attention weights [B, N] — enough for the
+        cesar loss's ||A||_2 penalty (reference: loss.py:97-98) without
+        materializing N x M."""
+        want_ssq = need_weights == "ssq"
         e = self.embed_dim
         in_kernel = self.param("in_proj_kernel", xavier_uniform_packed_init, (e, 3 * e))
         in_bias = self.param("in_proj_bias", nn.initializers.zeros, (3 * e,))
@@ -146,14 +152,17 @@ class MultiheadAttention(nn.Module):
         # score matrix for torch-style attention-probability dropout; on the
         # flash path we drop that single dropout site (all other dropout sites
         # in the layer remain). The reference cannot train at these lengths at
-        # all (O(M^2) HBM), so there is no behavior to diverge from.
+        # all (O(M^2) HBM), so there is no behavior to diverge from. Few-query
+        # CO-attention keeps exact dropout semantics at any M: the custom
+        # kernel applies it in-kernel (ops/coattn.py).
         huge = key.shape[1] >= 4096 and query.shape[1] == key.shape[1]
         seq_sharded = (
             self.ring_mesh is not None
             and dict(self.ring_mesh.shape).get("seq", 1) > 1
-            and not need_weights
+            and need_weights is False
             and (not dropout_active or huge)
         )
+        ssq = None
         if seq_sharded and query.shape[1] == key.shape[1]:
             # self-attention: K/V blocks rotate around the ring
             from multimodal_path_omic_tpu.parallel.ring import ring_self_attention
@@ -170,7 +179,22 @@ class MultiheadAttention(nn.Module):
                 qh, kh, vh, key_mask, self.ring_mesh, pre_gate=self.pre_gate
             )
             weights = None
-        elif self.use_pallas and not need_weights and (not dropout_active or huge):
+        elif self.use_pallas and (
+            need_weights is False or (want_ssq and self.num_heads == 1)
+        ) and not (dropout_active and huge):
+            from multimodal_path_omic_tpu.ops.coattn import fused_attention
+
+            res = fused_attention(
+                qh, kh, vh, key_mask,
+                pre_gate=self.pre_gate,
+                dropout_rate=self.dropout_rate if dropout_active else 0.0,
+                dropout_rng=rng,
+                need_ssq=want_ssq,
+            )
+            out_h, ssq = res if want_ssq else (res, None)
+            weights = None
+        elif self.use_pallas and need_weights is False and dropout_active and huge:
+            # giant self-attention: flash path, dropout site dropped (see above)
             from multimodal_path_omic_tpu.ops.coattn import fused_attention
 
             out_h = fused_attention(qh, kh, vh, key_mask, pre_gate=self.pre_gate)
@@ -185,8 +209,14 @@ class MultiheadAttention(nn.Module):
                 dropout_rate=self.dropout_rate,
                 deterministic=deterministic,
                 dropout_rng=rng,
-                need_weights=need_weights,
+                need_weights=bool(need_weights),
             )
+            if want_ssq:
+                # non-pallas/multi-head ssq: reduce the materialized
+                # (head-averaged, matching the reference's returned weights)
+                w = weights.mean(axis=1) if average_attn_weights else weights[:, 0]
+                ssq = jnp.sum(w * w, axis=-1)  # [B, N]
+                weights = None
         out = _merge_heads(out_h)
         # torch MHA zero-inits out_proj.bias (_reset_parameters / blocks.py:86)
         out = TorchLinear(
@@ -194,9 +224,12 @@ class MultiheadAttention(nn.Module):
         )(out)
         if weights is not None and average_attn_weights:
             weights = weights.mean(axis=1)  # [B, N, M]
+        if want_ssq and ssq is not None and ssq.ndim == 3:
+            ssq = ssq[:, 0]  # kernel path emits [B, H=1, N]
+        second = ssq if want_ssq else weights
         if return_projected_q:
-            return out, weights, q
-        return out, weights
+            return out, second, q
+        return out, second
 
 
 class ContextualAttentionGate(nn.Module):
@@ -238,6 +271,9 @@ class PreGatingContextualAttention(nn.Module):
     dropout_rate: float = 0.25
     dtype: Optional[jnp.dtype] = None
     ring_mesh: Any = None
+    # Route the fused pre-gated kernel (ops/coattn.py) when weights are not
+    # requested; the reference always materializes the N x M map twice.
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(
@@ -249,7 +285,11 @@ class PreGatingContextualAttention(nn.Module):
         *,
         deterministic: bool = True,
         average_attn_weights: bool = True,
+        need_weights=True,
     ):
+        """``need_weights``: True = full [B, N, M] weights (reference
+        behavior, nacagat.py:80); False = None (fused-kernel training path);
+        "ssq" = per-query weight sum-of-squares for the cesar penalty."""
         attn_out, weights, q_proj = MultiheadAttention(
             embed_dim=self.embed_dim,
             num_heads=self.num_heads,
@@ -257,13 +297,14 @@ class PreGatingContextualAttention(nn.Module):
             pre_gate=True,
             dtype=self.dtype,
             ring_mesh=self.ring_mesh,
+            use_pallas=self.use_pallas,
             name="mha",
         )(
             query,
             key,
             value,
             key_mask,
-            need_weights=True,
+            need_weights=need_weights,
             average_attn_weights=average_attn_weights,
             deterministic=deterministic,
             return_projected_q=True,

@@ -10,14 +10,29 @@ the gate ``P = (tanh(Q)tanh(K)^T + 1)/2`` is a second N x M matmul
 * streams K/V tiles with an online softmax (never materializes N x M in HBM),
 * computes the pre-gate tile-locally and fuses it into the score tile,
 * applies bag-length masking per tile,
+* optionally applies torch-style attention-probability DROPOUT in-kernel
+  (reference: blocks.py:188-190 applies p=0.25 dropout to the normalized
+  weights during training) using the TPU PRNG — the mask is regenerated
+  bit-identically in the backward pass from the same per-(batch, tile) seed,
+* optionally emits the per-query-row sum of squares of the final (post-
+  dropout) attention weights (``ssq``) so the cesar loss's ||A||_2 penalty
+  (reference: loss.py:97-98) runs on the fused path without ever
+  materializing the N x M map,
 * implements a recompute backward (custom_vjp): dV/dK per KV tile, dQ
   accumulated in VMEM scratch — flash-attention style, plus the gate's
-  tanh backward terms.
+  tanh backward terms and the dropout/ssq chain terms.
+
+Dropout semantics match torch exactly: weights are normalized FIRST, then
+dropped and rescaled by 1/keep (torch's F.dropout on softmax output). Online:
+the normalizer l accumulates undropped probabilities; the dropped tile
+probabilities feed the output accumulator and the ssq accumulator.
 
 Dispatch (``fused_attention``): few-query shapes -> this kernel; big
 self-attention shapes (M x M, GE-NaCAGaT path) -> the production
 ``jax.experimental.pallas.ops.tpu.flash_attention`` kernel via ops/flash.py;
-anything unsupported -> the XLA einsum path (ops/attention.py).
+anything unsupported -> the XLA einsum path (ops/attention.py). In-kernel
+dropout needs the hardware PRNG, so the dropout path dispatches on TPU only
+(interpret mode cannot emulate ``prng_seed``); CPU falls back to XLA.
 """
 
 from __future__ import annotations
@@ -36,103 +51,190 @@ NEG = -0.7 * 3.4e38  # finite mask value (avoids exp(-inf - -inf) NaNs)
 DEFAULT_BLOCK_K = 512
 LANES = 128
 
+# Trace-time dispatch counters (test observability: asserting that a model
+# step actually engages the kernel, VERDICT r1 item 9). Incremented when
+# fused_attention TRACES a path, i.e. once per compiled specialization.
+DISPATCH_COUNTS = {"kernel": 0, "flash": 0, "xla": 0}
+
+# Test hook: pretend the platform supports in-kernel PRNG dropout so CPU
+# tests can trace (not execute) the dropout kernel path structurally.
+_FORCE_KERNEL_DROPOUT = False
+
+
+def kernel_dropout_available() -> bool:
+    """In-kernel dropout needs the TPU PRNG (no interpret-mode emulation)."""
+    return _FORCE_KERNEL_DROPOUT or jax.devices()[0].platform == "tpu"
+
+
+def _dropout_threshold(rate: float) -> int:
+    """uint32 threshold t such that P(bits < t) = rate."""
+    return min(int(rate * 4294967296.0), 4294967295)
+
 
 # =============================================================================
 # Forward kernel
 # =============================================================================
 
 
-def _fwd_kernel(
-    q_ref, k_ref, v_ref, mask_ref, o_ref, l_ref, m_ref,
-    m_scr, l_scr, acc_scr, *, sm_scale: float, pre_gate: bool, n_kv: int
+def _make_fwd_kernel(*, sm_scale: float, pre_gate: bool, dropout_rate: float,
+                     emit_ssq: bool):
+    use_dropout = dropout_rate > 0.0
+
+    def kernel(*refs):
+        i = 0
+        q_ref, k_ref, v_ref, mask_ref = refs[i : i + 4]
+        i += 4
+        seed_ref = None
+        if use_dropout:
+            seed_ref = refs[i]
+            i += 1
+        o_ref, l_ref, m_ref = refs[i : i + 3]
+        i += 3
+        ssq_ref = None
+        if emit_ssq:
+            ssq_ref = refs[i]
+            i += 1
+        m_scr, l_scr, acc_scr = refs[i : i + 3]
+        i += 3
+        ssq_scr = refs[i] if emit_ssq else None
+
+        b = pl.program_id(0)
+        j = pl.program_id(1)
+
+        @pl.when(j == 0)
+        def _init():
+            m_scr[...] = jnp.full_like(m_scr, NEG)
+            l_scr[...] = jnp.zeros_like(l_scr)
+            acc_scr[...] = jnp.zeros_like(acc_scr)
+            if emit_ssq:
+                ssq_scr[...] = jnp.zeros_like(ssq_scr)
+
+        q = q_ref[0]  # [NP, D]
+        k = k_ref[0]  # [BK, D]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [NP, BK]
+        s = s * sm_scale
+        if pre_gate:
+            # P = (tanh(q) tanh(k)^T + 1) / 2 fused into the scores
+            # (reference math: blocks.py:185-187)
+            p_gate = jax.lax.dot_general(
+                jnp.tanh(q), jnp.tanh(k), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            s = s * (p_gate + 1.0) * 0.5
+        mask = mask_ref[0, 0]  # [BK] f32 — broadcast over queries
+        s = jnp.where(mask[None, :] > 0, s, NEG)
+
+        m_prev = m_scr[:, 0:1]  # [NP, 1]
+        l_prev = l_scr[:, 0:1]
+        m_curr = jnp.max(s, axis=1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_curr)
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s - m_next)  # [NP, BK]
+        # the softmax normalizer uses UNDROPPED probabilities (torch drops
+        # after normalization)
+        l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+
+        m_scr[...] = jnp.broadcast_to(m_next, m_scr.shape)
+        l_scr[...] = jnp.broadcast_to(l_next, l_scr.shape)
+
+        if use_dropout:
+            # bit-identical mask regenerated in the backward kernel from the
+            # same (seed, batch*tiles + tile) pair (Mosaic's prng_seed takes
+            # at most 2 values)
+            pltpu.prng_seed(seed_ref[0], b * pl.num_programs(1) + j)
+            bits = pltpu.prng_random_bits(p.shape)
+            keep = bits.astype(jnp.uint32) >= jnp.uint32(
+                _dropout_threshold(dropout_rate)
+            )
+            pd = jnp.where(keep, p * (1.0 / (1.0 - dropout_rate)), 0.0)
+        else:
+            pd = p
+
+        v = v_ref[0]  # [BK, D]
+        o_curr = jax.lax.dot(pd, v, preferred_element_type=jnp.float32)
+        acc_scr[...] = acc_scr[...] * alpha + o_curr
+        if emit_ssq:
+            ssq_curr = jnp.sum(pd * pd, axis=1, keepdims=True)
+            ssq_scr[...] = ssq_scr[...] * (alpha * alpha) + jnp.broadcast_to(
+                ssq_curr, ssq_scr.shape
+            )
+
+        @pl.when(j == pl.num_programs(1) - 1)
+        def _store():
+            l_fin = l_scr[:, 0:1]
+            l_inv = jnp.where(l_fin == 0.0, 1.0, 1.0 / l_fin)
+            o_ref[0] = (acc_scr[...] * l_inv).astype(o_ref.dtype)
+            l_ref[0, 0] = l_scr[:, 0]
+            m_ref[0, 0] = m_scr[:, 0]
+            if emit_ssq:
+                ssq_ref[0, 0] = ssq_scr[:, 0] * (l_inv * l_inv)[:, 0]
+
+    return kernel
+
+
+def _coattn_fwd_impl(
+    q, k, v, mask_f, seed, *, pre_gate: bool, block_k: int, interpret: bool,
+    dropout_rate: float, emit_ssq: bool,
 ):
-    j = pl.program_id(1)
-
-    @pl.when(j == 0)
-    def _init():
-        m_scr[...] = jnp.full_like(m_scr, NEG)
-        l_scr[...] = jnp.zeros_like(l_scr)
-        acc_scr[...] = jnp.zeros_like(acc_scr)
-
-    q = q_ref[0]  # [NP, D]
-    k = k_ref[0]  # [BK, D]
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # [NP, BK]
-    s = s * sm_scale
-    if pre_gate:
-        # P = (tanh(q) tanh(k)^T + 1) / 2 fused into the scores
-        # (reference math: blocks.py:185-187)
-        p_gate = jax.lax.dot_general(
-            jnp.tanh(q), jnp.tanh(k), (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        s = s * (p_gate + 1.0) * 0.5
-    mask = mask_ref[0, 0]  # [BK] f32 — broadcast over queries
-    s = jnp.where(mask[None, :] > 0, s, NEG)
-
-    m_prev = m_scr[:, 0:1]  # [NP, 1]
-    l_prev = l_scr[:, 0:1]
-    m_curr = jnp.max(s, axis=1, keepdims=True)
-    m_next = jnp.maximum(m_prev, m_curr)
-    alpha = jnp.exp(m_prev - m_next)
-    p = jnp.exp(s - m_next)  # [NP, BK]
-    l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
-
-    m_scr[...] = jnp.broadcast_to(m_next, m_scr.shape)
-    l_scr[...] = jnp.broadcast_to(l_next, l_scr.shape)
-
-    v = v_ref[0]  # [BK, D]
-    o_curr = jax.lax.dot(p, v, preferred_element_type=jnp.float32)
-    acc_scr[...] = acc_scr[...] * alpha + o_curr
-
-    @pl.when(j == pl.num_programs(1) - 1)
-    def _store():
-        l_fin = l_scr[:, 0:1]
-        l_inv = jnp.where(l_fin == 0.0, 1.0, 1.0 / l_fin)
-        o_ref[0] = (acc_scr[...] * l_inv).astype(o_ref.dtype)
-        l_ref[0, 0] = l_scr[:, 0]
-        m_ref[0, 0] = m_scr[:, 0]
-
-
-def _coattn_fwd_impl(q, k, v, mask_f, *, pre_gate: bool, block_k: int, interpret: bool):
     b, np_, d = q.shape
     m_len = k.shape[1]
     sm_scale = 1.0 / (d**0.5)
     grid = (b, m_len // block_k)
-    kernel = functools.partial(
-        _fwd_kernel, sm_scale=sm_scale, pre_gate=pre_gate, n_kv=m_len
+    use_dropout = dropout_rate > 0.0
+    kernel = _make_fwd_kernel(
+        sm_scale=sm_scale, pre_gate=pre_gate, dropout_rate=dropout_rate,
+        emit_ssq=emit_ssq,
     )
-    o, l, m = pl.pallas_call(
+    in_specs = [
+        pl.BlockSpec((1, np_, d), lambda b_, j: (b_, 0, 0)),
+        pl.BlockSpec((1, block_k, d), lambda b_, j: (b_, j, 0)),
+        pl.BlockSpec((1, block_k, d), lambda b_, j: (b_, j, 0)),
+        pl.BlockSpec((1, 1, block_k), lambda b_, j: (b_, 0, j)),
+    ]
+    inputs = [q, k, v, mask_f]
+    if use_dropout:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        inputs.append(seed)
+    out_specs = [
+        pl.BlockSpec((1, np_, d), lambda b_, j: (b_, 0, 0)),
+        pl.BlockSpec((1, 1, np_), lambda b_, j: (b_, 0, 0)),
+        pl.BlockSpec((1, 1, np_), lambda b_, j: (b_, 0, 0)),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((b, np_, d), q.dtype),
+        jax.ShapeDtypeStruct((b, 1, np_), jnp.float32),
+        jax.ShapeDtypeStruct((b, 1, np_), jnp.float32),
+    ]
+    if emit_ssq:
+        out_specs.append(pl.BlockSpec((1, 1, np_), lambda b_, j: (b_, 0, 0)))
+        out_shape.append(jax.ShapeDtypeStruct((b, 1, np_), jnp.float32))
+    scratch_shapes = [
+        pltpu.VMEM((np_, LANES), jnp.float32),
+        pltpu.VMEM((np_, LANES), jnp.float32),
+        pltpu.VMEM((np_, d), jnp.float32),
+    ]
+    if emit_ssq:
+        scratch_shapes.append(pltpu.VMEM((np_, LANES), jnp.float32))
+    outs = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, np_, d), lambda b_, j: (b_, 0, 0)),
-            pl.BlockSpec((1, block_k, d), lambda b_, j: (b_, j, 0)),
-            pl.BlockSpec((1, block_k, d), lambda b_, j: (b_, j, 0)),
-            pl.BlockSpec((1, 1, block_k), lambda b_, j: (b_, 0, j)),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, np_, d), lambda b_, j: (b_, 0, 0)),
-            pl.BlockSpec((1, 1, np_), lambda b_, j: (b_, 0, 0)),
-            pl.BlockSpec((1, 1, np_), lambda b_, j: (b_, 0, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((b, np_, d), q.dtype),
-            jax.ShapeDtypeStruct((b, 1, np_), jnp.float32),
-            jax.ShapeDtypeStruct((b, 1, np_), jnp.float32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((np_, LANES), jnp.float32),
-            pltpu.VMEM((np_, LANES), jnp.float32),
-            pltpu.VMEM((np_, d), jnp.float32),
-        ],
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch_shapes,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(q, k, v, mask_f)
-    return o, l, m
+    )(*inputs)
+    if emit_ssq:
+        o, l, m, ssq = outs
+    else:
+        o, l, m = outs
+        ssq = None
+    return o, l, m, ssq
 
 
 # =============================================================================
@@ -140,116 +242,172 @@ def _coattn_fwd_impl(q, k, v, mask_f, *, pre_gate: bool, block_k: int, interpret
 # =============================================================================
 
 
-def _bwd_kernel(
-    q_ref, k_ref, v_ref, mask_ref, do_ref, l_ref, m_ref, di_ref,
-    dq_ref, dk_ref, dv_ref,
-    dq_scr, *, sm_scale: float, pre_gate: bool
-):
-    j = pl.program_id(1)
+def _make_bwd_kernel(*, sm_scale: float, pre_gate: bool, dropout_rate: float,
+                     emit_ssq: bool):
+    use_dropout = dropout_rate > 0.0
 
-    @pl.when(j == 0)
-    def _init():
-        dq_scr[...] = jnp.zeros_like(dq_scr)
+    def kernel(*refs):
+        i = 0
+        q_ref, k_ref, v_ref, mask_ref = refs[i : i + 4]
+        i += 4
+        seed_ref = None
+        if use_dropout:
+            seed_ref = refs[i]
+            i += 1
+        do_ref, l_ref, m_ref, di_ref = refs[i : i + 4]
+        i += 4
+        dssq_ref = None
+        if emit_ssq:
+            dssq_ref = refs[i]
+            i += 1
+        dq_ref, dk_ref, dv_ref = refs[i : i + 3]
+        i += 3
+        dq_scr = refs[i]
 
-    q = q_ref[0]
-    k = k_ref[0]
-    v = v_ref[0]
-    do = do_ref[0]  # [NP, D]
-    l_vec = l_ref[0, 0][:, None]  # [NP, 1]
-    m_vec = m_ref[0, 0][:, None]
-    di = di_ref[0, 0][:, None]  # [NP, 1] = sum(o * do)
+        b = pl.program_id(0)
+        j = pl.program_id(1)
 
-    a = (
-        jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        * sm_scale
-    )
-    if pre_gate:
-        tq = jnp.tanh(q)
-        tk = jnp.tanh(k)
-        u = jax.lax.dot_general(
-            tq, tk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        gate = (u + 1.0) * 0.5
-        s = a * gate
-    else:
-        s = a
-    mask = mask_ref[0, 0]
-    s = jnp.where(mask[None, :] > 0, s, NEG)
+        @pl.when(j == 0)
+        def _init():
+            dq_scr[...] = jnp.zeros_like(dq_scr)
 
-    l_inv = jnp.where(l_vec == 0.0, 1.0, 1.0 / l_vec)
-    p = jnp.exp(s - m_vec) * l_inv  # normalized weights [NP, BK]
+        q = q_ref[0]
+        k = k_ref[0]
+        v = v_ref[0]
+        do = do_ref[0]  # [NP, D]
+        l_vec = l_ref[0, 0][:, None]  # [NP, 1]
+        m_vec = m_ref[0, 0][:, None]
+        # di = rowsum(W_dropped * (do V^T)) + 2 * dssq * ssq, precomputed on
+        # the host side of the kernel boundary (sum(o*do) + 2*dssq*ssq)
+        di = di_ref[0, 0][:, None]  # [NP, 1]
 
-    # dV = P^T dO
-    dv_ref[0] = jax.lax.dot_general(
-        p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    ).astype(dv_ref.dtype)
-
-    # dP_softmax = dO V^T ; ds = p * (dP - di)
-    dp = jax.lax.dot_general(
-        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    ds = p * (dp - di)  # [NP, BK]
-    ds = jnp.where(mask[None, :] > 0, ds, 0.0)
-
-    if pre_gate:
-        da = ds * gate
-        du = ds * a * 0.5
-        # dq += sm_scale * da k + (1 - tanh(q)^2) * (du tanh(k))
-        dq_scr[...] += sm_scale * jax.lax.dot(
-            da, k, preferred_element_type=jnp.float32
-        ) + (1.0 - tq * tq) * jax.lax.dot(
-            du, tk, preferred_element_type=jnp.float32
-        )
-        # dk = sm_scale * da^T q + (1 - tanh(k)^2) * (du^T tanh(q))
-        dk_ref[0] = (
-            sm_scale
-            * jax.lax.dot_general(
-                da, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        a = (
+            jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
             )
-            + (1.0 - tk * tk)
-            * jax.lax.dot_general(
-                du, tq, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-            )
-        ).astype(dk_ref.dtype)
-    else:
-        dq_scr[...] += sm_scale * jax.lax.dot(
-            ds, k, preferred_element_type=jnp.float32
+            * sm_scale
         )
-        dk_ref[0] = (
-            sm_scale
-            * jax.lax.dot_general(
-                ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        if pre_gate:
+            tq = jnp.tanh(q)
+            tk = jnp.tanh(k)
+            u = jax.lax.dot_general(
+                tq, tk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
             )
-        ).astype(dk_ref.dtype)
+            gate = (u + 1.0) * 0.5
+            s = a * gate
+        else:
+            s = a
+        mask = mask_ref[0, 0]
+        s = jnp.where(mask[None, :] > 0, s, NEG)
 
-    @pl.when(j == pl.num_programs(1) - 1)
-    def _store():
-        dq_ref[0] = dq_scr[...].astype(dq_ref.dtype)
+        l_inv = jnp.where(l_vec == 0.0, 1.0, 1.0 / l_vec)
+        p = jnp.exp(s - m_vec) * l_inv  # normalized (undropped) weights [NP, BK]
+
+        if use_dropout:
+            # same bits as the forward pass: same seed, same folded (b, j)
+            # index, same shape
+            pltpu.prng_seed(seed_ref[0], b * pl.num_programs(1) + j)
+            bits = pltpu.prng_random_bits(p.shape)
+            keep = bits.astype(jnp.uint32) >= jnp.uint32(
+                _dropout_threshold(dropout_rate)
+            )
+            pd = jnp.where(keep, p * (1.0 / (1.0 - dropout_rate)), 0.0)
+        else:
+            pd = p
+
+        # dV = W_dropped^T dO
+        dv_ref[0] = jax.lax.dot_general(
+            pd, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ).astype(dv_ref.dtype)
+
+        # softmax backward with post-softmax dropout (+ optional ssq output):
+        #   ds = D*(do V^T) + 2*dssq*D*D - p*di
+        # where D = dropped normalized weights, p = undropped normalized
+        # weights, di = rowsum(o*do) + 2*dssq*ssq (see module docstring math).
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = pd * dp - p * di
+        if emit_ssq:
+            dssq = dssq_ref[0, 0][:, None]  # [NP, 1]
+            ds = ds + 2.0 * dssq * pd * pd
+        ds = jnp.where(mask[None, :] > 0, ds, 0.0)
+
+        if pre_gate:
+            da = ds * gate
+            du = ds * a * 0.5
+            # dq += sm_scale * da k + (1 - tanh(q)^2) * (du tanh(k))
+            dq_scr[...] += sm_scale * jax.lax.dot(
+                da, k, preferred_element_type=jnp.float32
+            ) + (1.0 - tq * tq) * jax.lax.dot(
+                du, tk, preferred_element_type=jnp.float32
+            )
+            # dk = sm_scale * da^T q + (1 - tanh(k)^2) * (du^T tanh(q))
+            dk_ref[0] = (
+                sm_scale
+                * jax.lax.dot_general(
+                    da, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+                )
+                + (1.0 - tk * tk)
+                * jax.lax.dot_general(
+                    du, tq, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+                )
+            ).astype(dk_ref.dtype)
+        else:
+            dq_scr[...] += sm_scale * jax.lax.dot(
+                ds, k, preferred_element_type=jnp.float32
+            )
+            dk_ref[0] = (
+                sm_scale
+                * jax.lax.dot_general(
+                    ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+                )
+            ).astype(dk_ref.dtype)
+
+        @pl.when(j == pl.num_programs(1) - 1)
+        def _store():
+            dq_ref[0] = dq_scr[...].astype(dq_ref.dtype)
+
+    return kernel
 
 
 def _coattn_bwd_impl(
-    q, k, v, mask_f, do, l, m, di, *, pre_gate: bool, block_k: int, interpret: bool
+    q, k, v, mask_f, seed, do, l, m, di, dssq, *, pre_gate: bool, block_k: int,
+    interpret: bool, dropout_rate: float, emit_ssq: bool,
 ):
     b, np_, d = q.shape
     m_len = k.shape[1]
     sm_scale = 1.0 / (d**0.5)
     grid = (b, m_len // block_k)
-    kernel = functools.partial(_bwd_kernel, sm_scale=sm_scale, pre_gate=pre_gate)
+    use_dropout = dropout_rate > 0.0
+    kernel = _make_bwd_kernel(
+        sm_scale=sm_scale, pre_gate=pre_gate, dropout_rate=dropout_rate,
+        emit_ssq=emit_ssq,
+    )
+    in_specs = [
+        pl.BlockSpec((1, np_, d), lambda b_, j: (b_, 0, 0)),
+        pl.BlockSpec((1, block_k, d), lambda b_, j: (b_, j, 0)),
+        pl.BlockSpec((1, block_k, d), lambda b_, j: (b_, j, 0)),
+        pl.BlockSpec((1, 1, block_k), lambda b_, j: (b_, 0, j)),
+    ]
+    inputs = [q, k, v, mask_f]
+    if use_dropout:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        inputs.append(seed)
+    in_specs += [
+        pl.BlockSpec((1, np_, d), lambda b_, j: (b_, 0, 0)),
+        pl.BlockSpec((1, 1, np_), lambda b_, j: (b_, 0, 0)),
+        pl.BlockSpec((1, 1, np_), lambda b_, j: (b_, 0, 0)),
+        pl.BlockSpec((1, 1, np_), lambda b_, j: (b_, 0, 0)),
+    ]
+    inputs += [do, l, m, di]
+    if emit_ssq:
+        in_specs.append(pl.BlockSpec((1, 1, np_), lambda b_, j: (b_, 0, 0)))
+        inputs.append(dssq)
     dq, dk, dv = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, np_, d), lambda b_, j: (b_, 0, 0)),
-            pl.BlockSpec((1, block_k, d), lambda b_, j: (b_, j, 0)),
-            pl.BlockSpec((1, block_k, d), lambda b_, j: (b_, j, 0)),
-            pl.BlockSpec((1, 1, block_k), lambda b_, j: (b_, 0, j)),
-            pl.BlockSpec((1, np_, d), lambda b_, j: (b_, 0, 0)),
-            pl.BlockSpec((1, 1, np_), lambda b_, j: (b_, 0, 0)),
-            pl.BlockSpec((1, 1, np_), lambda b_, j: (b_, 0, 0)),
-            pl.BlockSpec((1, 1, np_), lambda b_, j: (b_, 0, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, np_, d), lambda b_, j: (b_, 0, 0)),
             pl.BlockSpec((1, block_k, d), lambda b_, j: (b_, j, 0)),
@@ -265,7 +423,7 @@ def _coattn_bwd_impl(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(q, k, v, mask_f, do, l, m, di)
+    )(*inputs)
     return dq, dk, dv
 
 
@@ -274,29 +432,44 @@ def _coattn_bwd_impl(
 # =============================================================================
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
-def _coattn(q, k, v, mask_f, pre_gate, block_k, interpret):
-    o, _, _ = _coattn_fwd_impl(
-        q, k, v, mask_f, pre_gate=pre_gate, block_k=block_k, interpret=interpret
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+def _coattn(q, k, v, mask_f, seed, pre_gate, block_k, interpret, dropout_rate,
+            emit_ssq):
+    o, _, _, ssq = _coattn_fwd_impl(
+        q, k, v, mask_f, seed, pre_gate=pre_gate, block_k=block_k,
+        interpret=interpret, dropout_rate=dropout_rate, emit_ssq=emit_ssq,
     )
-    return o
+    return (o, ssq[:, 0, :]) if emit_ssq else o
 
 
-def _coattn_fwd(q, k, v, mask_f, pre_gate, block_k, interpret):
-    o, l, m = _coattn_fwd_impl(
-        q, k, v, mask_f, pre_gate=pre_gate, block_k=block_k, interpret=interpret
+def _coattn_fwd(q, k, v, mask_f, seed, pre_gate, block_k, interpret,
+                dropout_rate, emit_ssq):
+    o, l, m, ssq = _coattn_fwd_impl(
+        q, k, v, mask_f, seed, pre_gate=pre_gate, block_k=block_k,
+        interpret=interpret, dropout_rate=dropout_rate, emit_ssq=emit_ssq,
     )
-    return o, (q, k, v, mask_f, o, l, m)
+    res = (q, k, v, mask_f, seed, o, l, m, ssq)
+    return ((o, ssq[:, 0, :]) if emit_ssq else o), res
 
 
-def _coattn_bwd(pre_gate, block_k, interpret, res, do):
-    q, k, v, mask_f, o, l, m = res
+def _coattn_bwd(pre_gate, block_k, interpret, dropout_rate, emit_ssq, res, ct):
+    q, k, v, mask_f, seed, o, l, m, ssq = res
+    if emit_ssq:
+        do, dssq_rows = ct
+        dssq = dssq_rows[:, None, :].astype(jnp.float32)  # [B, 1, NP]
+    else:
+        do = ct
+        dssq = None
     di = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1)[:, None, :]
+    if emit_ssq:
+        # the ssq cotangent's softmax-backward row term (see module docstring)
+        di = di + 2.0 * dssq * ssq
     dq, dk, dv = _coattn_bwd_impl(
-        q, k, v, mask_f, do, l, m, di,
+        q, k, v, mask_f, seed, do, l, m, di, dssq,
         pre_gate=pre_gate, block_k=block_k, interpret=interpret,
+        dropout_rate=dropout_rate, emit_ssq=emit_ssq,
     )
-    return dq, dk, dv, None
+    return dq, dk, dv, None, None
 
 
 _coattn.defvjp(_coattn_fwd, _coattn_bwd)
@@ -313,11 +486,19 @@ def coattention(
     key_mask: Optional[jnp.ndarray],
     *,
     pre_gate: bool = False,
+    dropout_rate: float = 0.0,
+    dropout_seed: Optional[jnp.ndarray] = None,
+    need_ssq: bool = False,
     block_k: int = DEFAULT_BLOCK_K,
     interpret: Optional[bool] = None,
-) -> jnp.ndarray:
+):
     """Fused few-query attention. q: [B, N, D]; k, v: [B, M, D];
-    key_mask: [B, M] bool. Returns [B, N, D]. Differentiable (custom VJP)."""
+    key_mask: [B, M] bool. Returns [B, N, D], or (out, ssq [B, N]) with
+    ``need_ssq`` (ssq = per-row sum of squares of the final attention
+    weights). Differentiable (custom VJP). ``dropout_rate`` > 0 applies
+    torch-style attention dropout in-kernel; it requires a [1] int32
+    ``dropout_seed`` and a real TPU (the PRNG has no interpret-mode path).
+    """
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
     b, n, d = q.shape
@@ -344,7 +525,20 @@ def coattention(
         mask_f = jnp.ones((b, 1, k.shape[1]), jnp.float32)
     else:
         mask_f = key_mask.astype(jnp.float32)[:, None, :]
-    out = _coattn(q, k, v, mask_f, pre_gate, bk, interpret)
+    if dropout_rate > 0.0 and dropout_seed is None:
+        raise ValueError("dropout_rate > 0 requires a dropout_seed")
+    seed = (
+        jnp.asarray(dropout_seed, jnp.int32).reshape(1)
+        if dropout_seed is not None
+        else jnp.zeros((1,), jnp.int32)
+    )
+    out = _coattn(
+        q, k, v, mask_f, seed, pre_gate, bk, interpret, float(dropout_rate),
+        need_ssq,
+    )
+    if need_ssq:
+        o, ssq = out
+        return o[:, :n, :], ssq[:, :n]
     return out[:, :n, :]
 
 
@@ -353,18 +547,29 @@ def coattention(
 # =============================================================================
 
 
-def _xla_fused(q, k, v, key_mask, pre_gate):
-    out, _ = attention_core(
+def _xla_fused(q, k, v, key_mask, pre_gate, dropout_rate=0.0, dropout_rng=None,
+               need_ssq=False):
+    out, weights = attention_core(
         q,
         k,
         v,
         key_mask,
         pre_gate=pre_gate,
-        dropout_rate=0.0,
-        deterministic=True,
-        need_weights=False,
+        dropout_rate=dropout_rate,
+        deterministic=dropout_rate <= 0.0,
+        dropout_rng=dropout_rng,
+        need_weights=need_ssq,
     )
+    if need_ssq:
+        return out, jnp.sum(weights * weights, axis=-1)  # [B, H, N]
     return out
+
+
+def kernel_eligible(n: int, m_len: int, d: int) -> bool:
+    """Shape gate for the custom co-attention kernel. Below ~4k keys XLA's
+    fused einsums win (measured with hard host syncs; the kernel's fixed
+    overhead dominates at small M)."""
+    return n <= 256 and m_len >= 4096 and m_len % 256 == 0 and d % 128 == 0
 
 
 def fused_attention(
@@ -374,33 +579,57 @@ def fused_attention(
     key_mask: Optional[jnp.ndarray] = None,
     *,
     pre_gate: bool = False,
-) -> jnp.ndarray:
+    dropout_rate: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
+    need_ssq: bool = False,
+):
     """Masked (pre-gated) attention without materializing scores in HBM.
 
     q: [B, H, N, D]; k, v: [B, H, M, D]; key_mask: [B, M] bool or None.
-    Returns [B, H, N, D].
+    Returns [B, H, N, D], or (out, ssq [B, H, N]) with ``need_ssq``.
+    ``dropout_rate`` applies torch-style attention-probability dropout
+    (in-kernel on TPU; XLA fallback elsewhere), seeded from ``dropout_rng``.
     """
     b, h, n, d = q.shape
     m_len = k.shape[2]
+    dropout_active = dropout_rate > 0.0
 
-    # Few-query path: the custom co-attention kernel (handles pre_gate).
-    # Threshold: below ~4k keys XLA's fused einsums win (measured with hard
-    # host syncs; the kernel's fixed overhead dominates at small M).
-    if n <= 256 and m_len >= 4096 and m_len % 256 == 0 and d % 128 == 0:
+    # Few-query path: the custom co-attention kernel (handles pre_gate,
+    # dropout, ssq emission).
+    if kernel_eligible(n, m_len, d) and (
+        not dropout_active or kernel_dropout_available()
+    ):
+        DISPATCH_COUNTS["kernel"] += 1
         qf = q.reshape(b * h, n, d)
         kf = k.reshape(b * h, m_len, d)
         vf = v.reshape(b * h, m_len, d)
         mf = None
         if key_mask is not None:
             mf = jnp.repeat(key_mask, h, axis=0) if h > 1 else key_mask
-        out = coattention(qf, kf, vf, mf, pre_gate=pre_gate)
+        seed = None
+        if dropout_active:
+            seed = jax.random.randint(
+                dropout_rng, (1,), 0, jnp.iinfo(jnp.int32).max, dtype=jnp.int32
+            )
+        out = coattention(
+            qf, kf, vf, mf, pre_gate=pre_gate, dropout_rate=dropout_rate,
+            dropout_seed=seed, need_ssq=need_ssq,
+        )
+        if need_ssq:
+            o, ssq = out
+            return o.reshape(b, h, n, d), ssq.reshape(b, h, n)
         return out.reshape(b, h, n, d)
 
     # Long-query self-attention path: library flash kernel (no pre-gate).
-    if not pre_gate:
+    if not pre_gate and not dropout_active and not need_ssq:
         from multimodal_path_omic_tpu.ops import flash
 
         if flash.supported(q, k, v):
+            DISPATCH_COUNTS["flash"] += 1
             return flash.flash_attention(q, k, v, key_mask)
 
-    return _xla_fused(q, k, v, key_mask, pre_gate)
+    DISPATCH_COUNTS["xla"] += 1
+    return _xla_fused(
+        q, k, v, key_mask, pre_gate,
+        dropout_rate=dropout_rate, dropout_rng=dropout_rng, need_ssq=need_ssq,
+    )

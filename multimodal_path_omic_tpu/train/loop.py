@@ -53,9 +53,16 @@ def _survival_loss(loss_name: str, out, label, censorship, months, alpha, weight
             out.y, label, censorship, sample_weight=weight
         )
     elif loss_name == "cesar":
-        attn = out.attention["coattn"]
-        # per-sample L2 norm over the co-attention map, weighted-mean
-        per = jnp.sqrt(jnp.sum(attn.reshape(attn.shape[0], -1) ** 2, axis=1) + 1e-12)
+        # per-sample L2 norm over the co-attention map, weighted-mean. When
+        # the model ran the fused kernel it returns the per-query sum of
+        # squares instead of the full map (attention['coattn_ssq']) — same
+        # norm, never materializing N x M (reference: loss.py:97-98).
+        ssq = out.attention.get("coattn_ssq")
+        if ssq is not None:
+            per = jnp.sqrt(jnp.sum(ssq, axis=1) + 1e-12)
+        else:
+            attn = out.attention["coattn"]
+            per = jnp.sqrt(jnp.sum(attn.reshape(attn.shape[0], -1) ** 2, axis=1) + 1e-12)
         attn_loss = 0.01 * jnp.sum(per * weight) / jnp.maximum(jnp.sum(weight), 1.0)
         loss = (
             L.cross_entropy_survival(
@@ -118,7 +125,10 @@ def make_train_step(
     caller must NOT reuse a state after stepping it — the Trainer's linear
     state chain qualifies; ad-hoc experimentation may not.
     """
-    need_attention = loss_name == "cesar"
+    # cesar needs the attention penalty but not the full map: request "ssq"
+    # so the model can stay on the fused kernel path (models that don't
+    # implement ssq fall back to returning the full map under 'coattn').
+    need_attention = "ssq" if loss_name == "cesar" else False
 
     def forward_loss(params, rng, wsi, mask, omics, label, censorship, months, weight):
         out = model.apply(

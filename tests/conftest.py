@@ -10,10 +10,15 @@ import sys
 # Force CPU regardless of the ambient platform: this environment's jax plugin
 # overrides the JAX_PLATFORMS env var with "axon,cpu", so the env var alone is
 # NOT enough — the config must be updated after import, before backend init.
-os.environ["JAX_PLATFORMS"] = "cpu"
+# MPOT_TEST_TPU=1 opts out, for the TPU-hardware kernel tests
+# (tests/test_kernels_tpu.py) which need the real chip's PRNG.
+_want_tpu = os.environ.get("MPOT_TEST_TPU") == "1"
+if not _want_tpu:
+    os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not _want_tpu:
+    jax.config.update("jax_platforms", "cpu")
 # This JAX build defaults f32 matmuls to low (bf16-like) precision; parity
 # tests need true f32 accumulation.
 jax.config.update("jax_default_matmul_precision", "highest")

@@ -367,3 +367,94 @@ def test_trainer_mcat_sequence_parallel_e2e(tmp_path):
     assert trainer.model.ring_mesh is not None
     out = trainer.fit()
     assert np.isfinite(out["train_loss"]) and np.isfinite(out["val_loss"])
+
+
+def test_sequence_parallel_cross_attention_pre_gate_matches_local():
+    """Pre-gated sharded-KV co-attention (the NaCAGaT gate computed shard-
+    locally) == unsharded pre-gated attention. VERDICT r1: this path was
+    previously untested."""
+    from multimodal_path_omic_tpu.ops.attention import attention_core
+    from multimodal_path_omic_tpu.parallel.ring import (
+        sequence_parallel_cross_attention,
+    )
+
+    rng = np.random.default_rng(51)
+    b, h, n, m, d = 2, 1, 6, 512, 64
+    q = jnp.array(rng.normal(size=(b, h, n, d)), jnp.float32)
+    k = jnp.array(rng.normal(size=(b, h, m, d)), jnp.float32)
+    v = jnp.array(rng.normal(size=(b, h, m, d)), jnp.float32)
+    lengths = rng.integers(m // 2, m, size=b)
+    mask = jnp.array(np.arange(m)[None, :] < lengths[:, None], bool)
+
+    ref, _ = attention_core(
+        q, k, v, mask, pre_gate=True, dropout_rate=0.0,
+        deterministic=True, need_weights=False,
+    )
+    mesh = make_mesh(data=1, seq=8)
+    got = jax.jit(
+        lambda q, k, v: sequence_parallel_cross_attention(
+            q, k, v, mask, mesh, pre_gate=True
+        )
+    )(q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+def test_sequence_parallel_cross_attention_pre_gate_grads():
+    from multimodal_path_omic_tpu.ops.attention import attention_core
+    from multimodal_path_omic_tpu.parallel.ring import (
+        sequence_parallel_cross_attention,
+    )
+
+    rng = np.random.default_rng(52)
+    b, h, n, m, d = 1, 1, 6, 256, 32
+    q = jnp.array(rng.normal(size=(b, h, n, d)), jnp.float32)
+    k = jnp.array(rng.normal(size=(b, h, m, d)), jnp.float32)
+    v = jnp.array(rng.normal(size=(b, h, m, d)), jnp.float32)
+    mesh = make_mesh(data=1, seq=8)
+
+    def loss_ref(q, k, v):
+        out, _ = attention_core(
+            q, k, v, None, pre_gate=True, dropout_rate=0.0,
+            deterministic=True, need_weights=False,
+        )
+        return jnp.sum(out**2)
+
+    def loss_sp(q, k, v):
+        return jnp.sum(
+            sequence_parallel_cross_attention(q, k, v, None, mesh, pre_gate=True) ** 2
+        )
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    g_sp = jax.jit(jax.grad(loss_sp, argnums=(0, 1, 2)))(q, k, v)
+    for a, b_, name in zip(g_ref, g_sp, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(b_), np.asarray(a), atol=1e-4, err_msg=f"d{name}"
+        )
+
+
+def test_nacagat_with_ring_mesh_matches_plain():
+    """NaCAGaT (pre-gate + CAG) with ring_mesh: the seq-parallel co-attention
+    path equals the plain model in eval (need_attention=False engages it)."""
+    from multimodal_path_omic_tpu.models import NaCAGaT
+
+    rng = np.random.default_rng(53)
+    b, m = 1, 256
+    wsi = jnp.array(rng.normal(size=(b, m, 1024)), jnp.float32)
+    omics = [jnp.array(rng.normal(size=(b, s)), jnp.float32) for s in OMIC_SIZES]
+    mask = jnp.array(np.arange(m)[None, :] < 200, bool)
+
+    plain = NaCAGaT(n_signatures=len(OMIC_SIZES), model_size="small", use_pallas=False)
+    params = plain.init(jax.random.key(0), wsi, omics, mask)
+    out_ref = plain.apply(params, wsi, omics, mask, need_attention=False)
+
+    mesh = make_mesh(data=1, seq=8)
+    sharded = NaCAGaT(
+        n_signatures=len(OMIC_SIZES), model_size="small", use_pallas=False,
+        ring_mesh=mesh,
+    )
+    out_sp = jax.jit(
+        lambda w, o, msk: sharded.apply(params, w, o, msk, need_attention=False)
+    )(wsi, omics, mask)
+    np.testing.assert_allclose(
+        np.asarray(out_sp.hazards), np.asarray(out_ref.hazards), atol=5e-5
+    )
