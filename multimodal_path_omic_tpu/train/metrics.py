@@ -2,10 +2,25 @@
 
 The reference scores with ``sksurv.metrics.concordance_index_censored``
 (reference: models/mcat/main.py:12, 81, 148) on risk ``= -sum(survs)``
-(mcat/main.py:56). sksurv is not a dependency here; `concordance_index_censored`
-below is a behavior-compatible numpy port of sksurv's pair-counting algorithm
-(comparable pairs, 0.5 credit for tied estimates, events comparable to
-censored samples at the same time point).
+(mcat/main.py:56). sksurv is not a dependency here;
+``concordance_index_censored`` below is a behavior-compatible numpy port of
+sksurv's pair-counting algorithm (comparable pairs, 0.5 credit for tied
+estimates with ``tied_tol``, events comparable to censored samples at the
+same time point).
+
+Three implementations exist, cross-checked against each other in
+tests/test_metrics.py (sksurv itself is not installable in this
+environment, so the correctness argument is: the slow port mirrors sksurv's
+published algorithm step-for-step, the brute force encodes Harrell's
+definition independently, and the fast version must agree with both on
+randomized data including heavy time/estimate ties):
+
+* ``concordance_index_censored`` — production: vectorized chunked counting,
+  O(n log n)-ish; scores n = 50k in well under a second;
+* ``_concordance_index_censored_loop`` — direct per-event port of sksurv's
+  loop (the round-1 implementation), kept as the readable reference;
+* ``concordance_index_censored_bruteforce`` — O(n^2) pairwise evaluation of
+  the comparability DEFINITION, structurally independent of both.
 """
 
 from __future__ import annotations
@@ -13,6 +28,18 @@ from __future__ import annotations
 from typing import Tuple
 
 import numpy as np
+
+
+def _validate(event_indicator, event_time, estimate):
+    event_indicator = np.asarray(event_indicator, dtype=bool)
+    event_time = np.asarray(event_time, dtype=float)
+    estimate = np.asarray(estimate, dtype=float)
+    n = len(event_time)
+    if not (len(event_indicator) == len(estimate) == n):
+        raise ValueError("all inputs must have the same length")
+    if n < 2:
+        raise ValueError("need at least two samples")
+    return event_indicator, event_time, estimate, n
 
 
 def concordance_index_censored(
@@ -30,15 +57,107 @@ def concordance_index_censored(
 
     Returns:
       (cindex, concordant, discordant, tied_risk, tied_time) like sksurv.
+
+    Vectorized: samples are sorted by time and processed in reverse
+    chunk-of-groups order; comparisons against strictly-later chunks use
+    binary search into an incrementally maintained sorted array, and
+    within-chunk comparisons (including the censored-at-same-time rule) use
+    one small dense matrix per chunk.
     """
-    event_indicator = np.asarray(event_indicator, dtype=bool)
-    event_time = np.asarray(event_time, dtype=float)
-    estimate = np.asarray(estimate, dtype=float)
-    n = len(event_time)
-    if not (len(event_indicator) == len(estimate) == n):
-        raise ValueError("all inputs must have the same length")
-    if n < 2:
-        raise ValueError("need at least two samples")
+    event_indicator, event_time, estimate, n = _validate(
+        event_indicator, event_time, estimate
+    )
+
+    order = np.argsort(event_time, kind="stable")
+    st = event_time[order]
+    se = event_indicator[order]
+    sr = estimate[order]
+
+    # contiguous tie groups of equal time
+    new_group = np.empty(n, dtype=bool)
+    new_group[0] = True
+    new_group[1:] = st[1:] != st[:-1]
+    group_start = np.flatnonzero(new_group)
+    group_end = np.concatenate([group_start[1:], [n]])
+    gid = np.cumsum(new_group) - 1  # [n] group id per sample
+
+    # tied_time: each event is "comparable-tied" with every censored sample
+    # of its own group (counted once per event, like sksurv)
+    ev_per_group = np.add.reduceat(se.astype(np.int64), group_start)
+    size_per_group = group_end - group_start
+    cens_per_group = size_per_group - ev_per_group
+    tied_time = int(np.sum(ev_per_group * cens_per_group))
+
+    # chunk whole groups so each chunk holds <= target samples (a single
+    # oversized group becomes its own chunk)
+    target = 512
+    chunks = []  # (sample_start, sample_end)
+    cs = 0
+    for g in range(len(group_start)):
+        if group_end[g] - cs > target and cs != group_start[g]:
+            chunks.append((cs, group_start[g]))
+            cs = group_start[g]
+    chunks.append((cs, n))
+
+    numerator = 0.0
+    denominator = 0
+    concordant = 0
+    discordant = 0
+    tied_risk = 0
+
+    suffix_sorted = np.empty(0, dtype=float)  # estimates of strictly-later chunks
+    for s0, s1 in reversed(chunks):
+        sub_e = se[s0:s1]
+        ev_rows = np.flatnonzero(sub_e)
+        if ev_rows.size:
+            r_ev = sr[s0:s1][ev_rows]
+            # later-chunk comparisons via binary search
+            lo = np.searchsorted(suffix_sorted, r_ev - tied_tol, side="left")
+            hi = np.searchsorted(suffix_sorted, r_ev + tied_tol, side="right")
+            less_out = lo
+            tie_out = hi - lo
+            n_out = suffix_sorted.size
+            # within-chunk comparisons: strictly later groups, plus censored
+            # samples of the event's own group
+            sub_g = gid[s0:s1]
+            sub_r = sr[s0:s1]
+            g_ev = sub_g[ev_rows]
+            comp = (sub_g[None, :] > g_ev[:, None]) | (
+                (sub_g[None, :] == g_ev[:, None]) & ~sub_e[None, :]
+            )
+            diff = sub_r[None, :] - r_ev[:, None]
+            tie_in = (comp & (np.abs(diff) <= tied_tol)).sum(axis=1)
+            less_in = (comp & (diff < -tied_tol)).sum(axis=1)
+            n_in = comp.sum(axis=1)
+
+            n_con = less_out + less_in
+            n_tie = tie_out + tie_in
+            n_all = n_out + n_in
+            numerator += float(np.sum(n_con + 0.5 * n_tie))
+            denominator += int(np.sum(n_all))
+            concordant += int(np.sum(n_con))
+            tied_risk += int(np.sum(n_tie))
+            discordant += int(np.sum(n_all - n_con - n_tie))
+        suffix_sorted = np.sort(np.concatenate([suffix_sorted, sr[s0:s1]]))
+
+    if denominator == 0:
+        raise ValueError(
+            "data has no comparable pairs, cannot estimate concordance index"
+        )
+    return numerator / denominator, concordant, discordant, tied_risk, tied_time
+
+
+def _concordance_index_censored_loop(
+    event_indicator: np.ndarray,
+    event_time: np.ndarray,
+    estimate: np.ndarray,
+    tied_tol: float = 1e-8,
+) -> Tuple[float, int, int, int, int]:
+    """Per-event loop port of sksurv's algorithm (readable reference; the
+    production function above must match this exactly)."""
+    event_indicator, event_time, estimate, n = _validate(
+        event_indicator, event_time, estimate
+    )
 
     order = np.argsort(event_time, kind="stable")
     st = event_time[order]
@@ -86,6 +205,50 @@ def concordance_index_censored(
             "data has no comparable pairs, cannot estimate concordance index"
         )
     return numerator / denominator, concordant, discordant, tied_risk, tied_time
+
+
+def concordance_index_censored_bruteforce(
+    event_indicator: np.ndarray,
+    event_time: np.ndarray,
+    estimate: np.ndarray,
+    tied_tol: float = 1e-8,
+) -> Tuple[float, int, int, int, int]:
+    """O(n^2) pairwise evaluation straight from the DEFINITION (test oracle).
+
+    A pair (i, j) is comparable when sample i had an observed event and
+    either t_i < t_j, or t_i == t_j and j is censored. Concordant when the
+    event sample carries the strictly higher risk (beyond ``tied_tol``);
+    tied-risk pairs get 0.5 credit. ``tied_time`` counts, for every event,
+    its same-time censored partners.
+    """
+    event_indicator, event_time, estimate, n = _validate(
+        event_indicator, event_time, estimate
+    )
+    t = event_time
+    e = event_indicator
+    r = estimate
+    comparable = e[:, None] & (
+        (t[:, None] < t[None, :])
+        | ((t[:, None] == t[None, :]) & ~e[None, :])
+    )
+    diff = r[:, None] - r[None, :]  # event risk minus other risk
+    tie = comparable & (np.abs(diff) <= tied_tol)
+    con = comparable & (diff > tied_tol)
+    n_all = int(comparable.sum())
+    n_con = int(con.sum())
+    n_tie = int(tie.sum())
+    tied_time = int((e[:, None] & (t[:, None] == t[None, :]) & ~e[None, :]).sum())
+    if n_all == 0:
+        raise ValueError(
+            "data has no comparable pairs, cannot estimate concordance index"
+        )
+    return (
+        (n_con + 0.5 * n_tie) / n_all,
+        n_con,
+        n_all - n_con - n_tie,
+        n_tie,
+        tied_time,
+    )
 
 
 def survival_risk(survs: np.ndarray) -> np.ndarray:
