@@ -147,6 +147,10 @@ class TpuConfig:
     use_pallas: bool = True
     # Host pipeline prefetch depth.
     prefetch: int = 2
+    # C++ pipelined epoch executor (native slot ring). The Trainer closes the
+    # slot-aliasing hazard in _device_batch (copy on CPU / transfer-completion
+    # on accelerators), so it is safe to auto-engage.
+    use_native_pipeline: bool = True
 
 
 @dataclass

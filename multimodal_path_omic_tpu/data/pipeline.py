@@ -48,6 +48,7 @@ class BucketBatcher:
         shuffle: bool = True,
         seed: int = 0,
         drop_remainder: bool = False,
+        host_slice=None,
     ):
         self.dataset = dataset
         self.extras_fn = extras_fn
@@ -56,6 +57,17 @@ class BucketBatcher:
         self.shuffle = shuffle
         self.seed = seed
         self.drop_remainder = drop_remainder
+        # Multi-host data feeding: (process_index, process_count). The epoch
+        # plan is seed-deterministic, so every host computes the SAME global
+        # plan and materializes only its contiguous slice of each batch
+        # (batch_size must divide by process_count); the global device array
+        # is assembled by jax.make_array_from_process_local_data
+        # (parallel/mesh.py shard_batch process_local mode).
+        self.host_slice = host_slice
+        if host_slice is not None and batch_size % host_slice[1] != 0:
+            raise ValueError(
+                f"batch_size {batch_size} not divisible by process count {host_slice[1]}"
+            )
         self._epoch = 0
         # Bag lengths probed once (cheap for npy/h5 backends; .pt requires a
         # load — cached).
@@ -168,19 +180,21 @@ class BucketBatcher:
 
     # slot-ring budget for the C++ pipelined executor (bytes of wsi buffers)
     PIPELINE_BUDGET_BYTES = 2 << 30
-    # The pipelined executor is OPT-IN: its yielded wsi arrays alias reusable
-    # slot buffers, and jax.device_put on CPU can zero-copy numpy views — a
-    # consumer that holds the device array past the next iteration would read
-    # recycled memory. Enable only where the consumer copies/uploads each
-    # batch synchronously before advancing.
+    # The pipelined executor's yielded wsi arrays alias reusable slot buffers.
+    # Batches from it carry ``aliased=True`` so consumers can close the hazard
+    # (copy on CPU, or complete the H2D transfer before advancing — the
+    # Trainer's _device_batch does exactly this, which is why the Trainer
+    # auto-engages the pipeline). Leave False for consumers that hold raw
+    # numpy views across iterations.
     use_native_pipeline: bool = False
 
     def batches(self) -> Iterator[Batch]:
         """Yield bucketed padded batches.
 
         ALIASING CONTRACT when ``use_native_pipeline`` is set: a yielded
-        batch's ``wsi`` array aliases a reusable slot buffer — copy it (or
-        complete a guaranteed-copy transfer) BEFORE advancing the iterator.
+        batch's ``wsi`` array aliases a reusable slot buffer (the batch
+        carries ``aliased=True``) — copy it, or complete a guaranteed-copy
+        device transfer, BEFORE advancing the iterator.
         """
         plan = self._epoch_plan()
         if self.use_native_pipeline and self._native is not None and plan:
@@ -196,45 +210,60 @@ class BucketBatcher:
         for indices, bucket in plan:
             yield self._make_batch(indices, bucket)
 
+    def _local_slice(self):
+        """(start, stop) rows of each global batch this host materializes."""
+        if self.host_slice is None:
+            return 0, self.batch_size
+        pid, count = self.host_slice
+        per = self.batch_size // count
+        return pid * per, (pid + 1) * per
+
     def _pipelined(self, plan, dim: int, n_slots: int) -> Iterator[Batch]:
         """C++ pipelined epoch executor: worker threads fill a slot ring ahead
         of consumption (data/native.py::NativePipeline)."""
         from multimodal_path_omic_tpu.data.native import NativePipeline
 
+        lo, hi = self._local_slice()
         id_plan = []
         for indices, bucket in plan:
             full = list(indices) + [indices[-1]] * (self.batch_size - len(indices))
-            id_plan.append(([self.dataset.slide_id(i) for i in full], bucket))
+            id_plan.append(
+                ([self.dataset.slide_id(i) for i in full[lo:hi]], bucket)
+            )
         pipe = NativePipeline(
-            self._native, id_plan, self.batch_size, dim, n_slots=n_slots
+            self._native, id_plan, hi - lo, dim, n_slots=n_slots
         )
         for (bi, wsi, mask), (indices, bucket) in zip(pipe.batches(), plan):
             real = len(indices)
             full = list(indices) + [indices[-1]] * (self.batch_size - real)
             weight = np.zeros((self.batch_size,), np.float32)
             weight[:real] = 1.0
+            local = np.array(full[lo:hi])
             batch = Batch(
                 wsi=wsi,
                 mask=mask,
-                weight=weight,
-                index=np.array(full, np.int32),
+                weight=weight[lo:hi],
+                index=local.astype(np.int32),
                 bucket=bucket,
                 n_real=real,
+                aliased=True,  # wsi aliases a recyclable slot buffer
             )
-            batch.update(self.extras_fn(self.dataset, np.array(full)))
+            batch.update(self.extras_fn(self.dataset, local))
             yield batch
 
     def _make_batch(self, indices: List[int], bucket: int) -> Batch:
         real = len(indices)
         full = list(indices) + [indices[-1]] * (self.batch_size - real)
+        lo, hi = self._local_slice()
+        local = full[lo:hi]
         if self._native is not None:
-            slide_ids = [self.dataset.slide_id(i) for i in full]
+            slide_ids = [self.dataset.slide_id(i) for i in local]
             dim = self._native.dim(slide_ids[0])
             wsi, masks = self._native.load_batch(slide_ids, bucket, dim)
         else:
-            masks = np.zeros((self.batch_size, bucket), dtype=bool)
+            masks = np.zeros((len(local), bucket), dtype=bool)
             bags = []
-            for i in full:
+            for i in local:
                 bag = np.asarray(self.dataset.bag(i), dtype=np.float32)
                 padded, mask = pad_bag(bag, bucket)
                 bags.append(padded)
@@ -245,12 +274,12 @@ class BucketBatcher:
         batch = Batch(
             wsi=wsi,
             mask=masks,
-            weight=weight,
-            index=np.array(full, np.int32),
+            weight=weight[lo:hi],
+            index=np.array(local, np.int32),
             bucket=bucket,
             n_real=real,
         )
-        batch.update(self.extras_fn(self.dataset, np.array(full)))
+        batch.update(self.extras_fn(self.dataset, np.array(local)))
         return batch
 
 

@@ -595,9 +595,13 @@ def fused_attention(
     dropout_active = dropout_rate > 0.0
 
     # Few-query path: the custom co-attention kernel (handles pre_gate,
-    # dropout, ssq emission).
-    if kernel_eligible(n, m_len, d) and (
-        not dropout_active or kernel_dropout_available()
+    # dropout, ssq emission). With dropout the kernel pays per-tile PRNG
+    # generation; interleaved A/B on v5e (benchmarks/bench_nacagat.py) shows
+    # XLA ahead at M=4096 and the kernel ahead from ~8192 up.
+    if (
+        kernel_eligible(n, m_len, d)
+        and (not dropout_active or kernel_dropout_available())
+        and (not dropout_active or m_len >= 8192)
     ):
         DISPATCH_COUNTS["kernel"] += 1
         qf = q.reshape(b * h, n, d)

@@ -45,8 +45,27 @@ def batch_spec(key: str) -> P:
     return P("data")  # per-sample vectors/scalars (incl. omics_packed)
 
 
-def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
-    """device_put every field with its mesh layout (omics lists handled)."""
+def _put(value: np.ndarray, sh: NamedSharding, process_local: bool):
+    if process_local:
+        # multi-host: `value` is THIS process's slice of the global batch
+        # (the BucketBatcher's host_slice contract); jax assembles the global
+        # array from per-process shards without any cross-host transfer
+        return jax.make_array_from_process_local_data(sh, np.asarray(value))
+    return jax.device_put(np.asarray(value), sh)
+
+
+def shard_batch(
+    batch: Dict[str, Any], mesh: Mesh, process_local: Optional[bool] = None
+) -> Dict[str, Any]:
+    """device_put every field with its mesh layout (omics lists handled).
+
+    ``process_local``: multi-host mode — each field holds only this process's
+    slice of the global batch and the global array is assembled from the
+    per-process shards (``jax.make_array_from_process_local_data``). Defaults
+    to on when ``jax.process_count() > 1``.
+    """
+    if process_local is None:
+        process_local = jax.process_count() > 1
     out = {}
     for key, value in batch.items():
         if key in ("bucket", "n_real", "index"):
@@ -54,10 +73,10 @@ def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
             continue
         if key == "omics":
             sh = NamedSharding(mesh, P("data"))
-            out[key] = [jax.device_put(np.asarray(o), sh) for o in value]
+            out[key] = [_put(o, sh, process_local) for o in value]
         else:
             sh = NamedSharding(mesh, batch_spec(key))
-            out[key] = jax.device_put(np.asarray(value), sh)
+            out[key] = _put(value, sh, process_local)
     return out
 
 

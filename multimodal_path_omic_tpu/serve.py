@@ -93,6 +93,9 @@ class Predictor:
             t.buckets,
             shuffle=False,
         )
+        # safe: every batch goes through t._device_batch, which closes the
+        # pipeline's slot-aliasing hazard before the slot can recycle
+        batcher.use_native_pipeline = t.config.tpu.use_native_pipeline
         rows: Dict[str, list] = {}
 
         # transfer in the prefetch thread so host IO overlaps device compute

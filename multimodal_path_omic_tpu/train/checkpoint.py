@@ -15,10 +15,36 @@ from __future__ import annotations
 
 import datetime
 import os
+import threading
 from typing import Any, Dict, Optional
 
 import jax
 import numpy as np
+
+# A single long-lived checkpointer so saves can be ASYNC: orbax's
+# StandardCheckpointer commits in a background thread; training continues
+# while the previous checkpoint writes (multi-host: every process must call
+# save/wait collectively). wait_for_checkpoints() joins all pending commits.
+_CHECKPOINTER = None
+_CKPT_LOCK = threading.Lock()
+
+
+def _get_checkpointer():
+    global _CHECKPOINTER
+    with _CKPT_LOCK:
+        if _CHECKPOINTER is None:
+            import orbax.checkpoint as ocp
+
+            _CHECKPOINTER = ocp.StandardCheckpointer()
+        return _CHECKPOINTER
+
+
+def wait_for_checkpoints() -> None:
+    """Block until every async checkpoint save has committed to disk."""
+    with _CKPT_LOCK:
+        ckptr = _CHECKPOINTER
+    if ckptr is not None:
+        ckptr.wait_until_finished()
 
 
 def _flatten(tree, prefix=""):
@@ -41,24 +67,33 @@ def save_checkpoint(
     model_name: str,
     dataset_name: str,
     epoch: int,
+    block: bool = True,
 ) -> str:
     """Write a checkpoint; returns its path.
 
-    Uses orbax when available, falling back to a single .npz of the flattened
-    pytree plus the structure pickled via numpy (keeps zero extra deps).
+    Uses orbax when available, falling back to a single .npy of the payload
+    (pickled object array — logged loudly, since it is neither portable nor
+    safe to load from untrusted sources). ``block=False`` returns as soon as
+    the device arrays are snapshotted and lets orbax commit in the
+    background (async checkpointing); call ``wait_for_checkpoints()`` before
+    reading the file or exiting.
     """
     os.makedirs(directory, exist_ok=True)
     now = datetime.datetime.now().strftime("%Y%m%d%H%M")
     name = f"{model_name}_{dataset_name}_E{epoch + 1}_{now}"
     path = os.path.join(directory, name)
     try:
-        import orbax.checkpoint as ocp
-
-        ckptr = ocp.StandardCheckpointer()
+        ckptr = _get_checkpointer()
         ckptr.save(os.path.abspath(path), payload)
-        ckptr.wait_until_finished()
+        if block:
+            ckptr.wait_until_finished()
         return path
-    except Exception:
+    except Exception as exc:
+        print(
+            f"WARNING: orbax checkpointing unavailable ({type(exc).__name__}); "
+            f"writing PICKLED numpy fallback {path}.npy — not portable, do not "
+            "load from untrusted sources"
+        )
         np.save(path + ".npy", np.array([payload], dtype=object), allow_pickle=True)
         return path + ".npy"
 

@@ -112,6 +112,20 @@ class Trainer:
         self.val_batcher = BucketBatcher(
             self.val_ds, self.extras_fn, self.batch_size, self.buckets, shuffle=False
         )
+        # the Trainer's _device_batch closes the pipeline's slot-aliasing
+        # hazard, so the C++ pipelined executor is safe to engage here
+        self.train_batcher.use_native_pipeline = c.tpu.use_native_pipeline
+        self.val_batcher.use_native_pipeline = c.tpu.use_native_pipeline
+
+        # multi-host: every host computes the same seed-deterministic epoch
+        # plan and feeds only its contiguous slice of each batch; the global
+        # device arrays are assembled process-locally (parallel/mesh.py).
+        # Metrics are process-allgathered (see _host_gather).
+        self.n_processes = jax.process_count()
+        if self.n_processes > 1:
+            hs = (jax.process_index(), self.n_processes)
+            self.train_batcher.host_slice = hs
+            self.val_batcher.host_slice = hs
 
         # ----- mesh scale-out (parallel/mesh.py) ----------------------------
         self.mesh = None
@@ -208,6 +222,16 @@ class Trainer:
         self.timer = StepTimer()
 
     # ------------------------------------------------------------------ util
+    def _host_gather(self, x) -> np.ndarray:
+        """Materialize an array on THIS host. Single-process: plain asarray.
+        Multi-host: process_allgather (device arrays may have non-addressable
+        shards; host arrays are per-process slices to concatenate)."""
+        if self.n_processes > 1:
+            from jax.experimental import multihost_utils
+
+            return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+        return np.asarray(x)
+
     def _example_inputs(self):
         m = 128
         wsi = jnp.zeros((1, m, 1024), jnp.float32)
@@ -246,8 +270,17 @@ class Trainer:
 
     def _device_batch(self, batch) -> Dict[str, Any]:
         batch = dict(batch)
+        # ``aliased``: wsi aliases a reusable native-pipeline slot buffer; the
+        # hazard is closed below — copy on CPU (jax CPU arrays can zero-copy
+        # host numpy memory), or block on the H2D transfer so the bytes are on
+        # device before the slot can be recycled.
+        aliased = bool(batch.pop("aliased", False))
         if self.config.tpu.transfer_dtype == "bfloat16":
             batch["wsi"] = np.asarray(batch["wsi"], np.float32).astype(jnp.bfloat16)
+            aliased = False  # astype copied
+        elif aliased and jax.default_backend() == "cpu":
+            batch["wsi"] = np.array(batch["wsi"])
+            aliased = False
         if "omics" in batch:
             # one transfer instead of one per signature group
             batch["omics_packed"] = np.concatenate(
@@ -260,6 +293,8 @@ class Trainer:
                 {k: v for k, v in batch.items() if k not in ("bucket", "n_real", "index")},
                 self.mesh,
             )
+            if aliased:
+                jax.block_until_ready(out["wsi"])
             return out
         out = {}
         for k, v in batch.items():
@@ -271,6 +306,10 @@ class Trainer:
                 out[k] = np.asarray(v)
             else:
                 out[k] = jnp.asarray(v)
+        if aliased:
+            # guaranteed-copy transfer completion: the slot may be recycled
+            # the moment the pipeline advances
+            jax.block_until_ready(out["wsi"])
         return out
 
     # --------------------------------------------------------------- training
@@ -280,7 +319,7 @@ class Trainer:
         # step would block the dispatch pipeline (device idles while the host
         # formats floats). Everything is pulled once at epoch end.
         losses, attn_losses, step_reals = [], [], []
-        risks, censorships, months, reals = [], [], [], []
+        risks, weights, censorships, months = [], [], [], []
         n_steps = 0
         self.timer.reset()
         epoch_t0 = time.time()
@@ -291,7 +330,7 @@ class Trainer:
                 yield b, self._device_batch(b)
 
         for batch, dev in prefetch(_staged(self.train_batcher.batches()), depth=c.tpu.prefetch):
-            real = int(batch["weight"].sum())
+            real = int(batch["n_real"])  # global real count (multi-host safe)
             self.state, metrics = self.train_step(self.state, dev)
             losses.append(metrics.loss)
             attn_losses.append(metrics.attn_loss)
@@ -299,10 +338,13 @@ class Trainer:
             n_steps += 1
             self.timer.tick(real)
             if not self.ge_mode:
+                # collect full per-step arrays; weight-0 pad rows are dropped
+                # at epoch end (multi-host: each host holds its batch slice of
+                # the labels, gathered in _host_gather)
                 risks.append(metrics.risk)
-                reals.append(real)
-                censorships.append(batch["censorship"][:real])
-                months.append(batch["survival_months"][:real])
+                weights.append(batch["weight"])
+                censorships.append(batch["censorship"])
+                months.append(batch["survival_months"])
             if n_steps % 50 == 0 and self.verbose:
                 # periodic progress print (syncs; mirrors the reference's
                 # per-50-batch print, mcat/main.py:63-68, divisor fixed)
@@ -333,13 +375,17 @@ class Trainer:
             out["train_mse"] = out["train_loss"]
             msg = f"Epoch: {epoch + 1}, train_loss: {out['train_loss']:.4f}"
         else:
-            risks_all = (
-                np.concatenate([np.asarray(r)[:n] for r, n in zip(risks, reals)])
-                if risks
-                else np.zeros(0)
-            )
-            cens_all = np.concatenate(censorships) if censorships else np.zeros(0)
-            months_all = np.concatenate(months) if months else np.zeros(0)
+            if risks:
+                risks_all = np.concatenate([self._host_gather(r) for r in risks])
+                w_all = np.concatenate([self._host_gather(w) for w in weights])
+                cens_all = np.concatenate([self._host_gather(x) for x in censorships])
+                months_all = np.concatenate([self._host_gather(x) for x in months])
+                sel = w_all > 0
+                risks_all, cens_all, months_all = (
+                    risks_all[sel], cens_all[sel], months_all[sel]
+                )
+            else:
+                risks_all = cens_all = months_all = np.zeros(0)
             try:
                 c_index = concordance_index_censored(
                     (1 - cens_all).astype(bool), months_all, risks_all
@@ -374,10 +420,10 @@ class Trainer:
         return out
 
     def validate(self, epoch) -> Dict[str, float]:
-        risks, censorships, months, reals, losses, step_reals = [], [], [], [], [], []
+        risks, weights, censorships, months, losses, step_reals = [], [], [], [], [], []
         n_steps = 0
         for batch in self.val_batcher.batches():
-            real = int(batch["weight"].sum())
+            real = int(batch["n_real"])
             dev = self._device_batch(batch)
             res = self.eval_step(self.state.params, dev)
             losses.append(res["loss"])  # device scalar; pulled after the loop
@@ -385,9 +431,9 @@ class Trainer:
             n_steps += 1
             if not self.ge_mode:
                 risks.append(res["risk"])
-                reals.append(real)
-                censorships.append(batch["censorship"][:real])
-                months.append(batch["survival_months"][:real])
+                weights.append(batch["weight"])
+                censorships.append(batch["censorship"])
+                months.append(batch["survival_months"])
         # per-sample mean (reference: mcat/main.py:147)
         lv = np.array([float(l) for l in losses]) if losses else np.zeros(1)
         wv = np.array(step_reals, float) if step_reals else np.ones(1)
@@ -398,13 +444,17 @@ class Trainer:
             out["val_mse"] = out["val_loss"]
             msg = f"Epoch: {label}, val_loss: {out['val_loss']:.4f}"
         else:
-            risks_all = (
-                np.concatenate([np.asarray(r)[:n] for r, n in zip(risks, reals)])
-                if risks
-                else np.zeros(0)
-            )
-            cens_all = np.concatenate(censorships) if censorships else np.zeros(0)
-            months_all = np.concatenate(months) if months else np.zeros(0)
+            if risks:
+                risks_all = np.concatenate([self._host_gather(r) for r in risks])
+                w_all = np.concatenate([self._host_gather(w) for w in weights])
+                cens_all = np.concatenate([self._host_gather(x) for x in censorships])
+                months_all = np.concatenate([self._host_gather(x) for x in months])
+                sel = w_all > 0
+                risks_all, cens_all, months_all = (
+                    risks_all[sel], cens_all[sel], months_all[sel]
+                )
+            else:
+                risks_all = cens_all = months_all = np.zeros(0)
             try:
                 c_index = concordance_index_censored(
                     (1 - cens_all).astype(bool), months_all, risks_all
@@ -514,11 +564,15 @@ class Trainer:
             model_name=self.config.model.name,
             dataset_name=self.config.dataset.name,
             epoch=epoch,
+            # async: orbax commits in the background while the next epoch
+            # trains; fit() (and restore) join pending commits
+            block=False,
         )
 
     def restore(self, path: str) -> None:
         if self.verbose:
             print(f"Loading model checkpoint from {path}")
+        ckpt.wait_for_checkpoints()  # the path may still be committing
         template = {
             "epoch": 0,
             "params": self.state.params,
@@ -581,6 +635,7 @@ class Trainer:
                     )
                 )
         last.update(self.validate("final validation"))
+        ckpt.wait_for_checkpoints()  # join pending async checkpoint commits
         self.logger.finish()
         return last
 

@@ -250,7 +250,8 @@ def test_nacagat_train_step_with_dropout_dispatches_kernel_on_tpu():
 
     coattn._FORCE_KERNEL_DROPOUT = True
     try:
-        delta = _nacagat_step("ces", m=4096, dropout=0.25)
+        # dropout-path dispatch threshold is M >= 8192 (A/B-tuned)
+        delta = _nacagat_step("ces", m=8192, dropout=0.25)
     finally:
         coattn._FORCE_KERNEL_DROPOUT = False
     assert delta["kernel"] >= 1, delta

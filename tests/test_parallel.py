@@ -458,3 +458,60 @@ def test_nacagat_with_ring_mesh_matches_plain():
     np.testing.assert_allclose(
         np.asarray(out_sp.hazards), np.asarray(out_ref.hazards), atol=5e-5
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-host data feeding (single-process-testable pieces)
+# ---------------------------------------------------------------------------
+
+
+def test_host_slices_reassemble_global_batches(tmp_path):
+    """Every host computes the same seed-deterministic plan; their contiguous
+    batch slices must concatenate back to the unsliced batch."""
+    from multimodal_path_omic_tpu.data import BucketBatcher, MultimodalDataset
+    from multimodal_path_omic_tpu.data.pipeline import survival_extras
+    from multimodal_path_omic_tpu.data.synthetic import (
+        make_synthetic_cohort,
+        synthetic_config_dict,
+    )
+
+    csv, sig, patches = make_synthetic_cohort(str(tmp_path), n_patients=16, seed=3)
+    cfg = synthetic_config_dict(csv, sig, patches)
+    ds = MultimodalDataset(csv, cfg, use_signatures=True, verbose=False)
+
+    full = BucketBatcher(ds, survival_extras, 4, (512,), shuffle=True, seed=5)
+    parts = [
+        BucketBatcher(
+            ds, survival_extras, 4, (512,), shuffle=True, seed=5,
+            host_slice=(p, 2),
+        )
+        for p in range(2)
+    ]
+    for b_full, b0, b1 in zip(full.batches(), parts[0].batches(), parts[1].batches()):
+        np.testing.assert_array_equal(
+            b_full["wsi"], np.concatenate([b0["wsi"], b1["wsi"]])
+        )
+        np.testing.assert_array_equal(
+            b_full["weight"], np.concatenate([b0["weight"], b1["weight"]])
+        )
+        np.testing.assert_array_equal(
+            b_full["label"], np.concatenate([b0["label"], b1["label"]])
+        )
+        assert b0["n_real"] == b_full["n_real"] == b1["n_real"]
+
+
+def test_shard_batch_process_local_equals_device_put(setup):
+    """Single-process: make_array_from_process_local_data must assemble the
+    same global arrays as plain device_put (the multi-host feeding path)."""
+    model, optimizer, state, step, batch = setup
+    mesh = make_mesh(data=4, seq=2)
+    a = shard_batch(batch, mesh, process_local=False)
+    b = shard_batch(batch, mesh, process_local=True)
+    np.testing.assert_array_equal(np.asarray(a["wsi"]), np.asarray(b["wsi"]))
+    np.testing.assert_array_equal(np.asarray(a["label"]), np.asarray(b["label"]))
+    assert a["wsi"].sharding.is_equivalent_to(b["wsi"].sharding, a["wsi"].ndim)
+    # and a train step on the process-local-assembled batch matches
+    s1, m1 = step(state, jax.tree_util.tree_map(jnp.asarray, batch))
+    with mesh:
+        s2, m2 = step(replicate(state, mesh), b)
+    assert np.isclose(float(m1.loss), float(m2.loss), atol=2e-4)

@@ -484,3 +484,22 @@ def test_bfloat16_compute_eval_parity_tolerance():
         np.asarray(out16.hazards, np.float32), np.asarray(out32.hazards),
         atol=0.04,
     )
+
+
+def test_trainer_native_pipeline_on_off_identical(tmp_path):
+    """The auto-engaged C++ pipelined executor must not change training: same
+    cohort + seed gives identical losses with the pipeline on and off (the
+    aliasing hazard is closed in _device_batch)."""
+    cfg_on = _make_cfg(tmp_path, epochs=1)
+    t_on = Trainer(cfg_on, verbose=False)
+    assert t_on.train_batcher.use_native_pipeline
+    if t_on.train_batcher._native is None:
+        pytest.skip("native loader unavailable")
+    out_on = t_on.fit()
+
+    cfg_off = _make_cfg(tmp_path, epochs=1)
+    cfg_off.tpu.use_native_pipeline = False
+    t_off = Trainer(cfg_off, verbose=False)
+    out_off = t_off.fit()
+    assert np.isclose(out_on["train_loss"], out_off["train_loss"], atol=1e-6)
+    assert np.isclose(out_on["val_loss"], out_off["val_loss"], atol=1e-6)
