@@ -1,0 +1,197 @@
+"""Training A/B: the PyTorch reference vs this framework on one cohort.
+
+The strongest available stand-in for real-data c-index parity (no TCGA-style
+cohort exists in this environment): train the ACTUAL reference MCAT
+(/root/reference, torch CPU, its own batch-1 + grad-accum loop semantics,
+mcat/main.py:19-103) and this framework's Trainer on the IDENTICAL synthetic
+planted-signal cohort and the IDENTICAL seeded patient split, then compare
+per-epoch validation c-index trajectories. Dropout RNG necessarily differs,
+so the comparison is statistical: both arms must learn the planted signal to
+a comparable final c-index.
+
+Usage: python benchmarks/ab_torch_vs_jax.py [--epochs 20] [--patients 128]
+Prints one JSON line per (arm, epoch) plus a final summary line.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+REFERENCE_ROOT = "/root/reference"
+
+from multimodal_path_omic_tpu.train.metrics import (  # noqa: E402
+    concordance_index_censored,
+)
+
+
+def build_cohort(out_dir: str, n_patients: int, seed: int):
+    from multimodal_path_omic_tpu.config import config_from_dict
+    from multimodal_path_omic_tpu.data.dataset import MultimodalDataset
+    from multimodal_path_omic_tpu.data.synthetic import (
+        make_synthetic_cohort,
+        synthetic_config_dict,
+    )
+
+    csv, sig, patches = make_synthetic_cohort(
+        out_dir,
+        n_patients=n_patients,
+        bag_lengths=(200, 350, 500),
+        n_genes=60,
+        n_signatures=6,
+        seed=seed,
+        signal_strength=2.0,
+    )
+    raw = synthetic_config_dict(csv, sig, patches)
+    raw["model"]["model_size"] = "small"
+    raw["training"]["lr"] = 2e-4
+    raw["tpu"] = {"bag_buckets": [512], "batch_size": 32}
+    cfg = config_from_dict(raw)
+    dataset = MultimodalDataset(csv, cfg, use_signatures=True, verbose=False)
+    return cfg, dataset
+
+
+def torch_arm(dataset, split_seed: int, epochs: int, lr: float, grad_acc: int):
+    """The reference's training loop, faithfully (mcat/main.py:19-155)."""
+    import torch
+
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.insert(0, REFERENCE_ROOT)
+    from models.loss import CrossEntropySurvivalLoss  # type: ignore
+    from models.mcat.mcat import MultimodalCoAttentionTransformer  # type: ignore
+
+    torch.manual_seed(0)
+    torch.set_num_threads(os.cpu_count() or 8)
+    train_ds, val_ds, _ = dataset.split(0.8, seed=split_seed)
+
+    def rows(ds):
+        t = ds.table
+        out = []
+        for i in range(len(t.df)):
+            omics = [
+                torch.tensor(t.signature_data[n][i]) for n in t.signature_names
+            ]
+            bag = torch.tensor(np.asarray(ds.store.get(t.slide_ids[i]), np.float32))
+            out.append(
+                (
+                    float(t.survival_months[i]),
+                    int(t.survival_class[i]),
+                    float(t.censorship[i]),
+                    omics,
+                    bag,
+                )
+            )
+        return out
+
+    train_rows, val_rows = rows(train_ds), rows(val_ds)
+    model = MultimodalCoAttentionTransformer(
+        omic_sizes=dataset.signature_sizes, model_size="small"
+    )
+    loss_fn = CrossEntropySurvivalLoss()
+    opt = torch.optim.Adam(model.parameters(), lr=lr, weight_decay=1e-5)
+    rng = np.random.default_rng(split_seed)
+
+    history = []
+    for epoch in range(epochs):
+        model.train()
+        order = rng.permutation(len(train_rows))
+        opt.zero_grad()
+        for bi, ridx in enumerate(order):
+            months, klass, cens, omics, bag = train_rows[ridx]
+            hazards, survs, y, _ = model(wsi=bag, omics=omics)
+            loss = loss_fn(
+                hazards, survs, torch.tensor([[klass]]), c=torch.tensor([[cens]])
+            )
+            (loss / grad_acc).backward()
+            if (bi + 1) % grad_acc == 0:
+                opt.step()
+                opt.zero_grad()
+        model.eval()
+        risks, times, events = [], [], []
+        with torch.no_grad():
+            for months, klass, cens, omics, bag in val_rows:
+                _, survs, _, _ = model(wsi=bag, omics=omics)
+                risks.append(float(-survs.sum()))
+                times.append(months)
+                events.append(1.0 - cens)
+        c = concordance_index_censored(
+            np.array(events).astype(bool), np.array(times), np.array(risks)
+        )[0]
+        history.append(c)
+        print(
+            json.dumps({"arm": "torch_reference", "epoch": epoch + 1,
+                        "val_c_index": round(c, 4)}),
+            flush=True,
+        )
+    return history
+
+
+def jax_arm(cfg, epochs: int):
+    from multimodal_path_omic_tpu.train.trainer import Trainer
+
+    cfg.training.epochs = epochs
+    trainer = Trainer(cfg, verbose=False)
+    history = []
+
+    for epoch in range(epochs):
+        trainer.train_epoch(epoch)
+        out = trainer.validate(epoch)
+        history.append(out["val_c_index"])
+        print(
+            json.dumps({"arm": "jax_tpu_framework", "epoch": epoch + 1,
+                        "val_c_index": round(out["val_c_index"], 4)}),
+            flush=True,
+        )
+    return history
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs", type=int, default=20)
+    ap.add_argument("--patients", type=int, default=128)
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--out-dir", default="/tmp/ab_cohort")
+    args = ap.parse_args()
+
+    cfg, dataset = build_cohort(args.out_dir, args.patients, args.seed)
+    cfg.training.seed = args.seed
+
+    t0 = time.time()
+    torch_hist = torch_arm(
+        dataset, split_seed=args.seed, epochs=args.epochs,
+        lr=cfg.training.lr, grad_acc=cfg.training.grad_acc_step,
+    )
+    torch_secs = time.time() - t0
+
+    t0 = time.time()
+    jax_hist = jax_arm(cfg, args.epochs)
+    jax_secs = time.time() - t0
+
+    k = max(1, args.epochs // 4)  # average the last quarter of epochs
+    summary = {
+        "arm_final_mean_val_c_index": {
+            "torch_reference": round(float(np.mean(torch_hist[-k:])), 4),
+            "jax_tpu_framework": round(float(np.mean(jax_hist[-k:])), 4),
+        },
+        "best": {
+            "torch_reference": round(float(np.max(torch_hist)), 4),
+            "jax_tpu_framework": round(float(np.max(jax_hist)), 4),
+        },
+        "wall_seconds": {
+            "torch_reference": round(torch_secs, 1),
+            "jax_tpu_framework": round(jax_secs, 1),
+        },
+        "epochs": args.epochs,
+        "patients": args.patients,
+        "split_seed": args.seed,
+    }
+    print(json.dumps(summary), flush=True)
+
+
+if __name__ == "__main__":
+    main()
