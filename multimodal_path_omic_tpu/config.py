@@ -151,6 +151,11 @@ class TpuConfig:
     # slot-aliasing hazard in _device_batch (copy on CPU / transfer-completion
     # on accelerators), so it is safe to auto-engage.
     use_native_pipeline: bool = True
+    # Optimizer steps executed per device dispatch (lax.scan over stacked
+    # same-bucket batches; EXACT single-step semantics). >1 amortizes
+    # per-call host/dispatch latency — decisive on remote/tunneled backends
+    # where dispatch RTT exceeds device compute. Single-mesh only.
+    steps_per_dispatch: int = 1
 
 
 @dataclass

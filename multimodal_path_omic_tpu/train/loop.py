@@ -129,7 +129,62 @@ def make_train_step(
     # so the model can stay on the fused kernel path (models that don't
     # implement ssq fall back to returning the full map under 'coattn').
     need_attention = "ssq" if loss_name == "cesar" else False
+    return _build_step(
+        model, loss_name, optimizer, alpha=alpha, l1_lambda=l1_lambda,
+        patch_budget=patch_budget, ge_mode=ge_mode, omic_sizes=omic_sizes,
+        donate_state=donate_state, need_attention=need_attention, multi=False,
+    )
 
+
+def make_multi_train_step(
+    model,
+    loss_name: str,
+    optimizer: optax.GradientTransformation,
+    *,
+    alpha: float = 0.75,
+    l1_lambda: float = 0.0,
+    patch_budget: Optional[int] = 262_144,
+    ge_mode: bool = False,
+    omic_sizes: Optional[Tuple[int, ...]] = None,
+    donate_state: bool = False,
+) -> Callable:
+    """Multi-step dispatch: ONE jitted call runs K sequential optimizer steps
+    (``lax.scan``) over a stacked batch dict whose arrays carry a leading
+    [K, ...] axis. Semantics are EXACTLY K calls of the single train step
+    (same RNG chain, same updates); the point is dispatch amortization — on
+    remote/tunneled accelerators the per-call host latency otherwise
+    dominates small steps. Returns (state, metrics-with-leading-K-axis)."""
+    need_attention = "ssq" if loss_name == "cesar" else False
+    return _build_step(
+        model, loss_name, optimizer, alpha=alpha, l1_lambda=l1_lambda,
+        patch_budget=patch_budget, ge_mode=ge_mode, omic_sizes=omic_sizes,
+        donate_state=donate_state, need_attention=need_attention, multi=True,
+    )
+
+
+def stack_batches(batches):
+    """Stack same-shaped host batches into one [K, ...] batch dict (numpy):
+    one transfer + one dispatch instead of K."""
+    import numpy as _np
+
+    out = {}
+    for k in batches[0]:
+        if k in ("bucket", "n_real", "aliased"):
+            continue
+        if k == "omics":
+            out[k] = [
+                _np.stack([_np.asarray(b[k][i]) for b in batches])
+                for i in range(len(batches[0][k]))
+            ]
+        else:
+            out[k] = _np.stack([_np.asarray(b[k]) for b in batches])
+    return out
+
+
+def _build_step(
+    model, loss_name, optimizer, *, alpha, l1_lambda, patch_budget, ge_mode,
+    omic_sizes, donate_state, need_attention, multi,
+):
     def forward_loss(params, rng, wsi, mask, omics, label, censorship, months, weight):
         out = model.apply(
             {"params": params},
@@ -156,8 +211,7 @@ def make_train_step(
 
     grad_fn = jax.value_and_grad(forward_loss, has_aux=True)
 
-    @functools.partial(jax.jit, donate_argnums=(0,) if donate_state else ())
-    def train_step(state: TrainState, batch: Dict[str, Any]) -> Tuple[TrainState, StepMetrics]:
+    def _step_impl(state: TrainState, batch: Dict[str, Any]) -> Tuple[TrainState, StepMetrics]:
         b, m = batch["wsi"].shape[0], batch["wsi"].shape[1]
         # static (trace-time) choice of accumulation chunks: largest divisor
         # of b whose chunk fits the patch budget
@@ -258,7 +312,17 @@ def make_train_step(
         )
         return new_state, metrics
 
-    return train_step
+    donate = (0,) if donate_state else ()
+    if not multi:
+        return jax.jit(_step_impl, donate_argnums=donate)
+
+    @functools.partial(jax.jit, donate_argnums=donate)
+    def multi_step(state: TrainState, stacked: Dict[str, Any]):
+        # stacked arrays carry a leading [K, ...] axis; omics lists scan
+        # element-wise like any pytree leaf
+        return jax.lax.scan(_step_impl, state, stacked)
+
+    return multi_step
 
 
 def make_eval_step(

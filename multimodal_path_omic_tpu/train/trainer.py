@@ -42,7 +42,13 @@ from multimodal_path_omic_tpu.data.pipeline import (
 from multimodal_path_omic_tpu.models import build_model
 from multimodal_path_omic_tpu.train import checkpoint as ckpt
 from multimodal_path_omic_tpu.train.logging import MetricLogger, StepTimer
-from multimodal_path_omic_tpu.train.loop import TrainState, make_eval_step, make_train_step
+from multimodal_path_omic_tpu.train.loop import (
+    TrainState,
+    make_eval_step,
+    make_multi_train_step,
+    make_train_step,
+    stack_batches,
+)
 from multimodal_path_omic_tpu.train.metrics import concordance_index_censored
 from multimodal_path_omic_tpu.train.optim import current_lr, make_optimizer, step_exponential
 
@@ -210,6 +216,26 @@ class Trainer:
             ge_mode=self.ge_mode, omic_sizes=tuple(self.omic_sizes),
             l1_lambda=c.training.lambda_,
         )
+        # multi-step dispatch: K optimizer steps per device call (exact
+        # single-step semantics; amortizes dispatch RTT). Mesh runs keep K=1
+        # (the batch sharding specs assume no leading step axis).
+        self.steps_per_dispatch = (
+            max(1, c.tpu.steps_per_dispatch) if self.mesh is None else 1
+        )
+        self.multi_step = (
+            make_multi_train_step(
+                self.model,
+                c.training.loss,
+                self.optimizer,
+                alpha=c.training.alpha,
+                l1_lambda=c.training.lambda_,
+                ge_mode=self.ge_mode,
+                omic_sizes=tuple(self.omic_sizes),
+                donate_state=True,
+            )
+            if self.steps_per_dispatch > 1
+            else None
+        )
 
         self.logger = MetricLogger(
             wandb_enabled=c.wandb.enabled,
@@ -324,35 +350,69 @@ class Trainer:
         self.timer.reset()
         epoch_t0 = time.time()
         # the prefetch thread also issues the host->device transfer, so H2D
-        # overlaps the previous step's compute
-        def _staged(batches):
-            for b in batches:
-                yield b, self._device_batch(b)
+        # overlaps the previous step's compute. With steps_per_dispatch > 1,
+        # K consecutive same-bucket batches are stacked into ONE transfer and
+        # ONE device call running K optimizer steps (exact same semantics).
+        K = self.steps_per_dispatch
 
-        for batch, dev in prefetch(_staged(self.train_batcher.batches()), depth=c.tpu.prefetch):
-            real = int(batch["n_real"])  # global real count (multi-host safe)
-            self.state, metrics = self.train_step(self.state, dev)
-            losses.append(metrics.loss)
-            attn_losses.append(metrics.attn_loss)
-            step_reals.append(real)
-            n_steps += 1
-            self.timer.tick(real)
-            if not self.ge_mode:
-                # collect full per-step arrays; weight-0 pad rows are dropped
-                # at epoch end (multi-host: each host holds its batch slice of
-                # the labels, gathered in _host_gather)
-                risks.append(metrics.risk)
-                weights.append(batch["weight"])
-                censorships.append(batch["censorship"])
-                months.append(batch["survival_months"])
-            if n_steps % 50 == 0 and self.verbose:
-                # periodic progress print (syncs; mirrors the reference's
-                # per-50-batch print, mcat/main.py:63-68, divisor fixed)
-                sps, bps = self.timer.rates()
-                print(
-                    f"\tstep: {n_steps}, loss: {float(metrics.loss):.4f}, "
-                    f"bags/s: {bps:.2f}"
-                )
+        def _grouped(batches):
+            pend = []
+            for b in batches:
+                if pend and b["bucket"] != pend[0]["bucket"]:
+                    for p in pend:
+                        yield [p]
+                    pend = []
+                pend.append(b)
+                if len(pend) == K:
+                    yield pend
+                    pend = []
+            for p in pend:  # leftovers run as single steps (no extra traces)
+                yield [p]
+
+        def _staged(batches):
+            if K == 1:
+                for b in batches:
+                    yield [b], self._device_batch(b)
+                return
+            for group in _grouped(batches):
+                if len(group) == 1:
+                    yield group, self._device_batch(group[0])
+                else:
+                    yield group, self._device_batch(stack_batches(group))
+
+        for group, dev in prefetch(_staged(self.train_batcher.batches()), depth=c.tpu.prefetch):
+            if len(group) == 1:
+                self.state, m = self.train_step(self.state, dev)
+                per_step = [m]
+            else:
+                self.state, stacked = self.multi_step(self.state, dev)
+                per_step = [
+                    jax.tree_util.tree_map(lambda x, i=i: x[i], stacked)
+                    for i in range(len(group))
+                ]
+            for batch, metrics in zip(group, per_step):
+                real = int(batch["n_real"])  # global real count (multi-host safe)
+                losses.append(metrics.loss)
+                attn_losses.append(metrics.attn_loss)
+                step_reals.append(real)
+                n_steps += 1
+                self.timer.tick(real)
+                if not self.ge_mode:
+                    # collect full per-step arrays; weight-0 pad rows are
+                    # dropped at epoch end (multi-host: each host holds its
+                    # batch slice of the labels, gathered in _host_gather)
+                    risks.append(metrics.risk)
+                    weights.append(batch["weight"])
+                    censorships.append(batch["censorship"])
+                    months.append(batch["survival_months"])
+                if n_steps % 50 == 0 and self.verbose:
+                    # periodic progress print (syncs; mirrors the reference's
+                    # per-50-batch print, mcat/main.py:63-68, divisor fixed)
+                    sps, bps = self.timer.rates()
+                    print(
+                        f"\tstep: {n_steps}, loss: {float(metrics.loss):.4f}, "
+                        f"bags/s: {bps:.2f}"
+                    )
         loss_vals = np.array([float(l) for l in losses]) if losses else np.zeros(1)
         if not np.all(np.isfinite(loss_vals)):
             # failure detection: surface divergence with context instead of

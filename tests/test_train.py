@@ -503,3 +503,60 @@ def test_trainer_native_pipeline_on_off_identical(tmp_path):
     out_off = t_off.fit()
     assert np.isclose(out_on["train_loss"], out_off["train_loss"], atol=1e-6)
     assert np.isclose(out_on["val_loss"], out_off["val_loss"], atol=1e-6)
+
+
+def test_multi_step_dispatch_matches_single_steps():
+    """K optimizer steps per device call (lax.scan) must equal K single-step
+    calls EXACTLY — same RNG chain, same updates, same metrics."""
+    from multimodal_path_omic_tpu.train.loop import (
+        make_multi_train_step,
+        stack_batches,
+    )
+
+    model = TinySurvival()
+    opt = make_optimizer("adam", 1e-3)
+    rng = np.random.default_rng(3)
+    host_batches = []
+    for i in range(4):
+        b = _tiny_batch(rng=np.random.default_rng(100 + i))
+        host_batches.append({k: np.asarray(v) if k != "omics" else [np.asarray(o) for o in v] for k, v in b.items()})
+    batch0 = host_batches[0]
+    params = model.init(
+        jax.random.key(0), jnp.asarray(batch0["wsi"]),
+        [jnp.asarray(o) for o in batch0["omics"]],
+    )["params"]
+    state0 = TrainState(params, opt.init(params), jax.random.key(1), jnp.zeros((), jnp.int32))
+
+    single = make_train_step(model, "ces", opt)
+    s = state0
+    singles = []
+    for b in host_batches:
+        s, m = single(s, b)
+        singles.append(m)
+
+    multi = make_multi_train_step(model, "ces", opt)
+    stacked = stack_batches(host_batches)
+    s_multi, ms = multi(state0, stacked)
+
+    assert int(s_multi.step) == int(s.step) == 4
+    for a, b_ in zip(
+        jax.tree_util.tree_leaves(s.params), jax.tree_util.tree_leaves(s_multi.params)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-6)
+    for i, m in enumerate(singles):
+        np.testing.assert_allclose(float(ms.loss[i]), float(m.loss), atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(ms.risk[i]), np.asarray(m.risk), atol=1e-6
+        )
+
+
+def test_trainer_steps_per_dispatch_e2e(tmp_path):
+    """Trainer with steps_per_dispatch=4 trains to the same losses as K=1."""
+    cfg1 = _make_cfg(tmp_path, epochs=2)
+    out1 = Trainer(cfg1, verbose=False).fit()
+    cfg4 = _make_cfg(tmp_path, epochs=2)
+    cfg4.tpu.steps_per_dispatch = 4
+    out4 = Trainer(cfg4, verbose=False).fit()
+    assert np.isclose(out1["train_loss"], out4["train_loss"], atol=1e-5)
+    assert np.isclose(out1["val_loss"], out4["val_loss"], atol=1e-5)
+    assert np.isclose(out1["train_c_index"], out4["train_c_index"], atol=1e-6)
