@@ -156,6 +156,12 @@ class TpuConfig:
     # per-call host/dispatch latency — decisive on remote/tunneled backends
     # where dispatch RTT exceeds device compute. Single-mesh only.
     steps_per_dispatch: int = 1
+    # Device-resident dataset cache (data/device_cache.py): upload every bag
+    # once, gather training batches on device — steady-state epochs transfer
+    # only KBs of indices. "auto" engages when the padded cohort fits the
+    # budget below on a single-device run; "on" forces; "off" disables.
+    device_cache: str = "auto"
+    device_cache_budget_bytes: int = 4 << 30
 
 
 @dataclass

@@ -1,0 +1,120 @@
+"""Device-resident dataset cache: upload the cohort once, gather on device.
+
+Survival WSI cohorts are small by accelerator standards (hundreds of patients
+x up to ~2 MB of patch embeddings per bag), while the reference's training
+loop re-reads every bag from disk every epoch (reference: dataset.py:124-126
+via DataLoader workers). On a TPU the analogous waste is the host->device
+transfer: re-uploading the whole cohort every epoch dominates end-to-end
+time whenever the interconnect is slow relative to compute (measured: the
+round-1 e2e run was transfer-bound at ~20 bags/sec on the tunneled dev
+setup while device compute sustained >15k bags/sec for the same steps).
+
+``DeviceBagCache`` stores, per bag-length bucket, one padded device array of
+all that bucket's bags (+ masks), plus the whole label/omics table — then
+every training batch is assembled ON DEVICE by ``jnp.take`` over cached rows
+(train/loop.py::make_cached_train_step). Steady-state epochs transfer only
+KBs of indices. Auto-engages when the cohort fits the configured budget
+(tpu.device_cache_budget_bytes) on a single-mesh run.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from multimodal_path_omic_tpu.data.bags import bucket_for
+
+
+class DeviceBagCache:
+    """Per-bucket padded device arrays of every bag + the label/omics table.
+
+    ``caches[bucket]`` is a dict of device arrays consumed by the cached
+    train step: wsi [n_b, bucket, D], mask [n_b, bucket], label [n],
+    and (survival mode) omics_packed [n, S], censorship [n],
+    survival_months [n]. ``position(bucket)[row]`` maps a dataset row to its
+    bucket-local wsi index.
+    """
+
+    def __init__(
+        self,
+        dataset,
+        extras_fn,
+        buckets: Sequence[int],
+        *,
+        ge_mode: bool = False,
+        lengths: Optional[np.ndarray] = None,
+        upload_chunk: int = 64,
+    ):
+        import jax
+        import jax.numpy as jnp
+
+        n = len(dataset)
+        if lengths is None:
+            lengths = np.array([dataset.bag(i).shape[0] for i in range(n)])
+        self.bucket_of = np.array(
+            [bucket_for(int(m), tuple(buckets)) for m in lengths]
+        )
+        self._position = np.zeros(n, np.int32)
+        self.caches: Dict[int, Dict] = {}
+
+        extras = extras_fn(dataset, np.arange(n))
+        table = {"label": jnp.asarray(np.asarray(extras["label"]))}
+        if not ge_mode:
+            table["omics_packed"] = jnp.asarray(
+                np.concatenate([np.asarray(o) for o in extras["omics"]], axis=-1)
+            )
+            table["censorship"] = jnp.asarray(np.asarray(extras["censorship"]))
+            table["survival_months"] = jnp.asarray(
+                np.asarray(extras["survival_months"])
+            )
+
+        dim = int(dataset.bag(0).shape[1]) if n else 0
+        for bucket in sorted(set(self.bucket_of.tolist())):
+            rows = np.flatnonzero(self.bucket_of == bucket)
+            self._position[rows] = np.arange(len(rows), dtype=np.int32)
+            # upload in chunks to bound host staging memory
+            parts_w, parts_m = [], []
+            for s in range(0, len(rows), upload_chunk):
+                chunk_rows = rows[s : s + upload_chunk]
+                wsi = np.zeros((len(chunk_rows), bucket, dim), np.float32)
+                mask = np.zeros((len(chunk_rows), bucket), bool)
+                for j, r in enumerate(chunk_rows):
+                    bag = np.asarray(dataset.bag(int(r)), np.float32)
+                    m = min(bag.shape[0], bucket)
+                    wsi[j, :m] = bag[:m]
+                    mask[j, :m] = True
+                parts_w.append(jax.device_put(wsi))
+                parts_m.append(jax.device_put(mask))
+            self.caches[bucket] = dict(
+                wsi=jnp.concatenate(parts_w) if len(parts_w) > 1 else parts_w[0],
+                mask=jnp.concatenate(parts_m) if len(parts_m) > 1 else parts_m[0],
+                **table,
+            )
+
+    @staticmethod
+    def nbytes(lengths: np.ndarray, buckets: Sequence[int], dim: int) -> int:
+        """Device bytes the wsi cache would need (f32, padded to buckets)."""
+        return int(
+            sum(bucket_for(int(m), tuple(buckets)) * dim * 4 for m in lengths)
+        )
+
+    def position(self, rows: np.ndarray) -> np.ndarray:
+        return self._position[np.asarray(rows)]
+
+
+def build_meta(
+    indices: List[int], batch_size: int, cache: DeviceBagCache
+) -> Tuple[Dict[str, np.ndarray], int]:
+    """Per-batch gather meta (tiny host arrays) for the cached train step."""
+    real = len(indices)
+    full = np.array(
+        list(indices) + [indices[-1]] * (batch_size - real), np.int32
+    )
+    weight = np.zeros((batch_size,), np.float32)
+    weight[:real] = 1.0
+    return {
+        "pos": cache.position(full),
+        "row": full,
+        "weight": weight,
+    }, real

@@ -162,6 +162,54 @@ def make_multi_train_step(
     )
 
 
+def make_cached_train_step(
+    model,
+    loss_name: str,
+    optimizer: optax.GradientTransformation,
+    *,
+    alpha: float = 0.75,
+    l1_lambda: float = 0.0,
+    patch_budget: Optional[int] = 262_144,
+    ge_mode: bool = False,
+    omic_sizes: Optional[Tuple[int, ...]] = None,
+    donate_state: bool = False,
+    multi: bool = False,
+) -> Callable:
+    """Train step over a DEVICE-RESIDENT dataset cache (data/device_cache.py).
+
+    ``step(state, cache, meta)``: batches are assembled ON DEVICE by gathering
+    ``cache`` rows at ``meta['pos']`` (wsi/mask, bucket-local) and
+    ``meta['row']`` (labels/omics, dataset rows) — the steady-state training
+    loop transfers only a few KB of indices per optimizer step instead of the
+    bags. With ``multi``, meta arrays carry a leading [K, ...] axis and one
+    call runs K optimizer steps (lax.scan), the cache staying fixed.
+    """
+    need_attention = "ssq" if loss_name == "cesar" else False
+    return _build_step(
+        model, loss_name, optimizer, alpha=alpha, l1_lambda=l1_lambda,
+        patch_budget=patch_budget, ge_mode=ge_mode, omic_sizes=omic_sizes,
+        donate_state=donate_state, need_attention=need_attention, multi=multi,
+        cached=True,
+    )
+
+
+def _gather_batch(cache: Dict[str, Any], meta: Dict[str, Any], ge_mode: bool):
+    """Assemble a batch dict from device-cache gathers (inside jit)."""
+    pos = meta["pos"].astype(jnp.int32)
+    row = meta["row"].astype(jnp.int32)
+    batch = {
+        "wsi": jnp.take(cache["wsi"], pos, axis=0),
+        "mask": jnp.take(cache["mask"], pos, axis=0),
+        "weight": meta["weight"],
+        "label": jnp.take(cache["label"], row, axis=0),
+    }
+    if not ge_mode:
+        batch["omics_packed"] = jnp.take(cache["omics_packed"], row, axis=0)
+        batch["censorship"] = jnp.take(cache["censorship"], row, axis=0)
+        batch["survival_months"] = jnp.take(cache["survival_months"], row, axis=0)
+    return batch
+
+
 def stack_batches(batches):
     """Stack same-shaped host batches into one [K, ...] batch dict (numpy):
     one transfer + one dispatch instead of K."""
@@ -183,7 +231,7 @@ def stack_batches(batches):
 
 def _build_step(
     model, loss_name, optimizer, *, alpha, l1_lambda, patch_budget, ge_mode,
-    omic_sizes, donate_state, need_attention, multi,
+    omic_sizes, donate_state, need_attention, multi, cached=False,
 ):
     def forward_loss(params, rng, wsi, mask, omics, label, censorship, months, weight):
         out = model.apply(
@@ -313,6 +361,24 @@ def _build_step(
         return new_state, metrics
 
     donate = (0,) if donate_state else ()
+    if cached:
+        if multi:
+
+            @functools.partial(jax.jit, donate_argnums=donate)
+            def cached_multi(state: TrainState, cache, stacked_meta):
+                def body(st, meta):
+                    return _step_impl(st, _gather_batch(cache, meta, ge_mode))
+
+                return jax.lax.scan(body, state, stacked_meta)
+
+            return cached_multi
+
+        @functools.partial(jax.jit, donate_argnums=donate)
+        def cached_step(state: TrainState, cache, meta):
+            return _step_impl(state, _gather_batch(cache, meta, ge_mode))
+
+        return cached_step
+
     if not multi:
         return jax.jit(_step_impl, donate_argnums=donate)
 

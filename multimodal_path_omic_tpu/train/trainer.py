@@ -237,6 +237,17 @@ class Trainer:
             else None
         )
 
+        # device-resident dataset cache: bags uploaded once, batches gathered
+        # on device (data/device_cache.py). Engaged lazily on first epoch.
+        self.device_cache = None
+        self._cached_steps = None
+        self._want_device_cache = (
+            c.tpu.device_cache in ("auto", "on")
+            and self.mesh is None
+            and self.n_processes == 1
+        )
+        self._device_cache_forced = c.tpu.device_cache == "on"
+
         self.logger = MetricLogger(
             wandb_enabled=c.wandb.enabled,
             wandb_project=c.wandb.project,
@@ -248,6 +259,54 @@ class Trainer:
         self.timer = StepTimer()
 
     # ------------------------------------------------------------------ util
+    def _ensure_device_cache(self) -> bool:
+        """Build the device-resident dataset cache on first use (when enabled
+        and the padded cohort fits the budget). Returns engagement."""
+        if not self._want_device_cache:
+            return False
+        if self.device_cache is not None:
+            return True
+        if len(self.train_ds) == 0:
+            self._want_device_cache = False
+            return False
+        from multimodal_path_omic_tpu.data.device_cache import DeviceBagCache
+        from multimodal_path_omic_tpu.train.loop import make_cached_train_step
+
+        c = self.config
+        lengths = self.train_batcher._bag_lengths()
+        dim = int(self.train_ds.bag(0).shape[1])
+        nbytes = DeviceBagCache.nbytes(lengths, self.buckets, dim)
+        if not self._device_cache_forced and nbytes > c.tpu.device_cache_budget_bytes:
+            self._want_device_cache = False
+            return False
+        if self.verbose:
+            print(
+                f"Device dataset cache: {nbytes / (1 << 20):.0f} MiB of padded "
+                f"bags uploaded once ({len(self.train_ds)} bags)"
+            )
+        self.device_cache = DeviceBagCache(
+            self.train_ds, self.extras_fn, self.buckets,
+            ge_mode=self.ge_mode, lengths=lengths,
+        )
+        kwargs = dict(
+            alpha=c.training.alpha,
+            l1_lambda=c.training.lambda_,
+            ge_mode=self.ge_mode,
+            omic_sizes=tuple(self.omic_sizes),
+            donate_state=True,
+        )
+        self._cached_steps = (
+            make_cached_train_step(
+                self.model, c.training.loss, self.optimizer, multi=False, **kwargs
+            ),
+            make_cached_train_step(
+                self.model, c.training.loss, self.optimizer, multi=True, **kwargs
+            )
+            if self.steps_per_dispatch > 1
+            else None,
+        )
+        return True
+
     def _host_gather(self, x) -> np.ndarray:
         """Materialize an array on THIS host. Single-process: plain asarray.
         Multi-host: process_allgather (device arrays may have non-addressable
@@ -353,39 +412,86 @@ class Trainer:
         # overlaps the previous step's compute. With steps_per_dispatch > 1,
         # K consecutive same-bucket batches are stacked into ONE transfer and
         # ONE device call running K optimizer steps (exact same semantics).
+        # With the device cache engaged, bags never cross the host boundary:
+        # only per-batch index metas are transferred.
         K = self.steps_per_dispatch
 
-        def _grouped(batches):
+        def _grouped(items, key_fn):
             pend = []
-            for b in batches:
-                if pend and b["bucket"] != pend[0]["bucket"]:
+            for it in items:
+                if pend and key_fn(it) != key_fn(pend[0]):
                     for p in pend:
                         yield [p]
                     pend = []
-                pend.append(b)
+                pend.append(it)
                 if len(pend) == K:
                     yield pend
                     pend = []
             for p in pend:  # leftovers run as single steps (no extra traces)
                 yield [p]
 
-        def _staged(batches):
-            if K == 1:
-                for b in batches:
-                    yield [b], self._device_batch(b)
-                return
-            for group in _grouped(batches):
-                if len(group) == 1:
-                    yield group, self._device_batch(group[0])
-                else:
-                    yield group, self._device_batch(stack_batches(group))
+        if self._ensure_device_cache():
+            from multimodal_path_omic_tpu.data.device_cache import build_meta
 
-        for group, dev in prefetch(_staged(self.train_batcher.batches()), depth=c.tpu.prefetch):
+            t = None if self.ge_mode else self.train_ds.table
+            single_c, multi_c = self._cached_steps
+
+            def _items():
+                for indices, bucket in self.train_batcher._epoch_plan():
+                    meta, real = build_meta(
+                        indices, self.batch_size, self.device_cache
+                    )
+                    info = {"n_real": real, "weight": meta["weight"]}
+                    if t is not None:
+                        info["censorship"] = t.censorship[meta["row"]]
+                        info["survival_months"] = t.survival_months[meta["row"]]
+                    yield bucket, meta, info
+
+            def _staged():
+                for group in _grouped(_items(), key_fn=lambda x: x[0]):
+                    cache = self.device_cache.caches[group[0][0]]
+                    infos = [g[2] for g in group]
+                    if len(group) == 1:
+                        meta = group[0][1]
+                        yield infos, (
+                            lambda st, c=cache, m=meta: single_c(st, c, m)
+                        )
+                    else:
+                        stacked = {
+                            k: np.stack([g[1][k] for g in group])
+                            for k in group[0][1]
+                        }
+                        yield infos, (
+                            lambda st, c=cache, m=stacked: multi_c(st, c, m)
+                        )
+
+            feed = prefetch(_staged(), depth=c.tpu.prefetch)
+        else:
+
+            def _staged_host(batches):
+                if K == 1:
+                    for b in batches:
+                        dev = self._device_batch(b)
+                        yield [b], (lambda st, d=dev: self.train_step(st, d))
+                    return
+                for group in _grouped(batches, key_fn=lambda b: b["bucket"]):
+                    if len(group) == 1:
+                        dev = self._device_batch(group[0])
+                        yield group, (lambda st, d=dev: self.train_step(st, d))
+                    else:
+                        dev = self._device_batch(stack_batches(group))
+                        yield group, (lambda st, d=dev: self.multi_step(st, d))
+
+            feed = prefetch(
+                _staged_host(self.train_batcher.batches()), depth=c.tpu.prefetch
+            )
+
+        for group, call in feed:
             if len(group) == 1:
-                self.state, m = self.train_step(self.state, dev)
+                self.state, m = call(self.state)
                 per_step = [m]
             else:
-                self.state, stacked = self.multi_step(self.state, dev)
+                self.state, stacked = call(self.state)
                 per_step = [
                     jax.tree_util.tree_map(lambda x, i=i: x[i], stacked)
                     for i in range(len(group))

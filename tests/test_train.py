@@ -491,6 +491,7 @@ def test_trainer_native_pipeline_on_off_identical(tmp_path):
     cohort + seed gives identical losses with the pipeline on and off (the
     aliasing hazard is closed in _device_batch)."""
     cfg_on = _make_cfg(tmp_path, epochs=1)
+    cfg_on.tpu.device_cache = "off"  # exercise the host pipeline path
     t_on = Trainer(cfg_on, verbose=False)
     assert t_on.train_batcher.use_native_pipeline
     if t_on.train_batcher._native is None:
@@ -499,6 +500,7 @@ def test_trainer_native_pipeline_on_off_identical(tmp_path):
 
     cfg_off = _make_cfg(tmp_path, epochs=1)
     cfg_off.tpu.use_native_pipeline = False
+    cfg_off.tpu.device_cache = "off"
     t_off = Trainer(cfg_off, verbose=False)
     out_off = t_off.fit()
     assert np.isclose(out_on["train_loss"], out_off["train_loss"], atol=1e-6)
@@ -560,3 +562,50 @@ def test_trainer_steps_per_dispatch_e2e(tmp_path):
     assert np.isclose(out1["train_loss"], out4["train_loss"], atol=1e-5)
     assert np.isclose(out1["val_loss"], out4["val_loss"], atol=1e-5)
     assert np.isclose(out1["train_c_index"], out4["train_c_index"], atol=1e-6)
+
+
+def test_device_cache_training_identical(tmp_path):
+    """Device-cached training (bags uploaded once, batches gathered on
+    device) must equal host-fed training EXACTLY — same data, same RNG
+    chain, same updates."""
+    cfg_off = _make_cfg(tmp_path, epochs=2)
+    cfg_off.tpu.device_cache = "off"
+    t_off = Trainer(cfg_off, verbose=False)
+    out_off = t_off.fit()
+
+    cfg_on = _make_cfg(tmp_path, epochs=2)
+    cfg_on.tpu.device_cache = "on"
+    t_on = Trainer(cfg_on, verbose=False)
+    out_on = t_on.fit()
+    assert t_on.device_cache is not None, "cache did not engage"
+    assert np.isclose(out_on["train_loss"], out_off["train_loss"], atol=1e-6)
+    assert np.isclose(out_on["val_loss"], out_off["val_loss"], atol=1e-6)
+    assert np.isclose(out_on["train_c_index"], out_off["train_c_index"], atol=1e-9)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(t_off.state.params),
+        jax.tree_util.tree_leaves(t_on.state.params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_device_cache_with_multi_step_dispatch(tmp_path):
+    """Cache + K steps/dispatch composes and stays equal to the plain path."""
+    cfg_ref = _make_cfg(tmp_path, epochs=1)
+    cfg_ref.tpu.device_cache = "off"
+    out_ref = Trainer(cfg_ref, verbose=False).fit()
+
+    cfg = _make_cfg(tmp_path, epochs=1)
+    cfg.tpu.device_cache = "on"
+    cfg.tpu.steps_per_dispatch = 2
+    out = Trainer(cfg, verbose=False).fit()
+    assert np.isclose(out["train_loss"], out_ref["train_loss"], atol=1e-6)
+    assert np.isclose(out["val_loss"], out_ref["val_loss"], atol=1e-6)
+
+
+def test_device_cache_budget_disables(tmp_path):
+    cfg = _make_cfg(tmp_path, epochs=1)
+    cfg.tpu.device_cache = "auto"
+    cfg.tpu.device_cache_budget_bytes = 1  # nothing fits
+    t = Trainer(cfg, verbose=False)
+    t.fit()
+    assert t.device_cache is None
