@@ -394,18 +394,24 @@ def _build_step(
 def make_eval_step(
     model, loss_name: str, *, alpha: float = 0.75, ge_mode: bool = False,
     need_attention: bool = False, omic_sizes: Optional[Tuple[int, ...]] = None,
-    l1_lambda: float = 0.0,
+    l1_lambda: float = 0.0, cached: bool = False,
 ) -> Callable:
     """Jitted no-grad eval step mirroring validate() (mcat/main.py:106-155).
 
     When ``training.lambda`` is set the reference adds ``reg_function(model) *
     lambda`` to every per-sample val loss (mcat/main.py:134-147, same in
     ge_nacagat/main.py:105-110) — reproduced via ``l1_lambda``.
+
+    ``cached``: the step takes ``(params, cache, meta)`` and assembles the
+    batch from device-cache gathers (data/device_cache.py) instead of a
+    host-fed batch dict.
     """
     want_attn = need_attention or loss_name == "cesar"
 
     @jax.jit
-    def eval_step(params, batch):
+    def eval_step(params, batch, *maybe_meta):
+        if cached:
+            batch = _gather_batch(batch, maybe_meta[0], ge_mode)
         out = model.apply(
             {"params": params},
             batch["wsi"],

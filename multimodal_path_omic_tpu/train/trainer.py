@@ -240,6 +240,8 @@ class Trainer:
         # device-resident dataset cache: bags uploaded once, batches gathered
         # on device (data/device_cache.py). Engaged lazily on first epoch.
         self.device_cache = None
+        self.device_cache_val = None
+        self._cached_eval = None
         self._cached_steps = None
         self._want_device_cache = (
             c.tpu.device_cache in ("auto", "on")
@@ -274,19 +276,38 @@ class Trainer:
 
         c = self.config
         lengths = self.train_batcher._bag_lengths()
+        val_lengths = (
+            self.val_batcher._bag_lengths() if len(self.val_ds) else np.zeros(0)
+        )
         dim = int(self.train_ds.bag(0).shape[1])
-        nbytes = DeviceBagCache.nbytes(lengths, self.buckets, dim)
+        nbytes = DeviceBagCache.nbytes(
+            np.concatenate([lengths, val_lengths]), self.buckets, dim
+        )
         if not self._device_cache_forced and nbytes > c.tpu.device_cache_budget_bytes:
             self._want_device_cache = False
             return False
         if self.verbose:
             print(
                 f"Device dataset cache: {nbytes / (1 << 20):.0f} MiB of padded "
-                f"bags uploaded once ({len(self.train_ds)} bags)"
+                f"bags uploaded once ({len(self.train_ds)} train + "
+                f"{len(self.val_ds)} val bags)"
             )
         self.device_cache = DeviceBagCache(
             self.train_ds, self.extras_fn, self.buckets,
             ge_mode=self.ge_mode, lengths=lengths,
+        )
+        self.device_cache_val = (
+            DeviceBagCache(
+                self.val_ds, self.extras_fn, self.buckets,
+                ge_mode=self.ge_mode, lengths=val_lengths,
+            )
+            if len(self.val_ds)
+            else None
+        )
+        self._cached_eval = make_eval_step(
+            self.model, c.training.loss, alpha=c.training.alpha,
+            ge_mode=self.ge_mode, omic_sizes=tuple(self.omic_sizes),
+            l1_lambda=c.training.lambda_, cached=True,
         )
         kwargs = dict(
             alpha=c.training.alpha,
@@ -585,13 +606,34 @@ class Trainer:
         )
         return out
 
+    def _val_results(self):
+        """Yield (batch-info, eval result) pairs — device-cached when the
+        cache is engaged (no per-epoch bag re-upload), host-fed otherwise."""
+        if self._ensure_device_cache() and self.device_cache_val is not None:
+            from multimodal_path_omic_tpu.data.device_cache import build_meta
+
+            t = None if self.ge_mode else self.val_ds.table
+            for indices, bucket in self.val_batcher._epoch_plan():
+                meta, real = build_meta(
+                    indices, self.batch_size, self.device_cache_val
+                )
+                info = {"n_real": real, "weight": meta["weight"]}
+                if t is not None:
+                    info["censorship"] = t.censorship[meta["row"]]
+                    info["survival_months"] = t.survival_months[meta["row"]]
+                yield info, self._cached_eval(
+                    self.state.params, self.device_cache_val.caches[bucket], meta
+                )
+            return
+        for batch in self.val_batcher.batches():
+            dev = self._device_batch(batch)
+            yield batch, self.eval_step(self.state.params, dev)
+
     def validate(self, epoch) -> Dict[str, float]:
         risks, weights, censorships, months, losses, step_reals = [], [], [], [], [], []
         n_steps = 0
-        for batch in self.val_batcher.batches():
+        for batch, res in self._val_results():
             real = int(batch["n_real"])
-            dev = self._device_batch(batch)
-            res = self.eval_step(self.state.params, dev)
             losses.append(res["loss"])  # device scalar; pulled after the loop
             step_reals.append(real)
             n_steps += 1
