@@ -29,7 +29,12 @@ def survival_head(logits: jnp.ndarray) -> SurvivalOutput:
     """logits -> (hazards, survs, Y) (reference: mcat.py:126-138).
 
     hazards = sigmoid(logits); survs = cumprod(1 - hazards); Y = softmax(logits).
+
+    Always computed in f32: under bf16 compute, sigmoid saturates to exactly
+    1.0 from ~0.996 up (8 mantissa bits), making the survival losses'
+    log(1 - S) terms -inf. The head is [B, 4] — the upcast is free.
     """
+    logits = logits.astype(jnp.float32)
     hazards = jax.nn.sigmoid(logits)
     survs = jnp.cumprod(1.0 - hazards, axis=-1)
     y = jax.nn.softmax(logits, axis=-1)

@@ -87,6 +87,8 @@ class GENaCAGaT(nn.Module):
         )(path_trans, mask, deterministic=deterministic)
 
         logits = TorchLinear(self.n_classes, dtype=self.dtype, name="classifier")(h_path)
+        # f32 head regardless of compute dtype (see models/common.survival_head)
+        logits = logits.astype(jnp.float32)
         # faithful to F.softmax(logits) with no dim on the class vector
         # (ge_nacagat.py:68)
         y = jax.nn.softmax(logits, axis=-1)
