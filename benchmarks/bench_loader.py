@@ -31,12 +31,17 @@ def main():
     cfg = synthetic_config_dict(csv, sig, patches)
     ds = MultimodalDataset(csv, cfg, use_signatures=True, verbose=False)
 
-    for backend in ("native", "python"):
+    for backend in ("pipelined", "native", "python"):
         batcher = BucketBatcher(ds, survival_extras, 32, (512,), shuffle=False)
         if backend == "python":
             batcher._native = None
         elif batcher._native is None:
             continue  # toolchain unavailable
+        if backend == "pipelined":
+            # C++ slot-ring executor: worker threads fill batches ahead of
+            # consumption (the consumer copies before advancing, per the
+            # aliasing contract the Trainer implements)
+            batcher.use_native_pipeline = True
         # warm page cache
         for _ in batcher.batches():
             pass
@@ -44,6 +49,7 @@ def main():
         n = 0
         for batch in batcher.batches():
             n += int(batch["weight"].sum())
+            batch["wsi"][0, 0, 0]  # touch (pipelined batches alias slots)
         dt = time.perf_counter() - t0
         print(
             json.dumps(
@@ -51,6 +57,10 @@ def main():
                     "metric": "loader_bags_per_sec",
                     "backend": backend,
                     "value": round(n / dt, 1),
+                    # the pipelined executor needs >= 2 host CPUs to overlap;
+                    # on a single-CPU host its thread ping-pong stalls (which
+                    # is why the Trainer's auto-engage gates on cpu_count)
+                    "host_cpus": os.cpu_count(),
                 }
             )
         )

@@ -95,7 +95,12 @@ class Predictor:
         )
         # safe: every batch goes through t._device_batch, which closes the
         # pipeline's slot-aliasing hazard before the slot can recycle
-        batcher.use_native_pipeline = t.config.tpu.use_native_pipeline
+        # (single-CPU hosts keep the plain path — see Trainer.__init__)
+        import os as _os
+
+        batcher.use_native_pipeline = (
+            t.config.tpu.use_native_pipeline and (_os.cpu_count() or 1) >= 2
+        )
         rows: Dict[str, list] = {}
 
         # transfer in the prefetch thread so host IO overlaps device compute

@@ -119,9 +119,13 @@ class Trainer:
             self.val_ds, self.extras_fn, self.batch_size, self.buckets, shuffle=False
         )
         # the Trainer's _device_batch closes the pipeline's slot-aliasing
-        # hazard, so the C++ pipelined executor is safe to engage here
-        self.train_batcher.use_native_pipeline = c.tpu.use_native_pipeline
-        self.val_batcher.use_native_pipeline = c.tpu.use_native_pipeline
+        # hazard, so the C++ pipelined executor is safe to engage here — but
+        # its worker/consumer overlap needs host parallelism: on a single-CPU
+        # host the thread ping-pong through the slot ring STALLS (measured
+        # multi-second hiccups), so require >= 2 cores.
+        pipeline_ok = c.tpu.use_native_pipeline and (os.cpu_count() or 1) >= 2
+        self.train_batcher.use_native_pipeline = pipeline_ok
+        self.val_batcher.use_native_pipeline = pipeline_ok
 
         # multi-host: every host computes the same seed-deterministic epoch
         # plan and feeds only its contiguous slice of each batch; the global

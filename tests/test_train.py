@@ -495,7 +495,9 @@ def test_trainer_native_pipeline_on_off_identical(tmp_path):
     cfg_on = _make_cfg(tmp_path, epochs=1)
     cfg_on.tpu.device_cache = "off"  # exercise the host pipeline path
     t_on = Trainer(cfg_on, verbose=False)
-    assert t_on.train_batcher.use_native_pipeline
+    # the auto-engage gate requires >= 2 host CPUs; force it for the
+    # correctness property (equality holds regardless of host parallelism)
+    t_on.train_batcher.use_native_pipeline = True
     if t_on.train_batcher._native is None:
         pytest.skip("native loader unavailable")
     out_on = t_on.fit()
