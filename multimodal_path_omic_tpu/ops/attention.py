@@ -212,9 +212,10 @@ class MultiheadAttention(nn.Module):
                 need_weights=bool(need_weights),
             )
             if want_ssq:
-                # non-pallas/multi-head ssq: reduce the materialized
-                # (head-averaged, matching the reference's returned weights)
-                w = weights.mean(axis=1) if average_attn_weights else weights[:, 0]
+                # non-pallas/multi-head ssq: reduce the materialized weights,
+                # head-averaged — matching the reference's RETURNED weights,
+                # which are what the cesar norm consumes (blocks.py:199-201)
+                w = weights.mean(axis=1)
                 ssq = jnp.sum(w * w, axis=-1)  # [B, N]
                 weights = None
         out = _merge_heads(out_h)
