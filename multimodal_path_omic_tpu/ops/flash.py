@@ -60,7 +60,8 @@ def flash_attention(
         segment_ids = fa.SegmentIds(q=seg, kv=seg)
     # Swept on v5e at the GE transformer shape (M=16k, 8 heads, dh=32):
     # 512/512/512 beats the 128-default by ~4.9x and 512/512/128 by ~1.35x
-    # (see ROADMAP "tune flash block sizes" — done).
+    # (see ROADMAP "tune flash block sizes" — done). block_q_dkv=512 re-swept
+    # round 2 on the full GE train step: ~3% over 128, no VMEM pressure.
     block = min(512, n)
     sizes = fa.BlockSizes(
         block_q=block,
@@ -70,7 +71,7 @@ def flash_attention(
         block_q_major_dkv=block,
         block_k_major_dkv=block,
         block_k_dkv=block,
-        block_q_dkv=min(128, block),
+        block_q_dkv=block,
         block_k_major_dq=block,
         block_k_dq=block,
         block_q_dq=block,
