@@ -544,6 +544,13 @@ class Trainer:
                         f"\tstep: {n_steps}, loss: {float(metrics.loss):.4f}, "
                         f"bags/s: {bps:.2f}"
                     )
+        # ONE bulk device_get for all epoch scalars/arrays: per-item float()
+        # pulls pay a full dispatch RTT each on remote backends
+        losses, attn_losses, risks = (
+            jax.device_get((losses, attn_losses, risks))
+            if self.n_processes == 1
+            else (losses, attn_losses, risks)
+        )
         loss_vals = np.array([float(l) for l in losses]) if losses else np.zeros(1)
         if not np.all(np.isfinite(loss_vals)):
             # failure detection: surface divergence with context instead of
@@ -647,6 +654,8 @@ class Trainer:
                 censorships.append(batch["censorship"])
                 months.append(batch["survival_months"])
         # per-sample mean (reference: mcat/main.py:147)
+        if self.n_processes == 1:
+            losses, risks = jax.device_get((losses, risks))  # one bulk fetch
         lv = np.array([float(l) for l in losses]) if losses else np.zeros(1)
         wv = np.array(step_reals, float) if step_reals else np.ones(1)
         out = {"val_loss": float((lv * wv).sum() / max(wv.sum(), 1.0))}

@@ -327,3 +327,31 @@ def test_bug_compat_ge_labels_misaligned(cohort):
     np.testing.assert_array_equal(
         tr.table.gene_expr_class, ds.table.gene_expr_class[: len(tr)]
     )
+
+
+def test_hdf5_shape_probes(tmp_path):
+    """The reference's HDF5 size probes (models/utils.py:7-30) on the same
+    on-disk layout: per-case groups with omics/ categories and genomics/
+    rnaseq+cnv vectors."""
+    import h5py
+
+    from multimodal_path_omic_tpu.utils import (
+        get_cnv_size_from_dataset,
+        get_omics_sizes_from_dataset,
+        get_rnaseq_size_from_dataset,
+    )
+
+    path = str(tmp_path / "cases.h5")
+    with h5py.File(path, "w") as f:
+        case = f.create_group("case_000")
+        om = case.create_group("omics")
+        om.create_dataset("b_sig", data=np.zeros(7))
+        om.create_dataset("a_sig", data=np.zeros(3))
+        gen = case.create_group("genomics")
+        gen.create_dataset("rnaseq", data=np.zeros(60))
+        gen.create_dataset("cnv", data=np.zeros(30))
+        f.create_group("case_001")  # probes read only the first case
+
+    assert get_omics_sizes_from_dataset(path) == [3, 7]  # sorted by name
+    assert get_rnaseq_size_from_dataset(path) == 60
+    assert get_cnv_size_from_dataset(path) == 30

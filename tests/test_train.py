@@ -613,3 +613,22 @@ def test_device_cache_budget_disables(tmp_path):
     t = Trainer(cfg, verbose=False)
     t.fit()
     assert t.device_cache is None
+
+
+def test_device_cache_multi_bucket_identical(tmp_path):
+    """Cache correctness across MULTIPLE buckets (per-bucket device arrays,
+    bucket-local position maps, grouped dispatch across bucket switches)."""
+    cfg_off = _make_cfg(tmp_path, epochs=1)
+    cfg_off.tpu.bag_buckets = [64, 128]
+    cfg_off.tpu.device_cache = "off"
+    out_off = Trainer(cfg_off, verbose=False).fit()
+
+    cfg_on = _make_cfg(tmp_path, epochs=1)
+    cfg_on.tpu.bag_buckets = [64, 128]
+    cfg_on.tpu.device_cache = "on"
+    cfg_on.tpu.steps_per_dispatch = 2
+    t_on = Trainer(cfg_on, verbose=False)
+    out_on = t_on.fit()
+    assert len(t_on.device_cache.caches) == 2, "expected two bucket caches"
+    assert np.isclose(out_on["train_loss"], out_off["train_loss"], atol=1e-6)
+    assert np.isclose(out_on["val_loss"], out_off["val_loss"], atol=1e-6)
