@@ -21,6 +21,7 @@ from __future__ import annotations
 from typing import Any, Dict, Optional, Sequence
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -81,6 +82,22 @@ def shard_batch(
 
 
 def replicate(tree: Any, mesh: Mesh) -> Any:
-    """Replicate a pytree (params/opt state) across the mesh."""
+    """Replicate a pytree (params/opt state) across the mesh.
+
+    Multi-host: device_put cannot target non-addressable devices, so the
+    global replicated array is assembled from each process's (identical)
+    local copy — PRNG key arrays go through key_data/wrap_key_data.
+    """
     sh = NamedSharding(mesh, P())
-    return jax.device_put(tree, sh)
+    if jax.process_count() == 1:
+        return jax.device_put(tree, sh)
+
+    def _rep(x):
+        if isinstance(x, jax.Array) and jnp.issubdtype(x.dtype, jax.dtypes.prng_key):
+            data = jax.make_array_from_process_local_data(
+                sh, np.asarray(jax.random.key_data(x))
+            )
+            return jax.random.wrap_key_data(data, impl=jax.random.key_impl(x))
+        return jax.make_array_from_process_local_data(sh, np.asarray(x))
+
+    return jax.tree_util.tree_map(_rep, tree)

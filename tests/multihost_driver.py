@@ -1,0 +1,76 @@
+"""Subprocess driver for the REAL multi-host test (tests/test_multihost.py).
+
+Runs one of N jax.distributed processes (CPU backend, 4 local virtual
+devices each), trains the full Trainer for 2 epochs on a shared synthetic
+cohort over a data=N*4 mesh, and prints one JSON result line. Each process
+feeds only its host slice of every batch (BucketBatcher.host_slice +
+make_array_from_process_local_data) and metrics are process-allgathered.
+
+Usage: python multihost_driver.py <process_id> <num_processes> <port> <cohort_dir>
+"""
+
+import json
+import os
+import sys
+
+
+def main():
+    pid, nproc, port, work = (
+        int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3]), sys.argv[4]
+    )
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=4"
+    ).strip()
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_default_matmul_precision", "highest")
+    jax.distributed.initialize(
+        coordinator_address=f"localhost:{port}", num_processes=nproc, process_id=pid
+    )
+    assert jax.process_count() == nproc
+
+    from multimodal_path_omic_tpu.config import config_from_dict
+    from multimodal_path_omic_tpu.data.synthetic import synthetic_config_dict
+    from multimodal_path_omic_tpu.train.trainer import Trainer
+
+    csv = os.path.join(work, "cohort.csv")
+    sig = os.path.join(work, "signatures.csv")
+    patches = os.path.join(work, "patches")
+    raw = synthetic_config_dict(csv, sig, patches)
+    raw["model"]["name"] = "MCAT"
+    raw["model"]["model_size"] = "small"
+    raw["training"].update({"loss": "ces", "epochs": 2, "lr": 1e-3, "seed": 0})
+    raw["tpu"] = {
+        "bag_buckets": [128],
+        "batch_size": 8,
+        "use_pallas": False,
+        "data_axis": nproc * 4,
+        "device_cache": "off",
+    }
+    cfg = config_from_dict(raw)
+    cfg.model.checkpoint_epoch = 0
+    cfg.training.test_output_dir = os.path.join(work, f"out_p{pid}")
+
+    trainer = Trainer(cfg, verbose=False)
+    assert trainer.n_processes == nproc
+    assert trainer.train_batcher.host_slice == (pid, nproc)
+    out = trainer.fit()
+    print(
+        json.dumps(
+            {
+                "pid": pid,
+                "train_loss": round(float(out["train_loss"]), 6),
+                "val_loss": round(float(out["val_loss"]), 6),
+                "train_c_index": round(float(out["train_c_index"]), 6),
+                "val_c_index": round(float(out["val_c_index"]), 6),
+            }
+        ),
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()
