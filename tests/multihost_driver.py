@@ -6,7 +6,7 @@ cohort over a data=N*4 mesh, and prints one JSON result line. Each process
 feeds only its host slice of every batch (BucketBatcher.host_slice +
 make_array_from_process_local_data) and metrics are process-allgathered.
 
-Usage: python multihost_driver.py <process_id> <num_processes> <port> <cohort_dir>
+Usage: python multihost_driver.py <process_id> <num_processes> <port> <cohort_dir> [seq_axis]
 """
 
 import json
@@ -18,6 +18,7 @@ def main():
     pid, nproc, port, work = (
         int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3]), sys.argv[4]
     )
+    seq_axis = int(sys.argv[5]) if len(sys.argv) > 5 else 1
     os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ["XLA_FLAGS"] = (
         os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=4"
@@ -47,17 +48,36 @@ def main():
         "bag_buckets": [128],
         "batch_size": 8,
         "use_pallas": False,
-        "data_axis": nproc * 4,
+        "data_axis": (nproc * 4) // seq_axis,
+        "seq_axis": seq_axis,
         "device_cache": "off",
     }
     cfg = config_from_dict(raw)
     cfg.model.checkpoint_epoch = 0
+    cfg.model.checkpoint_dir = os.path.join(work, "ckpt")
     cfg.training.test_output_dir = os.path.join(work, f"out_p{pid}")
 
     trainer = Trainer(cfg, verbose=False)
     assert trainer.n_processes == nproc
     assert trainer.train_batcher.host_slice == (pid, nproc)
     out = trainer.fit()
+
+    # distributed checkpoint roundtrip: every process participates in the
+    # (async-capable) orbax save, then a restore must reproduce the params
+    import jax as _jax
+    import numpy as _np
+
+    path = trainer.save(cfg.training.epochs - 1, out["train_loss"])
+    from multimodal_path_omic_tpu.train import checkpoint as ckpt
+
+    ckpt.wait_for_checkpoints()
+    before = _jax.tree_util.tree_leaves(trainer.state.params)
+    trainer.restore(path)
+    after = _jax.tree_util.tree_leaves(trainer.state.params)
+    ckpt_ok = all(
+        _np.allclose(_np.asarray(a), _np.asarray(b)) for a, b in zip(before, after)
+    )
+
     print(
         json.dumps(
             {
@@ -66,6 +86,7 @@ def main():
                 "val_loss": round(float(out["val_loss"]), 6),
                 "train_c_index": round(float(out["train_c_index"]), 6),
                 "val_c_index": round(float(out["val_c_index"]), 6),
+                "ckpt_roundtrip_ok": bool(ckpt_ok),
             }
         ),
         flush=True,

@@ -29,7 +29,11 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_training_matches_single_process(tmp_path):
+@pytest.mark.parametrize("seq_axis", [1, 2])
+def test_two_process_training_matches_single_process(tmp_path, seq_axis):
+    """seq_axis=2: the patch axis shards ACROSS the process boundary — the
+    sequence-parallel co-attention collectives ride the cross-process (gloo)
+    transport, not just intra-process ICI emulation."""
     work = str(tmp_path)
     csv, sig, patches = make_synthetic_cohort(
         work, n_patients=16, bag_lengths=(48, 80, 120), n_genes=36,
@@ -43,7 +47,7 @@ def test_two_process_training_matches_single_process(tmp_path):
     env = {k: v for k, v in os.environ.items() if k != "JAX_PLATFORMS"}
     procs = [
         subprocess.Popen(
-            [sys.executable, DRIVER, str(pid), "2", str(port), work],
+            [sys.executable, DRIVER, str(pid), "2", str(port), work, str(seq_axis)],
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env,
         )
         for pid in range(2)
@@ -66,6 +70,8 @@ def test_two_process_training_matches_single_process(tmp_path):
     # both processes compute identical (allgathered) metrics
     for key in ("train_loss", "val_loss", "train_c_index", "val_c_index"):
         assert np.isclose(a[key], b[key], atol=1e-6), (key, a, b)
+    # distributed (cross-process) orbax checkpoint roundtrip
+    assert a["ckpt_roundtrip_ok"] and b["ckpt_roundtrip_ok"], (a, b)
 
     # single-process reference over the same 8-device mesh + cohort
     from multimodal_path_omic_tpu.config import config_from_dict
@@ -78,7 +84,7 @@ def test_two_process_training_matches_single_process(tmp_path):
     raw["training"].update({"loss": "ces", "epochs": 2, "lr": 1e-3, "seed": 0})
     raw["tpu"] = {
         "bag_buckets": [128], "batch_size": 8, "use_pallas": False,
-        "data_axis": 8, "device_cache": "off",
+        "data_axis": 8 // seq_axis, "seq_axis": seq_axis, "device_cache": "off",
     }
     cfg = config_from_dict(raw)
     cfg.model.checkpoint_epoch = 0
