@@ -632,3 +632,42 @@ def test_device_cache_multi_bucket_identical(tmp_path):
     assert len(t_on.device_cache.caches) == 2, "expected two bucket caches"
     assert np.isclose(out_on["train_loss"], out_off["train_loss"], atol=1e-6)
     assert np.isclose(out_on["val_loss"], out_off["val_loss"], atol=1e-6)
+
+
+def test_wandb_logging_path_with_stub(tmp_path, monkeypatch):
+    """Exercise the wandb branch of MetricLogger (wandb is absent in this
+    environment, so a stub module stands in): init carries the flattened
+    config, per-epoch metrics log with steps, finish() is called — the
+    reference's wandb surface (mcat/main.py:101-103, 186-215, 339-340)."""
+    import sys
+    import types
+
+    from multimodal_path_omic_tpu.train.logging import MetricLogger
+
+    calls = {"init": [], "log": [], "finish": 0}
+    stub = types.ModuleType("wandb")
+    stub.Settings = lambda **kw: kw
+    stub.init = lambda **kw: calls["init"].append(kw)
+    stub.log = lambda metrics, step=None: calls["log"].append((metrics, step))
+    stub.finish = lambda: calls.__setitem__("finish", calls["finish"] + 1)
+    monkeypatch.setitem(sys.modules, "wandb", stub)
+
+    logger = MetricLogger(
+        wandb_enabled=True,
+        wandb_project="proj",
+        wandb_config={"model": "MCAT", "loss": "ces"},
+        jsonl_path=str(tmp_path / "run.jsonl"),
+    )
+    logger.log({"train_loss": 1.0, "train_c_index": 0.7}, step=0)
+    logger.log({"val_loss": 0.9}, step=0)
+    logger.finish()
+
+    assert calls["init"][0]["project"] == "proj"
+    assert calls["init"][0]["config"]["model"] == "MCAT"
+    assert ({"train_loss": 1.0, "train_c_index": 0.7}, 0) in calls["log"]
+    assert calls["finish"] == 1
+    # the JSONL sink recorded the same metrics
+    import json as _json
+
+    recs = [_json.loads(l) for l in open(tmp_path / "run.jsonl")]
+    assert recs[0]["train_loss"] == 1.0 and recs[0]["step"] == 0
