@@ -1,0 +1,134 @@
+"""Minimal production scoring server (stdlib HTTP, no extra deps).
+
+The reference's only inference surface is an offline loop that prints to
+stdout (reference: mcat/main.py:158-183). For deployment this module serves
+the trained model over HTTP on top of ``serve.Predictor`` (bucketed, padded,
+jitted-per-bucket inference):
+
+    python -m multimodal_path_omic_tpu.server --config cfg.yaml \
+        --checkpoint <ckpt> --port 8008
+
+Endpoints:
+
+* ``GET /healthz`` — ``{"status": "ok", "model": ..., "n_params": ...}``
+* ``POST /predict`` — body: JSON ``{"wsi": [[...]], "omics": [[...], ...]}``
+  (wsi [M, D] patch embeddings; omics = per-signature vectors for survival
+  models, omitted for GE). Response: hazards/survs/risk/y (survival) or
+  class probabilities (GE).
+* ``POST /predict_npz`` — body: an ``.npz`` payload with ``wsi`` and
+  ``omic_0..omic_{k-1}`` arrays (binary path for real embedding sizes —
+  a 20k x 1024 f32 bag is ~80 MB as JSON but 80 MB raw).
+
+Requests are served one at a time (the device is the bottleneck, and
+jit-per-bucket means the first request of a new bucket pays a compile);
+front with a batching proxy for high QPS.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+from http.server import BaseHTTPRequestHandler, HTTPServer
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+
+class PredictHandler(BaseHTTPRequestHandler):
+    predictor = None  # injected by make_server
+    info: Dict[str, Any] = {}
+
+    # quieter logs
+    def log_message(self, fmt, *args):  # pragma: no cover
+        pass
+
+    def _reply(self, code: int, payload: Dict[str, Any]) -> None:
+        body = json.dumps(payload).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_GET(self):
+        if self.path == "/healthz":
+            self._reply(200, {"status": "ok", **self.info})
+        else:
+            self._reply(404, {"error": "unknown path"})
+
+    def do_POST(self):
+        n = int(self.headers.get("Content-Length", 0))
+        raw = self.rfile.read(n)
+        try:
+            if self.path == "/predict":
+                req = json.loads(raw)
+                wsi = np.asarray(req["wsi"], np.float32)
+                omics = (
+                    [np.asarray(o, np.float32) for o in req["omics"]]
+                    if "omics" in req
+                    else None
+                )
+            elif self.path == "/predict_npz":
+                with np.load(io.BytesIO(raw)) as z:
+                    wsi = np.asarray(z["wsi"], np.float32)
+                    keys = sorted(k for k in z.files if k.startswith("omic_"))
+                    omics = [np.asarray(z[k], np.float32) for k in keys] or None
+            else:
+                self._reply(404, {"error": "unknown path"})
+                return
+        except Exception as exc:
+            self._reply(400, {"error": f"bad request: {exc}"})
+            return
+        try:
+            out = self.predictor.predict_bag(wsi, omics=omics)
+        except Exception as exc:
+            self._reply(500, {"error": f"inference failed: {exc}"})
+            return
+        self._reply(200, {k: np.asarray(v).tolist() for k, v in out.items()})
+
+
+def make_server(predictor, port: int = 0, host: str = "127.0.0.1") -> HTTPServer:
+    """Build (not start) an HTTPServer bound to ``host:port`` (0 = ephemeral)."""
+    t = predictor._t
+    handler = type(
+        "BoundPredictHandler",
+        (PredictHandler,),
+        {
+            "predictor": predictor,
+            "info": {
+                "model": t.config.model.name,
+                "n_params": t.n_params,
+                "omic_sizes": list(t.omic_sizes),
+            },
+        },
+    )
+    return HTTPServer((host, port), handler)
+
+
+def main(argv: Optional[list] = None) -> int:
+    import argparse
+
+    ap = argparse.ArgumentParser(prog="multimodal_path_omic_tpu.server")
+    ap.add_argument("--config", required=True)
+    ap.add_argument("--checkpoint")
+    ap.add_argument("--torch-checkpoint")
+    ap.add_argument("--port", type=int, default=8008)
+    ap.add_argument("--host", default="127.0.0.1")
+    args = ap.parse_args(argv)
+
+    from multimodal_path_omic_tpu.config import load_config
+    from multimodal_path_omic_tpu.serve import Predictor
+
+    predictor = Predictor.from_config(
+        load_config(args.config),
+        checkpoint=args.checkpoint,
+        torch_checkpoint=args.torch_checkpoint,
+    )
+    server = make_server(predictor, port=args.port, host=args.host)
+    print(f"serving on http://{args.host}:{server.server_address[1]}")
+    server.serve_forever()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,96 @@
+"""HTTP scoring server tests (stdlib server over serve.Predictor)."""
+
+import io
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+from multimodal_path_omic_tpu.data.synthetic import (
+    make_synthetic_cohort,
+    synthetic_config_dict,
+)
+from multimodal_path_omic_tpu.config import config_from_dict
+from multimodal_path_omic_tpu.serve import Predictor
+from multimodal_path_omic_tpu.server import make_server
+from multimodal_path_omic_tpu.train.trainer import Trainer
+
+
+@pytest.fixture(scope="module")
+def served(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("server")
+    csv, sig, patches = make_synthetic_cohort(
+        str(tmp), n_patients=8, bag_lengths=(48, 80), n_genes=24,
+        n_signatures=3, seed=0,
+    )
+    raw = synthetic_config_dict(csv, sig, patches)
+    raw["model"]["model_size"] = "small"
+    raw["tpu"] = {"bag_buckets": [128], "batch_size": 4, "use_pallas": False}
+    cfg = config_from_dict(raw)
+    trainer = Trainer(cfg, verbose=False)
+    predictor = Predictor(trainer)
+    server = make_server(predictor, port=0)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{server.server_address[1]}", trainer
+    server.shutdown()
+
+
+def _post(url, data, content_type="application/json"):
+    req = urllib.request.Request(
+        url, data=data, headers={"Content-Type": content_type}, method="POST"
+    )
+    with urllib.request.urlopen(req, timeout=120) as resp:
+        return resp.status, json.loads(resp.read())
+
+
+def test_healthz(served):
+    base, trainer = served
+    with urllib.request.urlopen(base + "/healthz", timeout=30) as resp:
+        body = json.loads(resp.read())
+    assert body["status"] == "ok"
+    assert body["n_params"] == trainer.n_params
+    assert body["omic_sizes"] == list(trainer.omic_sizes)
+
+
+def test_predict_json_matches_predictor(served):
+    base, trainer = served
+    rng = np.random.default_rng(0)
+    wsi = rng.normal(size=(60, 1024)).astype(np.float32)
+    omics = [rng.normal(size=(s,)).astype(np.float32) for s in trainer.omic_sizes]
+    status, body = _post(
+        base + "/predict",
+        json.dumps({"wsi": wsi.tolist(), "omics": [o.tolist() for o in omics]}).encode(),
+    )
+    assert status == 200
+    direct = Predictor(trainer).predict_bag(wsi, omics=omics)
+    np.testing.assert_allclose(
+        np.asarray(body["risk"]), np.asarray(direct["risk"]), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(body["hazards"]), np.asarray(direct["hazards"]), atol=1e-5
+    )
+
+
+def test_predict_npz_binary_path(served):
+    base, trainer = served
+    rng = np.random.default_rng(1)
+    wsi = rng.normal(size=(48, 1024)).astype(np.float32)
+    omics = [rng.normal(size=(s,)).astype(np.float32) for s in trainer.omic_sizes]
+    buf = io.BytesIO()
+    np.savez(buf, wsi=wsi, **{f"omic_{i}": o for i, o in enumerate(omics)})
+    status, body = _post(base + "/predict_npz", buf.getvalue(), "application/octet-stream")
+    assert status == 200
+    assert np.isfinite(np.asarray(body["y"])).all()
+    assert abs(sum(body["y"][0]) - 1.0) < 1e-4  # class probabilities
+
+
+def test_bad_request_is_400(served):
+    base, _ = served
+    try:
+        status, body = _post(base + "/predict", b"{not json")
+    except urllib.error.HTTPError as e:
+        status, body = e.code, json.loads(e.read())
+    assert status == 400 and "error" in body
