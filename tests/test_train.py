@@ -671,3 +671,31 @@ def test_wandb_logging_path_with_stub(tmp_path, monkeypatch):
 
     recs = [_json.loads(l) for l in open(tmp_path / "run.jsonl")]
     assert recs[0]["train_loss"] == 1.0 and recs[0]["step"] == 0
+
+
+def test_ge_device_cache_training_identical(tmp_path):
+    """GE mode through the device cache (label-only table, no omics)."""
+    kw = dict(model="GeneExpr-NaCAGaT", loss="ce", epochs=1, model_kw={"gene": "G000"})
+    cfg_off = _make_cfg(tmp_path, **kw)
+    cfg_off.tpu.device_cache = "off"
+    out_off = Trainer(cfg_off, verbose=False).fit()
+    cfg_on = _make_cfg(tmp_path, **kw)
+    cfg_on.tpu.device_cache = "on"
+    t_on = Trainer(cfg_on, verbose=False)
+    out_on = t_on.fit()
+    assert t_on.device_cache is not None
+    assert np.isclose(out_on["train_loss"], out_off["train_loss"], atol=1e-6)
+    assert np.isclose(out_on["val_loss"], out_off["val_loss"], atol=1e-6)
+
+
+def test_device_cache_with_leave_one_out_export(tmp_path):
+    """Cache-fed training composes with the leave-one-out test/export flow
+    (the test batcher stays host-fed)."""
+    cfg = _make_cfg(tmp_path, epochs=1)
+    cfg.tpu.device_cache = "on"
+    cfg.training.leave_one_out = "P000"
+    cfg.training.output_attn_epoch = 1
+    trainer = Trainer(cfg, verbose=False)
+    trainer.fit()
+    files = [f for f in os.listdir(cfg.training.test_output_dir) if f.startswith("ATTN_")]
+    assert files, "attention export missing under device cache"
