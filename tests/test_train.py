@@ -699,3 +699,34 @@ def test_device_cache_with_leave_one_out_export(tmp_path):
     trainer.fit()
     files = [f for f in os.listdir(cfg.training.test_output_dir) if f.startswith("ATTN_")]
     assert files, "attention export missing under device cache"
+
+
+def test_resume_equals_uninterrupted_training(tmp_path):
+    """The deterministic-resume claim, end to end: train 2 epochs, checkpoint,
+    restore into a FRESH process-state trainer, train 2 more — final params
+    must equal 4 uninterrupted epochs (RNG chain, shuffle order, optimizer
+    state all carried; the reference re-runs the saved epoch on a different
+    unseeded split, mcat/main.py:309-312)."""
+    cfg_a = _make_cfg(tmp_path, epochs=4)
+    t_a = Trainer(cfg_a, verbose=False)
+    t_a.fit()
+
+    cfg_b1 = _make_cfg(tmp_path, epochs=2)
+    t_b1 = Trainer(cfg_b1, verbose=False)
+    t_b1.fit()
+    path = t_b1.save(1, 0.0)  # payload epoch -> resume at epoch 2
+    from multimodal_path_omic_tpu.train import checkpoint as ckpt
+
+    ckpt.wait_for_checkpoints()
+
+    cfg_b2 = _make_cfg(tmp_path, epochs=4)
+    t_b2 = Trainer(cfg_b2, verbose=False)
+    t_b2.restore(path)
+    assert t_b2.starting_epoch == 2
+    t_b2.fit()
+
+    for a, b in zip(
+        jax.tree_util.tree_leaves(t_a.state.params),
+        jax.tree_util.tree_leaves(t_b2.state.params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
