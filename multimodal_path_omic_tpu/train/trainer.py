@@ -712,12 +712,15 @@ class Trainer:
         )
         # GE exports the MIL 'path' scores [1, M] (ge_nacagat/main.py:140-142)
         # — the M x M map is never materialized; survival models export the
-        # co-attention map [N, M] (mcat/main.py:180-183).
-        eval_attn = make_eval_step(
-            self.model, c.training.loss, alpha=c.training.alpha,
-            ge_mode=self.ge_mode, need_attention=not self.ge_mode,
-            omic_sizes=tuple(self.omic_sizes),
-        )
+        # co-attention map [N, M] (mcat/main.py:180-183). Built once: a fresh
+        # jit wrapper per call would recompile every tested epoch.
+        if not hasattr(self, "_test_eval_step"):
+            self._test_eval_step = make_eval_step(
+                self.model, c.training.loss, alpha=c.training.alpha,
+                ge_mode=self.ge_mode, need_attention=not self.ge_mode,
+                omic_sizes=tuple(self.omic_sizes),
+            )
+        eval_attn = self._test_eval_step
         for bi, batch in enumerate(batcher.batches()):
             dev = self._device_batch(batch)
             res = eval_attn(self.state.params, dev)
