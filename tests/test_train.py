@@ -730,3 +730,27 @@ def test_resume_equals_uninterrupted_training(tmp_path):
         jax.tree_util.tree_leaves(t_b2.state.params),
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_async_checkpoint_safe_with_donated_state(tmp_path):
+    """Async saves must snapshot device buffers BEFORE training continues:
+    the very next train step DONATES the state buffers (XLA reuses them), so
+    a lazy device read inside the async commit would serialize garbage."""
+    cfg = _make_cfg(tmp_path, epochs=2)
+    trainer = Trainer(cfg, verbose=False)
+    trainer.train_epoch(0)
+    want = [np.array(x) for x in jax.tree_util.tree_leaves(trainer.state.params)]
+
+    path = trainer.save(0, 0.0)  # async (block=False inside Trainer.save)
+    # clobber the donated buffers immediately: keep training
+    trainer.train_epoch(1)
+    from multimodal_path_omic_tpu.train import checkpoint as ckpt
+
+    ckpt.wait_for_checkpoints()
+
+    cfg2 = _make_cfg(tmp_path, epochs=1)
+    t2 = Trainer(cfg2, verbose=False)
+    t2.restore(path)
+    got = [np.array(x) for x in jax.tree_util.tree_leaves(t2.state.params)]
+    for a, b in zip(want, got):
+        np.testing.assert_array_equal(a, b)
