@@ -47,19 +47,6 @@ def wait_for_checkpoints() -> None:
         ckptr.wait_until_finished()
 
 
-def _flatten(tree, prefix=""):
-    out = {}
-    if isinstance(tree, dict):
-        for k, v in tree.items():
-            out.update(_flatten(v, f"{prefix}{k}/"))
-    elif isinstance(tree, (list, tuple)):
-        for i, v in enumerate(tree):
-            out.update(_flatten(v, f"{prefix}{i}/"))
-    else:
-        out[prefix[:-1]] = np.asarray(tree)
-    return out
-
-
 def save_checkpoint(
     directory: str,
     payload: Dict[str, Any],

@@ -86,11 +86,6 @@ class StepTimer:
         dt = max(time.perf_counter() - self._t0, 1e-9)
         return self._steps / dt, self._bags / dt
 
-    def window(self):
-        rates = self.rates()
-        self.reset()
-        return rates
-
 
 def profile_trace(log_dir: str):
     """Context manager capturing a jax.profiler trace (TensorBoard-viewable).
