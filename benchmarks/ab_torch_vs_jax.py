@@ -56,14 +56,27 @@ def build_cohort(out_dir: str, n_patients: int, seed: int):
     return cfg, dataset
 
 
-def torch_arm(dataset, split_seed: int, epochs: int, lr: float, grad_acc: int):
-    """The reference's training loop, faithfully (mcat/main.py:19-155)."""
+def torch_arm(dataset, split_seed: int, epochs: int, lr: float, grad_acc: int,
+              model_name: str = "mcat", loss_name: str = "ces"):
+    """The reference's training loop, faithfully (mcat/main.py:19-155;
+    nacagat/main.py:30-60 for the cesar branch)."""
     import torch
 
     if REFERENCE_ROOT not in sys.path:
         sys.path.insert(0, REFERENCE_ROOT)
-    from models.loss import CrossEntropySurvivalLoss  # type: ignore
-    from models.mcat.mcat import MultimodalCoAttentionTransformer  # type: ignore
+    from models.loss import (  # type: ignore
+        CrossEntropySurvivalAttnRegLoss,
+        CrossEntropySurvivalLoss,
+    )
+
+    if model_name == "nacagat":
+        from models.nacagat.nacagat import (  # type: ignore
+            NarrowContextualAttentionGateTransformer as RefModel,
+        )
+    else:
+        from models.mcat.mcat import (  # type: ignore
+            MultimodalCoAttentionTransformer as RefModel,
+        )
 
     torch.manual_seed(0)
     torch.set_num_threads(os.cpu_count() or 8)
@@ -89,10 +102,12 @@ def torch_arm(dataset, split_seed: int, epochs: int, lr: float, grad_acc: int):
         return out
 
     train_rows, val_rows = rows(train_ds), rows(val_ds)
-    model = MultimodalCoAttentionTransformer(
-        omic_sizes=dataset.signature_sizes, model_size="small"
+    model = RefModel(omic_sizes=dataset.signature_sizes, model_size="small")
+    loss_fn = (
+        CrossEntropySurvivalAttnRegLoss()
+        if loss_name == "cesar"
+        else CrossEntropySurvivalLoss()
     )
-    loss_fn = CrossEntropySurvivalLoss()
     opt = torch.optim.Adam(model.parameters(), lr=lr, weight_decay=1e-5)
     rng = np.random.default_rng(split_seed)
 
@@ -103,10 +118,16 @@ def torch_arm(dataset, split_seed: int, epochs: int, lr: float, grad_acc: int):
         opt.zero_grad()
         for bi, ridx in enumerate(order):
             months, klass, cens, omics, bag = train_rows[ridx]
-            hazards, survs, y, _ = model(wsi=bag, omics=omics)
-            loss = loss_fn(
-                hazards, survs, torch.tensor([[klass]]), c=torch.tensor([[cens]])
-            )
+            hazards, survs, y, attn = model(wsi=bag, omics=omics)
+            if loss_name == "cesar":
+                loss, _attn_loss = loss_fn(
+                    hazards, survs, torch.tensor([[klass]]),
+                    c=torch.tensor([[cens]]), attention=attn["coattn"],
+                )
+            else:
+                loss = loss_fn(
+                    hazards, survs, torch.tensor([[klass]]), c=torch.tensor([[cens]])
+                )
             (loss / grad_acc).backward()
             if (bi + 1) % grad_acc == 0:
                 opt.step()
@@ -115,7 +136,7 @@ def torch_arm(dataset, split_seed: int, epochs: int, lr: float, grad_acc: int):
         risks, times, events = [], [], []
         with torch.no_grad():
             for months, klass, cens, omics, bag in val_rows:
-                _, survs, _, _ = model(wsi=bag, omics=omics)
+                _, survs, _, _ = model(wsi=bag, omics=omics)  # noqa
                 risks.append(float(-survs.sum()))
                 times.append(months)
                 events.append(1.0 - cens)
@@ -153,6 +174,8 @@ def jax_arm(cfg, epochs: int):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=20)
+    ap.add_argument("--model", default="mcat", choices=["mcat", "nacagat"])
+    ap.add_argument("--loss", default="ces", choices=["ces", "cesar"])
     ap.add_argument("--patients", type=int, default=128)
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--out-dir", default="/tmp/ab_cohort")
@@ -160,11 +183,14 @@ def main():
 
     cfg, dataset = build_cohort(args.out_dir, args.patients, args.seed)
     cfg.training.seed = args.seed
+    cfg.model.name = "NaCAGaT" if args.model == "nacagat" else "MCAT"
+    cfg.training.loss = args.loss
 
     t0 = time.time()
     torch_hist = torch_arm(
         dataset, split_seed=args.seed, epochs=args.epochs,
         lr=cfg.training.lr, grad_acc=cfg.training.grad_acc_step,
+        model_name=args.model, loss_name=args.loss,
     )
     torch_secs = time.time() - t0
 
