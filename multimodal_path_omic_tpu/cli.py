@@ -30,7 +30,14 @@ def _parse_overrides(pairs: List[str], args=None) -> Dict[str, Any]:
         if "=" not in pair:
             raise SystemExit(f"--set expects key=value, got {pair!r}")
         key, value = pair.split("=", 1)
-        overrides[key] = yaml.safe_load(value)
+        parsed = yaml.safe_load(value)
+        # YAML 1.1 coerces on/off/yes/no to booleans, which silently corrupts
+        # string-valued settings (--set tpu.device_cache=on became the string
+        # "True"). Only true/false spellings mean booleans here; the typed
+        # config coerces strings onto bool fields as needed (_apply_override).
+        if isinstance(parsed, bool) and value.strip().lower() not in ("true", "false"):
+            parsed = value.strip()
+        overrides[key] = parsed
     if args is not None and getattr(args, "bug_compat", False):
         overrides["training.bug_compat"] = True
     return overrides

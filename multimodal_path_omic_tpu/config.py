@@ -136,9 +136,14 @@ class TpuConfig:
     # PRNG implementation for dropout keys: "rbg" (fast counter-based PRNG,
     # ~10% step-time win on TPU) or "threefry2x32" (jax default).
     prng_impl: str = "rbg"
-    # Dtype for the host->device WSI transfer: "float32" or "bfloat16"
-    # (halves H2D bytes; patch embeddings tolerate bf16).
+    # Dtype for the host->device WSI transfer: "float32", "bfloat16" (halves
+    # H2D bytes) or "int8" (quarter H2D bytes; per-patch symmetric
+    # quantization, data/quant.py — patch embeddings tolerate it).
     transfer_dtype: str = "float32"
+    # Storage dtype of the device-resident dataset cache: "float32" or "int8"
+    # (~4x more cohort fits device_cache_budget_bytes, 4x cheaper on-device
+    # batch gathers; same quantization as transfer_dtype=int8).
+    cache_dtype: str = "float32"
     # Data-parallel mesh axis size (1 = single chip).
     data_axis: int = 1
     # Sequence-parallel mesh axis size (patch dimension sharding).
@@ -162,6 +167,21 @@ class TpuConfig:
     # budget below on a single-device run; "on" forces; "off" disables.
     device_cache: str = "auto"
     device_cache_budget_bytes: int = 4 << 30
+
+    def __post_init__(self):
+        if self.compute_dtype not in ("float32", "bfloat16"):
+            raise ValueError(
+                f'compute_dtype must be "float32" or "bfloat16", got {self.compute_dtype!r}'
+            )
+        if self.transfer_dtype not in ("float32", "bfloat16", "int8"):
+            raise ValueError(
+                f'transfer_dtype must be "float32", "bfloat16" or "int8", '
+                f"got {self.transfer_dtype!r}"
+            )
+        if self.cache_dtype not in ("float32", "int8"):
+            raise ValueError(
+                f'cache_dtype must be "float32" or "int8", got {self.cache_dtype!r}'
+            )
 
 
 @dataclass
@@ -224,9 +244,23 @@ def _apply_override(cfg: Config, dotted: str, value: Any) -> None:
     if not hasattr(obj, leaf):
         raise KeyError(f"Unknown config key: {dotted}")
     current = getattr(obj, leaf)
-    if current is not None and value is not None and not isinstance(value, type(current)):
+    if isinstance(current, bool) and isinstance(value, str):
+        # bool("off") would be True; map the usual spellings explicitly
+        low = value.strip().lower()
+        if low in ("true", "yes", "on", "1"):
+            value = True
+        elif low in ("false", "no", "off", "0"):
+            value = False
+        else:
+            raise ValueError(f"cannot parse {value!r} as a boolean for {dotted}")
+    elif current is not None and value is not None and not isinstance(value, type(current)):
         value = type(current)(value)
     setattr(obj, leaf, value)
+    # dataclass validation runs in __post_init__, which plain setattr skips —
+    # re-run it so a bad override fails at load time, not mid-training
+    post = getattr(obj, "__post_init__", None)
+    if post is not None:
+        post()
 
 
 def config_to_dict(cfg: Config) -> Dict[str, Any]:

@@ -45,6 +45,7 @@ class DeviceBagCache:
         ge_mode: bool = False,
         lengths: Optional[np.ndarray] = None,
         upload_chunk: int = 64,
+        store_dtype: str = "float32",
     ):
         import jax
         import jax.numpy as jnp
@@ -69,12 +70,19 @@ class DeviceBagCache:
                 np.asarray(extras["survival_months"])
             )
 
+        if store_dtype not in ("float32", "int8"):
+            raise ValueError(f"store_dtype must be float32 or int8, got {store_dtype!r}")
+        self.store_dtype = store_dtype
+        int8 = store_dtype == "int8"
+        if int8:
+            from multimodal_path_omic_tpu.data.quant import quantize_bag_int8
+
         dim = int(dataset.bag(0).shape[1]) if n else 0
         for bucket in sorted(set(self.bucket_of.tolist())):
             rows = np.flatnonzero(self.bucket_of == bucket)
             self._position[rows] = np.arange(len(rows), dtype=np.int32)
             # upload in chunks to bound host staging memory
-            parts_w, parts_m = [], []
+            parts_w, parts_m, parts_s = [], [], []
             for s in range(0, len(rows), upload_chunk):
                 chunk_rows = rows[s : s + upload_chunk]
                 wsi = np.zeros((len(chunk_rows), bucket, dim), np.float32)
@@ -84,19 +92,34 @@ class DeviceBagCache:
                     m = min(bag.shape[0], bucket)
                     wsi[j, :m] = bag[:m]
                     mask[j, :m] = True
-                parts_w.append(jax.device_put(wsi))
+                if int8:
+                    q, scale = quantize_bag_int8(wsi)
+                    parts_w.append(jax.device_put(q))
+                    parts_s.append(jax.device_put(scale))
+                else:
+                    parts_w.append(jax.device_put(wsi))
                 parts_m.append(jax.device_put(mask))
-            self.caches[bucket] = dict(
+            cache = dict(
                 wsi=jnp.concatenate(parts_w) if len(parts_w) > 1 else parts_w[0],
                 mask=jnp.concatenate(parts_m) if len(parts_m) > 1 else parts_m[0],
                 **table,
             )
+            if int8:
+                cache["wsi_scale"] = (
+                    jnp.concatenate(parts_s) if len(parts_s) > 1 else parts_s[0]
+                )
+            self.caches[bucket] = cache
 
     @staticmethod
-    def nbytes(lengths: np.ndarray, buckets: Sequence[int], dim: int) -> int:
-        """Device bytes the wsi cache would need (f32, padded to buckets)."""
+    def nbytes(
+        lengths: np.ndarray, buckets: Sequence[int], dim: int,
+        store_dtype: str = "float32",
+    ) -> int:
+        """Device bytes the wsi cache would need (padded to buckets).
+        int8 stores 1 byte/element + a 4-byte f32 scale per patch row."""
+        per_patch = dim + 4 if store_dtype == "int8" else dim * 4
         return int(
-            sum(bucket_for(int(m), tuple(buckets)) * dim * 4 for m in lengths)
+            sum(bucket_for(int(m), tuple(buckets)) * per_patch for m in lengths)
         )
 
     def position(self, rows: np.ndarray) -> np.ndarray:

@@ -41,7 +41,7 @@ def make_mesh(
 
 def batch_spec(key: str) -> P:
     """PartitionSpec for a batch-dict field."""
-    if key in ("wsi", "mask"):
+    if key in ("wsi", "mask", "wsi_scale"):
         return P("data", "seq")  # [B, M, ...]: bags over data, patches over seq
     return P("data")  # per-sample vectors/scalars (incl. omics_packed)
 

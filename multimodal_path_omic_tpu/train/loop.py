@@ -193,6 +193,19 @@ def make_cached_train_step(
     )
 
 
+def _dequant_wsi(batch: Dict[str, Any]) -> Dict[str, Any]:
+    """Dequantize an int8 wsi field in place (no-op for float batches). The
+    convert+scale fuses into the first consumer under jit; int8 storage keeps
+    the gather / H2D traffic at a quarter of f32 (data/quant.py)."""
+    if "wsi_scale" in batch:
+        batch = dict(batch)
+        scale = batch.pop("wsi_scale")
+        batch["wsi"] = batch["wsi"].astype(jnp.float32) * scale[..., None].astype(
+            jnp.float32
+        )
+    return batch
+
+
 def _gather_batch(cache: Dict[str, Any], meta: Dict[str, Any], ge_mode: bool):
     """Assemble a batch dict from device-cache gathers (inside jit)."""
     pos = meta["pos"].astype(jnp.int32)
@@ -203,6 +216,8 @@ def _gather_batch(cache: Dict[str, Any], meta: Dict[str, Any], ge_mode: bool):
         "weight": meta["weight"],
         "label": jnp.take(cache["label"], row, axis=0),
     }
+    if "wsi_scale" in cache:
+        batch["wsi_scale"] = jnp.take(cache["wsi_scale"], pos, axis=0)
     if not ge_mode:
         batch["omics_packed"] = jnp.take(cache["omics_packed"], row, axis=0)
         batch["censorship"] = jnp.take(cache["censorship"], row, axis=0)
@@ -260,6 +275,7 @@ def _build_step(
     grad_fn = jax.value_and_grad(forward_loss, has_aux=True)
 
     def _step_impl(state: TrainState, batch: Dict[str, Any]) -> Tuple[TrainState, StepMetrics]:
+        batch = _dequant_wsi(batch)
         b, m = batch["wsi"].shape[0], batch["wsi"].shape[1]
         # static (trace-time) choice of accumulation chunks: largest divisor
         # of b whose chunk fits the patch budget
@@ -412,6 +428,7 @@ def make_eval_step(
     def eval_step(params, batch, *maybe_meta):
         if cached:
             batch = _gather_batch(batch, maybe_meta[0], ge_mode)
+        batch = _dequant_wsi(batch)
         out = model.apply(
             {"params": params},
             batch["wsi"],

@@ -284,8 +284,10 @@ class Trainer:
             self.val_batcher._bag_lengths() if len(self.val_ds) else np.zeros(0)
         )
         dim = int(self.train_ds.bag(0).shape[1])
+        cache_dtype = c.tpu.cache_dtype
         nbytes = DeviceBagCache.nbytes(
-            np.concatenate([lengths, val_lengths]), self.buckets, dim
+            np.concatenate([lengths, val_lengths]), self.buckets, dim,
+            store_dtype=cache_dtype,
         )
         if not self._device_cache_forced and nbytes > c.tpu.device_cache_budget_bytes:
             self._want_device_cache = False
@@ -293,17 +295,18 @@ class Trainer:
         if self.verbose:
             print(
                 f"Device dataset cache: {nbytes / (1 << 20):.0f} MiB of padded "
-                f"bags uploaded once ({len(self.train_ds)} train + "
-                f"{len(self.val_ds)} val bags)"
+                f"bags ({cache_dtype}) uploaded once ({len(self.train_ds)} "
+                f"train + {len(self.val_ds)} val bags)"
             )
         self.device_cache = DeviceBagCache(
             self.train_ds, self.extras_fn, self.buckets,
-            ge_mode=self.ge_mode, lengths=lengths,
+            ge_mode=self.ge_mode, lengths=lengths, store_dtype=cache_dtype,
         )
         self.device_cache_val = (
             DeviceBagCache(
                 self.val_ds, self.extras_fn, self.buckets,
                 ge_mode=self.ge_mode, lengths=val_lengths,
+                store_dtype=cache_dtype,
             )
             if len(self.val_ds)
             else None
@@ -388,6 +391,13 @@ class Trainer:
         if self.config.tpu.transfer_dtype == "bfloat16":
             batch["wsi"] = np.asarray(batch["wsi"], np.float32).astype(jnp.bfloat16)
             aliased = False  # astype copied
+        elif self.config.tpu.transfer_dtype == "int8":
+            # quarter H2D bytes: per-patch symmetric int8 (data/quant.py); the
+            # jitted steps dequantize on device (loop.py::_dequant_wsi)
+            from multimodal_path_omic_tpu.data.quant import quantize_bag_int8
+
+            batch["wsi"], batch["wsi_scale"] = quantize_bag_int8(batch["wsi"])
+            aliased = False  # quantization copied
         elif aliased and jax.default_backend() == "cpu":
             batch["wsi"] = np.array(batch["wsi"])
             aliased = False

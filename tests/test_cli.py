@@ -72,6 +72,43 @@ def test_cli_unknown_override_errors(config_path):
         cli.main(["train", "--config", config_path, "--set", "training.bogus=1"])
 
 
+def test_cli_override_on_off_spellings():
+    """YAML 1.1 turns on/off/yes/no into booleans; --set must keep them as
+    strings for string fields (tpu.device_cache=on once silently became the
+    string "True", disabling the cache) and coerce them properly onto bool
+    fields (bool("off") would be True)."""
+    ov = cli._parse_overrides(
+        ["tpu.device_cache=on", "tpu.use_native_pipeline=off", "wandb.enabled=true"]
+    )
+    assert ov["tpu.device_cache"] == "on"
+    assert ov["tpu.use_native_pipeline"] == "off"
+    assert ov["wandb.enabled"] is True
+
+    from multimodal_path_omic_tpu.config import Config, _apply_override
+
+    cfg = Config()
+    _apply_override(cfg, "tpu.device_cache", "on")
+    assert cfg.tpu.device_cache == "on"
+    _apply_override(cfg, "tpu.use_native_pipeline", "off")
+    assert cfg.tpu.use_native_pipeline is False
+    _apply_override(cfg, "tpu.use_native_pipeline", "on")
+    assert cfg.tpu.use_native_pipeline is True
+    with pytest.raises(ValueError, match="boolean"):
+        _apply_override(cfg, "tpu.use_native_pipeline", "maybe")
+
+
+def test_cli_override_revalidates_at_load_time():
+    """A bad --set value fails at config load (post_init re-run), not
+    mid-training."""
+    from multimodal_path_omic_tpu.config import Config, _apply_override
+
+    cfg = Config()
+    with pytest.raises(ValueError, match="cache_dtype"):
+        _apply_override(cfg, "tpu.cache_dtype", "int4")
+    with pytest.raises(ValueError, match="loss"):
+        _apply_override(cfg, "training.loss", "hinge")
+
+
 def test_cli_convert_checkpoint_roundtrip(config_path, tmp_path, capsys):
     """Reference .pt -> framework checkpoint via the CLI, then restore."""
     torch = pytest.importorskip("torch")

@@ -1,0 +1,135 @@
+"""Int8 WSI-embedding path: quantization numerics + e2e training paths
+(tpu.transfer_dtype=int8, tpu.cache_dtype=int8).
+
+The reference has no quantization (f32 bags torch.loaded per item,
+reference: dataset.py:124-126); this is a TPU-bandwidth feature: 4x fewer
+H2D / on-device-gather bytes and ~4x more cohort per device-cache budget.
+"""
+
+import numpy as np
+import pytest
+
+from multimodal_path_omic_tpu.data.quant import dequantize, quantize_bag_int8
+from multimodal_path_omic_tpu.train.trainer import Trainer
+
+from test_train import _make_cfg
+
+
+def test_quantize_roundtrip_error_bound():
+    rng = np.random.default_rng(0)
+    x = (rng.normal(size=(3, 64, 32)) * rng.uniform(0.1, 10, (3, 64, 1))).astype(
+        np.float32
+    )
+    x[1, 5] = 0.0  # an all-zero (padding) row
+    q, scale = quantize_bag_int8(x)
+    assert q.dtype == np.int8 and scale.shape == (3, 64)
+    dq = np.asarray(dequantize(np.asarray(q), np.asarray(scale)))
+    # symmetric rounding: per-element error <= half a quantization step
+    err = np.abs(dq - x)
+    assert np.all(err <= scale[..., None] / 2 + 1e-7), err.max()
+    # zero rows are exact (scale forced to 1, q to 0)
+    np.testing.assert_array_equal(dq[1, 5], 0.0)
+    np.testing.assert_array_equal(scale[1, 5], 1.0)
+
+
+def test_quantize_extremes_map_to_127():
+    x = np.array([[[-2.0, 0.0, 2.0, 1.0]]], np.float32)
+    q, scale = quantize_bag_int8(x)
+    np.testing.assert_array_equal(q[0, 0], [-127, 0, 127, 64])
+    np.testing.assert_allclose(scale[0, 0], 2.0 / 127.0, rtol=1e-6)
+
+
+def test_int8_transfer_e2e_learns(tmp_path):
+    """transfer_dtype=int8: full training stays finite and beats chance on the
+    planted signal (quantization noise must not destroy learnability)."""
+    cfg = _make_cfg(tmp_path, epochs=6)
+    cfg.tpu.transfer_dtype = "int8"
+    trainer = Trainer(cfg, verbose=False)
+    out = trainer.fit()
+    assert np.isfinite(out["train_loss"]) and np.isfinite(out["val_loss"])
+    assert out["train_c_index"] > 0.55, out
+
+
+def test_int8_cache_equals_int8_transfer_exactly(tmp_path):
+    """cache_dtype=int8 and transfer_dtype=int8 quantize the SAME padded rows
+    with the same math — device-cached int8 training must EXACTLY equal
+    host-fed int8 training (same RNG chain, same dequantized values)."""
+    cfg_host = _make_cfg(tmp_path, epochs=2)
+    cfg_host.tpu.device_cache = "off"
+    cfg_host.tpu.transfer_dtype = "int8"
+    t_host = Trainer(cfg_host, verbose=False)
+    out_host = t_host.fit()
+
+    cfg_cache = _make_cfg(tmp_path, epochs=2)
+    cfg_cache.tpu.device_cache = "on"
+    cfg_cache.tpu.cache_dtype = "int8"
+    t_cache = Trainer(cfg_cache, verbose=False)
+    out_cache = t_cache.fit()
+    assert t_cache.device_cache is not None, "cache did not engage"
+    assert t_cache.device_cache.store_dtype == "int8"
+    assert np.isclose(out_cache["train_loss"], out_host["train_loss"], atol=1e-6)
+    assert np.isclose(out_cache["val_loss"], out_host["val_loss"], atol=1e-6)
+    import jax
+
+    for a, b in zip(
+        jax.tree_util.tree_leaves(t_host.state.params),
+        jax.tree_util.tree_leaves(t_cache.state.params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_int8_eval_close_to_f32(tmp_path):
+    """Same trained params: int8-quantized inputs track f32 eval within
+    quantization noise (catches wired-wrong dequant paths)."""
+    cfg = _make_cfg(tmp_path, epochs=2)
+    cfg.tpu.device_cache = "off"  # validate() must go through _device_batch
+    t = Trainer(cfg, verbose=False)
+    for e in range(2):  # train a bit so outputs aren't random-init near-ties
+        t.train_epoch(e)
+    out_f32 = t.validate(0)
+
+    t.config.tpu.transfer_dtype = "int8"
+    out_int8 = t.validate(0)
+    assert abs(out_int8["val_loss"] - out_f32["val_loss"]) < 0.05
+    assert abs(out_int8["val_c_index"] - out_f32["val_c_index"]) < 0.2
+
+
+def test_cache_nbytes_int8_accounting():
+    from multimodal_path_omic_tpu.data.device_cache import DeviceBagCache
+
+    lengths = np.array([100, 600])
+    buckets = (128, 1024)
+    f32 = DeviceBagCache.nbytes(lengths, buckets, dim=1024)
+    i8 = DeviceBagCache.nbytes(lengths, buckets, dim=1024, store_dtype="int8")
+    assert f32 == (128 + 1024) * 1024 * 4
+    assert i8 == (128 + 1024) * (1024 + 4)  # 1 byte/elem + 4-byte row scale
+
+
+def test_int8_cache_budget_uses_int8_size(tmp_path):
+    """A budget that fits the int8 cohort but not the f32 one must still
+    engage the cache when cache_dtype=int8."""
+    cfg = _make_cfg(tmp_path, epochs=1)
+    from multimodal_path_omic_tpu.data.device_cache import DeviceBagCache
+
+    cfg.tpu.device_cache = "auto"
+    cfg.tpu.cache_dtype = "int8"
+    t = Trainer(cfg, verbose=False)
+    lengths = np.concatenate(
+        [t.train_batcher._bag_lengths(), t.val_batcher._bag_lengths()]
+    )
+    f32_bytes = DeviceBagCache.nbytes(lengths, t.buckets, 1024)
+    int8_bytes = DeviceBagCache.nbytes(lengths, t.buckets, 1024, store_dtype="int8")
+    cfg.tpu.device_cache_budget_bytes = (f32_bytes + int8_bytes) // 2
+    t.fit()
+    assert t.device_cache is not None, "int8 cache should fit this budget"
+
+
+def test_config_rejects_bad_dtypes():
+    from multimodal_path_omic_tpu.config import TpuConfig
+
+    with pytest.raises(ValueError, match="transfer_dtype"):
+        TpuConfig(transfer_dtype="int4")
+    with pytest.raises(ValueError, match="cache_dtype"):
+        TpuConfig(cache_dtype="bfloat16")
+    with pytest.raises(ValueError, match="compute_dtype"):
+        TpuConfig(compute_dtype="fp8")
