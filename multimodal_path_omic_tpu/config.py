@@ -167,6 +167,9 @@ class TpuConfig:
     # budget below on a single-device run; "on" forces; "off" disables.
     device_cache: str = "auto"
     device_cache_budget_bytes: int = 4 << 30
+    # Persistent XLA compilation cache directory (jax_compilation_cache_dir):
+    # repeated runs skip the multi-minute first-epoch compile. Empty = off.
+    compilation_cache_dir: str = ""
 
     def __post_init__(self):
         if self.compute_dtype not in ("float32", "bfloat16"):

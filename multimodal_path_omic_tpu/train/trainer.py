@@ -74,6 +74,11 @@ class Trainer:
             jax.config.update("jax_default_matmul_precision", c.tpu.matmul_precision)
         if c.tpu.prng_impl:
             jax.config.update("jax_default_prng_impl", c.tpu.prng_impl)
+        if c.tpu.compilation_cache_dir:
+            # persistent XLA compile cache: repeated runs (resume, sweeps,
+            # serving restarts) skip the multi-minute first-step compile
+            jax.config.update("jax_compilation_cache_dir", c.tpu.compilation_cache_dir)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
         # ----- dataset + splits (mcat/main.py:239-252) ---------------------
         if self.ge_mode:

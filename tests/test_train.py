@@ -445,6 +445,25 @@ def test_bug_compat_gated_fusion_gates_frozen():
 # ---------------------------------------------------------------------------
 
 
+def test_compilation_cache_dir_knob(tmp_path):
+    """tpu.compilation_cache_dir wires through to jax's persistent compile
+    cache (repeat runs skip multi-minute first-epoch compiles)."""
+    cache_dir = str(tmp_path / "xla_cache")
+    prev = jax.config.jax_compilation_cache_dir  # conftest's shared cache
+    try:
+        cfg = _make_cfg(tmp_path, epochs=1)
+        cfg.tpu.compilation_cache_dir = cache_dir
+        t = Trainer(cfg, verbose=False)
+        assert jax.config.jax_compilation_cache_dir == cache_dir
+        t.fit()
+        files = []
+        for root, _, names in os.walk(cache_dir):
+            files += names
+        assert files, "no compile cache entries written"
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev)
+
+
 def test_bfloat16_compute_e2e(tmp_path):
     """compute_dtype=bfloat16: full training run stays finite and learns."""
     cfg = _make_cfg(tmp_path, epochs=2)
