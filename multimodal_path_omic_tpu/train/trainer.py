@@ -53,6 +53,33 @@ from multimodal_path_omic_tpu.train.metrics import concordance_index_censored
 from multimodal_path_omic_tpu.train.optim import current_lr, make_optimizer, step_exponential
 
 
+# One jit instance; jax caches compilations per (arity, shapes) — stable
+# across epochs, so each run compiles this once per epoch plan shape.
+@jax.jit
+def _pack_leaves(*xs):
+    return jnp.concatenate([jnp.ravel(x) for x in xs])
+
+
+def set_compilation_cache_dir(path: str) -> None:
+    """Point jax's persistent XLA compile cache at ``path``, effective NOW.
+
+    ``jax.config.update("jax_compilation_cache_dir", ...)`` alone is not
+    enough once the process has already touched the cache: jax initializes
+    its cache object at most once, so a later dir change is silently ignored
+    (reads and writes keep hitting the old dir). Resetting the internal cache
+    makes the redirect take effect for in-process re-configuration (config
+    sweeps, serving restarts, tests)."""
+    if jax.config.jax_compilation_cache_dir == path:
+        return
+    jax.config.update("jax_compilation_cache_dir", path)
+    try:
+        from jax._src import compilation_cache as _jcc
+
+        _jcc.reset_cache()
+    except Exception:  # pragma: no cover - internal API drift
+        pass
+
+
 def _is_ge(model_name: str) -> bool:
     key = model_name.lower().replace("-", "_").replace(" ", "")
     return "ge" in key.split("_") or key.startswith("geneexpr") or key.startswith("ge_")
@@ -77,7 +104,7 @@ class Trainer:
         if c.tpu.compilation_cache_dir:
             # persistent XLA compile cache: repeated runs (resume, sweeps,
             # serving restarts) skip the multi-minute first-step compile
-            jax.config.update("jax_compilation_cache_dir", c.tpu.compilation_cache_dir)
+            set_compilation_cache_dir(c.tpu.compilation_cache_dir)
             jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
         # ----- dataset + splits (mcat/main.py:239-252) ---------------------
@@ -340,6 +367,35 @@ class Trainer:
         )
         return True
 
+    @staticmethod
+    def _bulk_fetch(tree):
+        """Fetch a pytree of device arrays with ONE device transfer.
+
+        ``jax.device_get`` pulls leaves serially, paying a full dispatch RTT
+        per leaf on remote/tunneled backends (profiled: 39 epoch metric leaves
+        x ~6 ms = 0.24 s of a 0.30 s epoch; even pipelined async copies cost
+        ~2.5 ms/leaf here). All f32 leaves are packed into one flat device
+        array by a single jitted concat and fetched together; any remaining
+        leaves fall back to pipelined async copies."""
+        leaves, treedef = jax.tree_util.tree_flatten(tree)
+        pack = [
+            i
+            for i, x in enumerate(leaves)
+            if isinstance(x, jax.Array) and x.dtype == jnp.float32
+        ]
+        if len(pack) > 1:
+            packed = np.asarray(_pack_leaves(*[leaves[i] for i in pack]))
+            off = 0
+            for i in pack:
+                n = int(np.prod(leaves[i].shape))
+                leaves[i] = packed[off : off + n].reshape(leaves[i].shape)
+                off += n
+        for x in leaves:
+            if isinstance(x, jax.Array):
+                x.copy_to_host_async()
+        leaves = [np.asarray(x) if isinstance(x, jax.Array) else x for x in leaves]
+        return jax.tree_util.tree_unflatten(treedef, leaves)
+
     def _host_gather(self, x) -> np.ndarray:
         """Materialize an array on THIS host. Single-process: plain asarray.
         Multi-host: process_allgather (device arrays may have non-addressable
@@ -526,20 +582,16 @@ class Trainer:
                 _staged_host(self.train_batcher.batches()), depth=c.tpu.prefetch
             )
 
+        # metrics stay ON DEVICE in their dispatch-group shape (scalar leaves
+        # for single steps, [K]-stacked for multi-step groups) — slicing them
+        # per step here would issue an eager device op (and RTT) per slice
+        group_metrics: List = []  # (StepMetrics, group size)
         for group, call in feed:
-            if len(group) == 1:
-                self.state, m = call(self.state)
-                per_step = [m]
-            else:
-                self.state, stacked = call(self.state)
-                per_step = [
-                    jax.tree_util.tree_map(lambda x, i=i: x[i], stacked)
-                    for i in range(len(group))
-                ]
-            for batch, metrics in zip(group, per_step):
+            self.state, m = call(self.state)
+            k = len(group)
+            group_metrics.append((m, k))
+            for batch in group:
                 real = int(batch["n_real"])  # global real count (multi-host safe)
-                losses.append(metrics.loss)
-                attn_losses.append(metrics.attn_loss)
                 step_reals.append(real)
                 n_steps += 1
                 self.timer.tick(real)
@@ -547,26 +599,31 @@ class Trainer:
                     # collect full per-step arrays; weight-0 pad rows are
                     # dropped at epoch end (multi-host: each host holds its
                     # batch slice of the labels, gathered in _host_gather)
-                    risks.append(metrics.risk)
                     weights.append(batch["weight"])
                     censorships.append(batch["censorship"])
                     months.append(batch["survival_months"])
-                if n_steps % 50 == 0 and self.verbose:
-                    # periodic progress print (syncs; mirrors the reference's
-                    # per-50-batch print, mcat/main.py:63-68, divisor fixed)
-                    sps, bps = self.timer.rates()
-                    print(
-                        f"\tstep: {n_steps}, loss: {float(metrics.loss):.4f}, "
-                        f"bags/s: {bps:.2f}"
-                    )
-        # ONE bulk device_get for all epoch scalars/arrays: per-item float()
-        # pulls pay a full dispatch RTT each on remote backends
-        losses, attn_losses, risks = (
-            jax.device_get((losses, attn_losses, risks))
-            if self.n_processes == 1
-            else (losses, attn_losses, risks)
-        )
-        loss_vals = np.array([float(l) for l in losses]) if losses else np.zeros(1)
+            if self.verbose and (n_steps // 50) > ((n_steps - k) // 50):
+                # periodic progress print (syncs; mirrors the reference's
+                # per-50-batch print, mcat/main.py:63-68, divisor fixed)
+                sps, bps = self.timer.rates()
+                last = m.loss if k == 1 else m.loss[-1]
+                print(
+                    f"\tstep: {n_steps}, loss: {float(last):.4f}, "
+                    f"bags/s: {bps:.2f}"
+                )
+        # ONE pipelined D2H round for all epoch metrics (per-leaf pulls pay a
+        # full RTT each on remote backends — profiled at ~6 ms/leaf)
+        if self.n_processes == 1:
+            group_metrics = self._bulk_fetch(group_metrics)
+        for m, k in group_metrics:
+            # loss/attn_loss are replicated scalars (or [K] stacks): np.asarray
+            # works on every backend incl. multi-host; risk is data-sharded and
+            # needs the process allgather
+            losses.extend(np.ravel(np.asarray(m.loss)).tolist())
+            attn_losses.extend(np.ravel(np.asarray(m.attn_loss)).tolist())
+            if not self.ge_mode:
+                risks.append(np.asarray(self._host_gather(m.risk)).reshape(k, -1))
+        loss_vals = np.array(losses) if losses else np.zeros(1)
         if not np.all(np.isfinite(loss_vals)):
             # failure detection: surface divergence with context instead of
             # silently training on NaNs
@@ -589,7 +646,9 @@ class Trainer:
             msg = f"Epoch: {epoch + 1}, train_loss: {out['train_loss']:.4f}"
         else:
             if risks:
-                risks_all = np.concatenate([self._host_gather(r) for r in risks])
+                # risks were host-gathered per group above; labels are host
+                # slices needing the per-process allgather
+                risks_all = np.concatenate([r.reshape(-1) for r in risks])
                 w_all = np.concatenate([self._host_gather(w) for w in weights])
                 cens_all = np.concatenate([self._host_gather(x) for x in censorships])
                 months_all = np.concatenate([self._host_gather(x) for x in months])
@@ -670,7 +729,7 @@ class Trainer:
                 months.append(batch["survival_months"])
         # per-sample mean (reference: mcat/main.py:147)
         if self.n_processes == 1:
-            losses, risks = jax.device_get((losses, risks))  # one bulk fetch
+            losses, risks = self._bulk_fetch((losses, risks))  # pipelined D2H
         lv = np.array([float(l) for l in losses]) if losses else np.zeros(1)
         wv = np.array(step_reals, float) if step_reals else np.ones(1)
         out = {"val_loss": float((lv * wv).sum() / max(wv.sum(), 1.0))}

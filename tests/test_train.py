@@ -447,7 +447,12 @@ def test_bug_compat_gated_fusion_gates_frozen():
 
 def test_compilation_cache_dir_knob(tmp_path):
     """tpu.compilation_cache_dir wires through to jax's persistent compile
-    cache (repeat runs skip multi-minute first-epoch compiles)."""
+    cache (repeat runs skip multi-minute first-epoch compiles). The Trainer
+    must redirect a WARM process too: jax initializes its cache object at
+    most once, so a bare config update after the suite has already used the
+    conftest cache writes nothing to the new dir."""
+    from multimodal_path_omic_tpu.train.trainer import set_compilation_cache_dir
+
     cache_dir = str(tmp_path / "xla_cache")
     prev = jax.config.jax_compilation_cache_dir  # conftest's shared cache
     try:
@@ -461,7 +466,7 @@ def test_compilation_cache_dir_knob(tmp_path):
             files += names
         assert files, "no compile cache entries written"
     finally:
-        jax.config.update("jax_compilation_cache_dir", prev)
+        set_compilation_cache_dir(prev)
 
 
 def test_bfloat16_compute_e2e(tmp_path):
