@@ -152,6 +152,74 @@ def torch_arm(dataset, split_seed: int, epochs: int, lr: float, grad_acc: int,
     return history
 
 
+def torch_arm_ge(cfg, gene: str, split_seed: int, epochs: int, lr: float,
+                 grad_acc: int):
+    """The reference GE driver's loop, faithfully (ge_nacagat/main.py:9-128):
+    CE on the already-softmaxed Y (double-softmax quirk), grad-accum, val loss
+    per epoch. Labels/split come from the framework's GeneExprDataset so both
+    arms see the identical task."""
+    import torch
+
+    from multimodal_path_omic_tpu.data.dataset import GeneExprDataset
+
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.insert(0, REFERENCE_ROOT)
+    from models.ge_nacagat.ge_nacagat import (  # type: ignore
+        GeneExprNarrowContextualAttentionGateTransformer as RefGE,
+    )
+
+    dataset = GeneExprDataset(cfg.dataset.file, cfg, gene=gene, verbose=False)
+    train_ds, val_ds, _ = dataset.split(0.8, seed=split_seed)
+
+    def rows(ds):
+        return [
+            (int(ds.table.gene_expr_class[i]),
+             torch.tensor(np.asarray(ds.bag(i), np.float32)))
+            for i in range(len(ds))
+        ]
+
+    train_rows, val_rows = rows(train_ds), rows(val_ds)
+    torch.manual_seed(0)
+    torch.set_num_threads(os.cpu_count() or 8)
+    model = RefGE(model_size="small")
+    loss_fn = torch.nn.CrossEntropyLoss()
+    opt = torch.optim.Adam(model.parameters(), lr=lr, weight_decay=1e-5)
+    rng = np.random.default_rng(split_seed)
+
+    history = []
+    for epoch in range(epochs):
+        model.train()
+        order = rng.permutation(len(train_rows))
+        opt.zero_grad()
+        for bi, ridx in enumerate(order):
+            klass, bag = train_rows[ridx]
+            y, _attn = model(wsi=bag)
+            # reference quirk kept: CE applied to softmaxed Y
+            # (ge_nacagat/main.py:33, ge_nacagat.py:67-68)
+            loss = loss_fn(y.unsqueeze(0), torch.tensor([klass]))
+            (loss / grad_acc).backward()
+            if (bi + 1) % grad_acc == 0:
+                opt.step()
+                opt.zero_grad()
+        model.eval()
+        val_loss, correct = 0.0, 0
+        with torch.no_grad():
+            for klass, bag in val_rows:
+                y, _ = model(wsi=bag)
+                val_loss += float(loss_fn(y.unsqueeze(0), torch.tensor([klass])))
+                correct += int(int(torch.argmax(y)) == klass)
+        val_loss /= max(len(val_rows), 1)
+        acc = correct / max(len(val_rows), 1)
+        history.append((val_loss, acc))
+        print(
+            json.dumps({"arm": "torch_reference", "epoch": epoch + 1,
+                        "val_loss": round(val_loss, 4),
+                        "val_accuracy": round(acc, 4)}),
+            flush=True,
+        )
+    return history
+
+
 def jax_arm(cfg, epochs: int):
     from multimodal_path_omic_tpu.train.trainer import Trainer
 
@@ -171,32 +239,112 @@ def jax_arm(cfg, epochs: int):
     return history
 
 
+def jax_arm_ge(cfg, epochs: int):
+    from multimodal_path_omic_tpu.serve import Predictor
+    from multimodal_path_omic_tpu.train.trainer import Trainer
+
+    cfg.training.epochs = epochs
+    trainer = Trainer(cfg, verbose=False)
+    predictor = Predictor(trainer)
+    labels = trainer.val_ds.table.gene_expr_class
+    history = []
+
+    for epoch in range(epochs):
+        trainer.train_epoch(epoch)
+        out = trainer.validate(epoch)
+        y = predictor.predict_dataset(trainer.val_ds)["y"]
+        acc = float(np.mean(np.argmax(y, axis=1) == labels))
+        history.append((out["val_loss"], acc))
+        print(
+            json.dumps({"arm": "jax_tpu_framework", "epoch": epoch + 1,
+                        "val_loss": round(out["val_loss"], 4),
+                        "val_accuracy": round(acc, 4)}),
+            flush=True,
+        )
+    return history
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=20)
-    ap.add_argument("--model", default="mcat", choices=["mcat", "nacagat"])
-    ap.add_argument("--loss", default="ces", choices=["ces", "cesar"])
+    ap.add_argument("--model", default="mcat", choices=["mcat", "nacagat", "ge"])
+    ap.add_argument("--loss", default="ces", choices=["ces", "cesar", "ce"])
+    ap.add_argument("--gene", default="G000", help="GE arm: gene to predict")
     ap.add_argument("--patients", type=int, default=128)
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--out-dir", default="/tmp/ab_cohort")
+    ap.add_argument(
+        "--platform", default=None, choices=[None, "cpu", "tpu"],
+        help="force the jax arm's backend (the ambient plugin overrides the "
+        "JAX_PLATFORMS env var, so an env var alone is NOT enough)")
+    ap.add_argument("--arm", default="both", choices=["both", "torch", "jax"])
     args = ap.parse_args()
+
+    if args.platform == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        # hermetic CPU comparisons also want true-f32 matmuls (this jax build
+        # defaults to bf16-like precision)
+        jax.config.update("jax_default_matmul_precision", "highest")
 
     cfg, dataset = build_cohort(args.out_dir, args.patients, args.seed)
     cfg.training.seed = args.seed
+    if args.model == "ge":
+        cfg.model.name = "GeneExpr-NaCAGaT"
+        cfg.model.gene = args.gene
+        cfg.training.loss = "ce"  # the GE driver's only loss (main.py:32-35)
+
+        t0 = time.time()
+        torch_hist = torch_arm_ge(
+            cfg, args.gene, split_seed=args.seed, epochs=args.epochs,
+            lr=cfg.training.lr, grad_acc=cfg.training.grad_acc_step,
+        )
+        torch_secs = time.time() - t0
+        t0 = time.time()
+        jax_hist = jax_arm_ge(cfg, args.epochs)
+        jax_secs = time.time() - t0
+
+        k = max(1, args.epochs // 4)
+        summary = {
+            "gene": args.gene,
+            "arm_final_mean_val_loss": {
+                "torch_reference": round(float(np.mean([h[0] for h in torch_hist[-k:]])), 4),
+                "jax_tpu_framework": round(float(np.mean([h[0] for h in jax_hist[-k:]])), 4),
+            },
+            "arm_final_mean_val_accuracy": {
+                "torch_reference": round(float(np.mean([h[1] for h in torch_hist[-k:]])), 4),
+                "jax_tpu_framework": round(float(np.mean([h[1] for h in jax_hist[-k:]])), 4),
+            },
+            "wall_seconds": {
+                "torch_reference": round(torch_secs, 1),
+                "jax_tpu_framework": round(jax_secs, 1),
+            },
+            "epochs": args.epochs,
+            "patients": args.patients,
+            "split_seed": args.seed,
+        }
+        print(json.dumps(summary), flush=True)
+        return
+
     cfg.model.name = "NaCAGaT" if args.model == "nacagat" else "MCAT"
     cfg.training.loss = args.loss
 
-    t0 = time.time()
-    torch_hist = torch_arm(
-        dataset, split_seed=args.seed, epochs=args.epochs,
-        lr=cfg.training.lr, grad_acc=cfg.training.grad_acc_step,
-        model_name=args.model, loss_name=args.loss,
-    )
-    torch_secs = time.time() - t0
+    torch_hist, jax_hist = [float("nan")], [float("nan")]
+    torch_secs = jax_secs = float("nan")
+    if args.arm in ("both", "torch"):
+        t0 = time.time()
+        torch_hist = torch_arm(
+            dataset, split_seed=args.seed, epochs=args.epochs,
+            lr=cfg.training.lr, grad_acc=cfg.training.grad_acc_step,
+            model_name=args.model, loss_name=args.loss,
+        )
+        torch_secs = time.time() - t0
 
-    t0 = time.time()
-    jax_hist = jax_arm(cfg, args.epochs)
-    jax_secs = time.time() - t0
+    if args.arm in ("both", "jax"):
+        t0 = time.time()
+        jax_hist = jax_arm(cfg, args.epochs)
+        jax_secs = time.time() - t0
 
     k = max(1, args.epochs // 4)  # average the last quarter of epochs
     summary = {

@@ -50,6 +50,13 @@ class GatedMILPool(nn.Module):
     Batched with an optional token-validity mask (padded bag positions get
     -inf attention scores).
 
+    Documented deviation: the reference HARDCODES p=0.25 inside its MIL
+    attention heads — the model-level dropout arg never reaches them
+    (reference: blocks.py:34-36; its `dropout_p` bool only toggles). Here the
+    model's ``dropout_rate`` is plumbed through, which is identical at the
+    default 0.25 (the only value any reference config can produce) and makes
+    non-default rates behave as a user would expect.
+
     Input x: [B, L, D], mask: [B, L] or None. Returns (pooled [B, D],
     attention scores A^T [B, 1, L]).
     """
@@ -68,6 +75,7 @@ class GatedMILPool(nn.Module):
         scores, h = AttentionNetGated(
             hidden_dim=self.dim,
             n_classes=1,
+            dropout_rate=self.dropout_rate,
             dtype=self.dtype,
             name="attention_head",
         )(x, deterministic=deterministic)

@@ -267,3 +267,161 @@ def test_ge_nacagat_full_reference_parity():
     y, attn = jmod.apply(params, jw, need_attention=True)
     np.testing.assert_allclose(np.asarray(y[0]), _np(t_y), atol=5e-5)
     np.testing.assert_allclose(np.asarray(attn["attn"][0]), _np(t_attn["attn"]), atol=5e-5)
+
+
+# ---------------------------------------------------------------------------
+# Tier 3: TRAINING-path parity — gradients of the full loss, weights
+# transplant, dropout 0. Forward parity (above, eval mode) cannot catch a
+# divergence that only exists under grad / train-mode branches; these can.
+# ---------------------------------------------------------------------------
+
+
+def _silence_hardcoded_dropout(tmod):
+    """The reference HARDCODES p=0.25 in the MIL attention heads regardless
+    of the model's dropout arg (reference: blocks.py:34-36) — zero them so a
+    dropout-free comparison is possible."""
+    for name in ("path_attention_head", "omic_attention_head"):
+        head = getattr(tmod, name, None)
+        if head is None:
+            continue
+        for seq in (head.attention_a, head.attention_b):
+            for m in seq:
+                if isinstance(m, torch.nn.Dropout):
+                    m.p = 0.0
+
+
+def _grad_tree_from_torch(model_name, tmod, init, fusion="concat"):
+    """Map torch .grad tensors into this framework's param-tree layout using
+    the same transplant rules as the weights (transposes, stacking)."""
+    from multimodal_path_omic_tpu.utils.transplant import from_torch_state_dict
+
+    zeros = jax.tree_util.tree_map(lambda x: np.zeros_like(np.asarray(x)), init)
+    grads = {
+        k: _np(p.grad)
+        for k, p in tmod.named_parameters()
+        if p.grad is not None
+    }
+    return from_torch_state_dict(model_name, grads, zeros, 6, fusion)
+
+
+def _assert_tree_close(jax_tree, torch_tree, atol, rtol):
+    jl = jax.tree_util.tree_flatten_with_path(jax_tree)[0]
+    tl = jax.tree_util.tree_flatten(torch_tree)[0]
+    assert len(jl) == len(tl)
+    for (path, jg), tg in zip(jl, tl):
+        name = jax.tree_util.keystr(path)
+        np.testing.assert_allclose(
+            np.asarray(jg), np.asarray(tg), atol=atol, rtol=rtol,
+            err_msg=f"grad mismatch at {name}",
+        )
+
+
+def test_mcat_ces_gradient_parity():
+    """Control: MCAT + ces loss, grads torch == jax (dropout 0)."""
+    from multimodal_path_omic_tpu.models import MCAT
+    from multimodal_path_omic_tpu.train.loop import _survival_loss
+    from multimodal_path_omic_tpu.utils.transplant import from_torch_state_dict
+
+    RefModel = _import_reference_mcat()
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.insert(0, REFERENCE_ROOT)
+    from models.loss import CrossEntropySurvivalLoss  # type: ignore
+
+    tmod = RefModel(
+        omic_sizes=OMIC_SIZES, model_size="small", dropout=0.0, fusion="concat"
+    )
+    _silence_hardcoded_dropout(tmod)
+    tmod.train()
+    wsi, omics = _reference_inputs(seed=11)
+    t_hz, t_sv, _t_y, _ = tmod(wsi, omics)
+    t_loss = CrossEntropySurvivalLoss()(
+        t_hz, t_sv, torch.tensor([[1]]), c=torch.tensor([[0.0]])
+    )
+    t_loss.backward()
+
+    jmod = MCAT(n_signatures=6, model_size="small", dropout_rate=0.0, fusion="concat")
+    jw = jnp.array(_np(wsi))[None]
+    jo = [jnp.array(_np(o))[None] for o in omics]
+    init = jmod.init(jax.random.key(0), jw, jo)
+    params = from_torch_state_dict(
+        "mcat", {k: _np(v) for k, v in tmod.state_dict().items()}, init, 6, "concat"
+    )
+
+    label = jnp.array([1], jnp.int32)
+    cens = jnp.array([0.0], jnp.float32)
+    months = jnp.array([10.0], jnp.float32)
+    w = jnp.ones((1,), jnp.float32)
+
+    def loss_fn(p):
+        out = jmod.apply(
+            {"params": p}, jw, jo, None,
+            deterministic=False, need_attention=False,
+            rngs={"dropout": jax.random.key(3)},
+        )
+        loss, _ = _survival_loss("ces", out, label, cens, months, 0.75, w)
+        return loss
+
+    j_loss, j_grads = jax.value_and_grad(loss_fn)(params["params"])
+    np.testing.assert_allclose(float(j_loss), float(t_loss.detach()), rtol=2e-3)
+    t_grads = _grad_tree_from_torch("mcat", tmod, init)
+    _assert_tree_close(j_grads, t_grads["params"], atol=2e-4, rtol=2e-3)
+
+
+def test_nacagat_cesar_gradient_parity():
+    """The flagship train path: NaCAGaT + cesar (pre-gate, CAG, attention-map
+    L2 penalty) — grads torch == jax with dropout 0. Covers what eval-mode
+    forward parity cannot: the backward through scores*P, the CAG residual,
+    and the norm penalty on the returned (train-mode) weights."""
+    from multimodal_path_omic_tpu.models import NaCAGaT
+    from multimodal_path_omic_tpu.train.loop import _survival_loss
+    from multimodal_path_omic_tpu.utils.transplant import from_torch_state_dict
+
+    RefModel = _import_reference_nacagat()
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.insert(0, REFERENCE_ROOT)
+    from models.loss import CrossEntropySurvivalAttnRegLoss  # type: ignore
+
+    tmod = RefModel(
+        omic_sizes=OMIC_SIZES, model_size="small", dropout=0.0, fusion="concat"
+    )
+    # the PCA block's own attention dropout is NOT tied to the model's
+    # dropout arg (reference: blocks.py:52 default 0.25) — silence it too
+    tmod.co_attention.dropout = 0.0
+    _silence_hardcoded_dropout(tmod)
+    tmod.train()
+    wsi, omics = _reference_inputs(seed=12)
+    t_hz, t_sv, _t_y, t_attn = tmod(wsi, omics)
+    t_loss, _t_attn_loss = CrossEntropySurvivalAttnRegLoss()(
+        t_hz, t_sv, torch.tensor([[2]]), c=torch.tensor([[0.0]]),
+        attention=t_attn["coattn"],
+    )
+    t_loss.backward()
+
+    jmod = NaCAGaT(
+        n_signatures=6, model_size="small", dropout_rate=0.0, fusion="concat"
+    )
+    jw = jnp.array(_np(wsi))[None]
+    jo = [jnp.array(_np(o))[None] for o in omics]
+    init = jmod.init(jax.random.key(0), jw, jo)
+    params = from_torch_state_dict(
+        "nacagat", {k: _np(v) for k, v in tmod.state_dict().items()}, init, 6, "concat"
+    )
+
+    label = jnp.array([2], jnp.int32)
+    cens = jnp.array([0.0], jnp.float32)
+    months = jnp.array([10.0], jnp.float32)
+    w = jnp.ones((1,), jnp.float32)
+
+    def loss_fn(p):
+        out = jmod.apply(
+            {"params": p}, jw, jo, None,
+            deterministic=False, need_attention=True,
+            rngs={"dropout": jax.random.key(3)},
+        )
+        loss, _ = _survival_loss("cesar", out, label, cens, months, 0.75, w)
+        return loss
+
+    j_loss, j_grads = jax.value_and_grad(loss_fn)(params["params"])
+    np.testing.assert_allclose(float(j_loss), float(t_loss.detach()), rtol=2e-3)
+    t_grads = _grad_tree_from_torch("nacagat", tmod, init)
+    _assert_tree_close(j_grads, t_grads["params"], atol=2e-4, rtol=2e-3)
