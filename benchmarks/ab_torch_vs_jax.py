@@ -50,6 +50,12 @@ def build_cohort(out_dir: str, n_patients: int, seed: int):
     raw = synthetic_config_dict(csv, sig, patches)
     raw["model"]["model_size"] = "small"
     raw["training"]["lr"] = 2e-4
+    # FAIR ARMS: the torch arm steps its optimizer every grad_acc_step
+    # samples, the jax arm every batch — they must be equal or the arm with
+    # more Adam updates/epoch converges faster regardless of framework
+    # (synthetic_config_dict defaults grad_acc_step to 8, which silently gave
+    # the torch arm 4x the update cadence in early round-2 runs).
+    raw["training"]["grad_acc_step"] = 32  # reference default (config.yaml:67)
     raw["tpu"] = {"bag_buckets": [512], "batch_size": 32}
     cfg = config_from_dict(raw)
     dataset = MultimodalDataset(csv, cfg, use_signatures=True, verbose=False)

@@ -124,9 +124,12 @@ class TpuConfig:
     # Padded bag-length buckets: each bag is padded up to the smallest bucket
     # that fits it; one jit trace is compiled per bucket.
     bag_buckets: List[int] = field(default_factory=lambda: [512, 1024, 2048, 4096, 8192, 16384, 24576])
-    # Device batch: bags per optimizer step = grad_acc_step in the reference.
-    # Here a whole step is one batched jit call (optionally sharded over a mesh).
-    batch_size: int = 32
+    # Device batch: bags per optimizer step. 0 (default) inherits
+    # training.grad_acc_step — the reference's effective batch
+    # (mcat/main.py:69-74) — so a reference YAML that changes grad_acc_step
+    # keeps its optimizer-update cadence here without also setting this.
+    # Setting it explicitly overrides grad_acc_step.
+    batch_size: int = 0
     # Compute dtype for matmuls: "float32" (recommended; on TPU the MXU
     # already runs bf16 passes at default precision) or "bfloat16".
     compute_dtype: str = "float32"

@@ -778,3 +778,19 @@ def test_async_checkpoint_safe_with_donated_state(tmp_path):
     got = [np.array(x) for x in jax.tree_util.tree_leaves(t2.state.params)]
     for a, b in zip(want, got):
         np.testing.assert_array_equal(a, b)
+
+
+def test_batch_size_inherits_grad_acc_step(tmp_path):
+    """tpu.batch_size=0 (default) inherits training.grad_acc_step — the
+    reference's effective batch (mcat/main.py:69-74) — so a reference YAML
+    changing grad_acc_step keeps its optimizer-update cadence; an explicit
+    batch_size overrides it."""
+    cfg = _make_cfg(tmp_path, epochs=1)
+    cfg.tpu.batch_size = 0
+    cfg.training.grad_acc_step = 4
+    t = Trainer(cfg, verbose=False)
+    assert t.batch_size == 4
+    cfg2 = _make_cfg(tmp_path, epochs=1)
+    cfg2.tpu.batch_size = 8
+    cfg2.training.grad_acc_step = 4
+    assert Trainer(cfg2, verbose=False).batch_size == 8
