@@ -706,6 +706,8 @@ class Trainer:
                 if t is not None:
                     info["censorship"] = t.censorship[meta["row"]]
                     info["survival_months"] = t.survival_months[meta["row"]]
+                else:
+                    info["label"] = self.val_ds.table.gene_expr_class[meta["row"]]
                 yield info, self._cached_eval(
                     self.state.params, self.device_cache_val.caches[bucket], meta
                 )
@@ -716,6 +718,7 @@ class Trainer:
 
     def validate(self, epoch) -> Dict[str, float]:
         risks, weights, censorships, months, losses, step_reals = [], [], [], [], [], []
+        ys, ge_labels = [], []
         n_steps = 0
         for batch, res in self._val_results():
             real = int(batch["n_real"])
@@ -727,9 +730,13 @@ class Trainer:
                 weights.append(batch["weight"])
                 censorships.append(batch["censorship"])
                 months.append(batch["survival_months"])
+            else:
+                ys.append(res["y"])
+                ge_labels.append(batch["label"])
+                weights.append(batch["weight"])
         # per-sample mean (reference: mcat/main.py:147)
         if self.n_processes == 1:
-            losses, risks = self._bulk_fetch((losses, risks))  # pipelined D2H
+            losses, risks, ys = self._bulk_fetch((losses, risks, ys))
         lv = np.array([float(l) for l in losses]) if losses else np.zeros(1)
         wv = np.array(step_reals, float) if step_reals else np.ones(1)
         out = {"val_loss": float((lv * wv).sum() / max(wv.sum(), 1.0))}
@@ -737,6 +744,16 @@ class Trainer:
         if self.ge_mode:
             # *_mse alias keys (ge_nacagat/main.py:119)
             out["val_mse"] = out["val_loss"]
+            if ys:
+                # extra observability over the reference (which logs only the
+                # loss, ge_nacagat/main.py:119): weighted top-1 accuracy
+                y_all = np.concatenate([np.asarray(self._host_gather(y)) for y in ys])
+                l_all = np.concatenate([self._host_gather(x) for x in ge_labels])
+                w_all = np.concatenate([self._host_gather(w) for w in weights])
+                hit = (np.argmax(y_all, axis=1) == l_all).astype(float)
+                out["val_accuracy"] = float(
+                    (hit * w_all).sum() / max(w_all.sum(), 1.0)
+                )
             msg = f"Epoch: {label}, val_loss: {out['val_loss']:.4f}"
         else:
             if risks:

@@ -83,6 +83,8 @@ def test_ge_nacagat_end_to_end(tmp_path):
     # (ge_nacagat/main.py:82, 119)
     assert out["train_mse"] == out["train_loss"]
     assert out["val_mse"] == out["val_loss"]
+    # extra observability: weighted top-1 accuracy on the val split
+    assert 0.0 <= out["val_accuracy"] <= 1.0
 
 
 def test_checkpoint_save_restore(tmp_path):
