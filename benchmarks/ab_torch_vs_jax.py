@@ -246,20 +246,16 @@ def jax_arm(cfg, epochs: int):
 
 
 def jax_arm_ge(cfg, epochs: int):
-    from multimodal_path_omic_tpu.serve import Predictor
     from multimodal_path_omic_tpu.train.trainer import Trainer
 
     cfg.training.epochs = epochs
     trainer = Trainer(cfg, verbose=False)
-    predictor = Predictor(trainer)
-    labels = trainer.val_ds.table.gene_expr_class
     history = []
 
     for epoch in range(epochs):
         trainer.train_epoch(epoch)
         out = trainer.validate(epoch)
-        y = predictor.predict_dataset(trainer.val_ds)["y"]
-        acc = float(np.mean(np.argmax(y, axis=1) == labels))
+        acc = out["val_accuracy"]
         history.append((out["val_loss"], acc))
         print(
             json.dumps({"arm": "jax_tpu_framework", "epoch": epoch + 1,
