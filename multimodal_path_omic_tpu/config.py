@@ -163,7 +163,10 @@ class TpuConfig:
     # same-bucket batches; EXACT single-step semantics). >1 amortizes
     # per-call host/dispatch latency — decisive on remote/tunneled backends
     # where dispatch RTT exceeds device compute. Single-mesh only.
-    steps_per_dispatch: int = 1
+    # 0 (default) = auto: 8 on a mesh-free single-process run, 1 otherwise.
+    # Groups only form from K consecutive same-bucket batches, so small
+    # cohorts simply keep taking the single-step path.
+    steps_per_dispatch: int = 0
     # Device-resident dataset cache (data/device_cache.py): upload every bag
     # once, gather training batches on device — steady-state epochs transfer
     # only KBs of indices. "auto" engages when the padded cohort fits the

@@ -254,10 +254,13 @@ class Trainer:
         )
         # multi-step dispatch: K optimizer steps per device call (exact
         # single-step semantics; amortizes dispatch RTT). Mesh runs keep K=1
-        # (the batch sharding specs assume no leading step axis).
-        self.steps_per_dispatch = (
-            max(1, c.tpu.steps_per_dispatch) if self.mesh is None else 1
-        )
+        # (the batch sharding specs assume no leading step axis). 0 = auto.
+        spd = c.tpu.steps_per_dispatch
+        if self.mesh is not None or self.n_processes > 1:
+            spd = 1
+        elif spd <= 0:
+            spd = 8  # auto: measured 1.5-2x on tunneled backends, neutral off
+        self.steps_per_dispatch = max(1, spd)
         self.multi_step = (
             make_multi_train_step(
                 self.model,
