@@ -226,7 +226,9 @@ def torch_arm_ge(cfg, gene: str, split_seed: int, epochs: int, lr: float,
     return history
 
 
-def jax_arm(cfg, epochs: int):
+def jax_arm(cfg, epochs: int, ge: bool = False):
+    """One epoch loop for both task families; ``ge`` selects the metrics
+    recorded ((val_loss, val_accuracy) tuples vs val_c_index floats)."""
     from multimodal_path_omic_tpu.train.trainer import Trainer
 
     cfg.training.epochs = epochs
@@ -236,34 +238,24 @@ def jax_arm(cfg, epochs: int):
     for epoch in range(epochs):
         trainer.train_epoch(epoch)
         out = trainer.validate(epoch)
-        history.append(out["val_c_index"])
+        if ge:
+            rec = (out["val_loss"], out.get("val_accuracy", float("nan")))
+            payload = {"val_loss": round(rec[0], 4),
+                       "val_accuracy": round(rec[1], 4)}
+        else:
+            rec = out["val_c_index"]
+            payload = {"val_c_index": round(rec, 4)}
+        history.append(rec)
         print(
             json.dumps({"arm": "jax_tpu_framework", "epoch": epoch + 1,
-                        "val_c_index": round(out["val_c_index"], 4)}),
+                        **payload}),
             flush=True,
         )
     return history
 
 
 def jax_arm_ge(cfg, epochs: int):
-    from multimodal_path_omic_tpu.train.trainer import Trainer
-
-    cfg.training.epochs = epochs
-    trainer = Trainer(cfg, verbose=False)
-    history = []
-
-    for epoch in range(epochs):
-        trainer.train_epoch(epoch)
-        out = trainer.validate(epoch)
-        acc = out["val_accuracy"]
-        history.append((out["val_loss"], acc))
-        print(
-            json.dumps({"arm": "jax_tpu_framework", "epoch": epoch + 1,
-                        "val_loss": round(out["val_loss"], 4),
-                        "val_accuracy": round(acc, 4)}),
-            flush=True,
-        )
-    return history
+    return jax_arm(cfg, epochs, ge=True)
 
 
 def main():
@@ -276,9 +268,10 @@ def main():
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--out-dir", default="/tmp/ab_cohort")
     ap.add_argument(
-        "--platform", default=None, choices=[None, "cpu", "tpu"],
-        help="force the jax arm's backend (the ambient plugin overrides the "
-        "JAX_PLATFORMS env var, so an env var alone is NOT enough)")
+        "--platform", default=None, choices=[None, "cpu"],
+        help="cpu = force the jax arm onto a hermetic CPU backend with true-"
+        "f32 matmuls (the ambient plugin overrides the JAX_PLATFORMS env "
+        "var, so an env var alone is NOT enough); default = ambient backend")
     ap.add_argument("--arm", default="both", choices=["both", "torch", "jax"])
     args = ap.parse_args()
 

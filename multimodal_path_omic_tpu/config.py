@@ -111,6 +111,11 @@ class TrainingConfig:
             )
         if not 0.0 < self.train_size < 1.0:
             raise ValueError("train_size should be a float between 0 and 1.")
+        if self.grad_acc_step < 1:
+            raise ValueError(
+                f"grad_acc_step must be >= 1, got {self.grad_acc_step} "
+                "(it is the effective batch; tpu.batch_size=0 inherits it)"
+            )
         # The reference silently falls back to adam for unknown optimizer names
         # (mcat/main.py:296-299); keep that lenience but normalise the name.
         if self.optimizer not in VALID_OPTIMIZERS:
@@ -190,6 +195,14 @@ class TpuConfig:
         if self.cache_dtype not in ("float32", "int8"):
             raise ValueError(
                 f'cache_dtype must be "float32" or "int8", got {self.cache_dtype!r}'
+            )
+        if self.batch_size < 0:
+            raise ValueError(
+                f"batch_size must be >= 0 (0 = inherit grad_acc_step), got {self.batch_size}"
+            )
+        if self.steps_per_dispatch < 0:
+            raise ValueError(
+                f"steps_per_dispatch must be >= 0 (0 = auto), got {self.steps_per_dispatch}"
             )
 
 

@@ -53,11 +53,18 @@ from multimodal_path_omic_tpu.train.metrics import concordance_index_censored
 from multimodal_path_omic_tpu.train.optim import current_lr, make_optimizer, step_exponential
 
 
-# One jit instance; jax caches compilations per (arity, shapes) — stable
-# across epochs, so each run compiles this once per epoch plan shape.
+# One jit instance; jax caches compilations per (arity, shapes). The caller
+# sorts leaves by size so the signature is order-invariant, and bounds the
+# number of distinct signatures it will compile (_PACK_SIG_CAP) — with
+# multi-bucket shuffled epochs the dispatch-group pattern varies per epoch,
+# and an unbounded jit here would recompile every epoch.
 @jax.jit
 def _pack_leaves(*xs):
     return jnp.concatenate([jnp.ravel(x) for x in xs])
+
+
+_PACK_SIGS: set = set()
+_PACK_SIG_CAP = 4
 
 
 def set_compilation_cache_dir(path: str) -> None:
@@ -78,6 +85,11 @@ def set_compilation_cache_dir(path: str) -> None:
         _jcc.reset_cache()
     except Exception:  # pragma: no cover - internal API drift
         pass
+
+
+# Auto multi-step dispatch: max stacked-bag bytes per device call on the
+# host-fed path (the device-cache path stacks only KB-sized index metas).
+_SPD_STACK_BYTES = 1 << 30
 
 
 def _is_ge(model_name: str) -> bool:
@@ -256,6 +268,7 @@ class Trainer:
         # single-step semantics; amortizes dispatch RTT). Mesh runs keep K=1
         # (the batch sharding specs assume no leading step axis). 0 = auto.
         spd = c.tpu.steps_per_dispatch
+        self._spd_auto = spd <= 0
         if self.mesh is not None or self.n_processes > 1:
             spd = 1
         elif spd <= 0:
@@ -386,7 +399,12 @@ class Trainer:
             for i, x in enumerate(leaves)
             if isinstance(x, jax.Array) and x.dtype == jnp.float32
         ]
-        if len(pack) > 1:
+        # order-invariant jit signature: sort by shape so epoch-to-epoch
+        # variation in dispatch-group ORDER does not retrace
+        pack.sort(key=lambda i: leaves[i].shape)
+        sig = tuple(leaves[i].shape for i in pack)
+        if len(pack) > 1 and (sig in _PACK_SIGS or len(_PACK_SIGS) < _PACK_SIG_CAP):
+            _PACK_SIGS.add(sig)
             packed = np.asarray(_pack_leaves(*[leaves[i] for i in pack]))
             off = 0
             for i in pack:
@@ -515,15 +533,18 @@ class Trainer:
         # only per-batch index metas are transferred.
         K = self.steps_per_dispatch
 
-        def _grouped(items, key_fn):
+        def _grouped(items, key_fn, k_fn=None):
             pend = []
+            k_cur = K
             for it in items:
                 if pend and key_fn(it) != key_fn(pend[0]):
                     for p in pend:
                         yield [p]
                     pend = []
+                if not pend:
+                    k_cur = k_fn(it) if k_fn is not None else K
                 pend.append(it)
-                if len(pend) == K:
+                if len(pend) >= k_cur:
                     yield pend
                     pend = []
             for p in pend:  # leftovers run as single steps (no extra traces)
@@ -573,7 +594,21 @@ class Trainer:
                         dev = self._device_batch(b)
                         yield [b], (lambda st, d=dev: self.train_step(st, d))
                     return
-                for group in _grouped(batches, key_fn=lambda b: b["bucket"]):
+                # cap the stacked-bag bytes per dispatch: K=8 at a 24576
+                # bucket would stack a multi-GB host+device buffer; large
+                # buckets fall back toward single steps (auto mode only —
+                # an explicit steps_per_dispatch is honored as configured)
+                bpe = {"int8": 1, "bfloat16": 2}.get(c.tpu.transfer_dtype, 4)
+
+                def k_cap(b):
+                    if not self._spd_auto:
+                        return K
+                    per = self.batch_size * int(b["bucket"]) * b["wsi"].shape[-1] * bpe
+                    return max(1, min(K, _SPD_STACK_BYTES // max(per, 1)))
+
+                for group in _grouped(
+                    batches, key_fn=lambda b: b["bucket"], k_fn=k_cap
+                ):
                     if len(group) == 1:
                         dev = self._device_batch(group[0])
                         yield group, (lambda st, d=dev: self.train_step(st, d))

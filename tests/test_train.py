@@ -796,3 +796,24 @@ def test_batch_size_inherits_grad_acc_step(tmp_path):
     cfg2.tpu.batch_size = 8
     cfg2.training.grad_acc_step = 4
     assert Trainer(cfg2, verbose=False).batch_size == 8
+
+
+def test_auto_dispatch_byte_cap(tmp_path, monkeypatch):
+    """Auto multi-step dispatch caps stacked-bag bytes per device call on the
+    host-fed path (large buckets degrade toward single steps) with unchanged
+    training results."""
+    import multimodal_path_omic_tpu.train.trainer as tr
+
+    cfg = _make_cfg(tmp_path, epochs=2)
+    cfg.tpu.device_cache = "off"
+    cfg.tpu.steps_per_dispatch = 0  # auto
+    out_free = Trainer(cfg, verbose=False).fit()
+
+    # force the cap to bite: one batch is 8*128*8*4 bytes in this cohort
+    monkeypatch.setattr(tr, "_SPD_STACK_BYTES", 1)
+    cfg2 = _make_cfg(tmp_path, epochs=2)
+    cfg2.tpu.device_cache = "off"
+    cfg2.tpu.steps_per_dispatch = 0
+    out_capped = Trainer(cfg2, verbose=False).fit()
+    assert np.isclose(out_free["train_loss"], out_capped["train_loss"], atol=1e-5)
+    assert np.isclose(out_free["val_loss"], out_capped["val_loss"], atol=1e-5)
