@@ -425,3 +425,49 @@ def test_nacagat_cesar_gradient_parity():
     np.testing.assert_allclose(float(j_loss), float(t_loss.detach()), rtol=2e-3)
     t_grads = _grad_tree_from_torch("nacagat", tmod, init)
     _assert_tree_close(j_grads, t_grads["params"], atol=2e-4, rtol=2e-3)
+
+
+def test_ge_nacagat_ce_gradient_parity():
+    """Third family: GE-NaCAGaT + ce (on softmaxed Y, the double-softmax
+    quirk) — grads torch == jax with dropout 0."""
+    from multimodal_path_omic_tpu.models import GENaCAGaT
+    from multimodal_path_omic_tpu.ops import losses as L
+    from multimodal_path_omic_tpu.utils.transplant import from_torch_state_dict
+
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.insert(0, REFERENCE_ROOT)
+    try:
+        from models.ge_nacagat.ge_nacagat import (  # type: ignore
+            GeneExprNarrowContextualAttentionGateTransformer as RefModel,
+        )
+    except Exception as exc:  # pragma: no cover
+        pytest.skip(f"reference unavailable: {exc}")
+
+    tmod = RefModel(model_size="small", dropout=0.0)
+    _silence_hardcoded_dropout(tmod)
+    tmod.train()
+    wsi, _ = _reference_inputs(seed=13, m=200)
+    t_y, _t_attn = tmod(wsi)
+    t_loss = torch.nn.CrossEntropyLoss()(t_y.unsqueeze(0), torch.tensor([1]))
+    t_loss.backward()
+
+    jmod = GENaCAGaT(model_size="small", dropout_rate=0.0)
+    jw = jnp.array(_np(wsi))[None]
+    init = jmod.init(jax.random.key(0), jw)
+    params = from_torch_state_dict(
+        "ge_nacagat", {k: _np(v) for k, v in tmod.state_dict().items()}, init
+    )
+
+    def loss_fn(p):
+        y, _ = jmod.apply(
+            {"params": p}, jw, None,
+            deterministic=False, rngs={"dropout": jax.random.key(3)},
+        )
+        return L.cross_entropy_on_probs(
+            y, jnp.array([1], jnp.int32), sample_weight=jnp.ones((1,), jnp.float32)
+        )
+
+    j_loss, j_grads = jax.value_and_grad(loss_fn)(params["params"])
+    np.testing.assert_allclose(float(j_loss), float(t_loss.detach()), rtol=2e-3)
+    t_grads = _grad_tree_from_torch("ge_nacagat", tmod, init)
+    _assert_tree_close(j_grads, t_grads["params"], atol=2e-4, rtol=2e-3)
