@@ -477,3 +477,31 @@ def make_eval_step(
         }
 
     return eval_step
+
+
+def make_multi_eval_step(
+    model, loss_name: str, *, alpha: float = 0.75, ge_mode: bool = False,
+    need_attention: bool = False, omic_sizes: Optional[Tuple[int, ...]] = None,
+    l1_lambda: float = 0.0, cached: bool = False,
+) -> Callable:
+    """K eval batches in ONE device call (``lax.map`` over a leading [K, ...]
+    axis; eval carries no state, so this is exactly K single eval steps).
+    Amortizes per-call dispatch latency for per-epoch validation the same way
+    ``make_multi_train_step`` does for training. ``cached``: the call takes
+    ``(params, cache, stacked_meta)``; otherwise ``(params, stacked_batch)``.
+    Result leaves carry the leading [K, ...] axis."""
+    step = make_eval_step(
+        model, loss_name, alpha=alpha, ge_mode=ge_mode,
+        need_attention=need_attention, omic_sizes=omic_sizes,
+        l1_lambda=l1_lambda, cached=cached,
+    )
+
+    @jax.jit
+    def multi_eval(params, batch_or_cache, *maybe_meta):
+        if cached:
+            return jax.lax.map(
+                lambda m: step(params, batch_or_cache, m), maybe_meta[0]
+            )
+        return jax.lax.map(lambda b: step(params, b), batch_or_cache)
+
+    return multi_eval

@@ -45,6 +45,7 @@ from multimodal_path_omic_tpu.train.logging import MetricLogger, StepTimer
 from multimodal_path_omic_tpu.train.loop import (
     TrainState,
     make_eval_step,
+    make_multi_eval_step,
     make_multi_train_step,
     make_train_step,
     stack_batches,
@@ -90,6 +91,27 @@ def set_compilation_cache_dir(path: str) -> None:
 # Auto multi-step dispatch: max stacked-bag bytes per device call on the
 # host-fed path (the device-cache path stacks only KB-sized index metas).
 _SPD_STACK_BYTES = 1 << 30
+
+
+def _grouped(items, key_fn, K, k_fn=None):
+    """Group consecutive items sharing key_fn(item) into runs of exactly
+    k (k = k_fn(first) or K); leftovers yield as singles so no extra jit
+    traces are created by odd-sized groups."""
+    pend = []
+    k_cur = K
+    for it in items:
+        if pend and key_fn(it) != key_fn(pend[0]):
+            for p in pend:
+                yield [p]
+            pend = []
+        if not pend:
+            k_cur = k_fn(it) if k_fn is not None else K
+        pend.append(it)
+        if len(pend) >= k_cur:
+            yield pend
+            pend = []
+    for p in pend:  # leftovers run as single steps (no extra traces)
+        yield [p]
 
 
 def _is_ge(model_name: str) -> bool:
@@ -288,12 +310,23 @@ class Trainer:
             if self.steps_per_dispatch > 1
             else None
         )
+        # grouped validation dispatch (no state carry — exactly K evals/call)
+        self.multi_eval = (
+            make_multi_eval_step(
+                self.model, c.training.loss, alpha=c.training.alpha,
+                ge_mode=self.ge_mode, omic_sizes=tuple(self.omic_sizes),
+                l1_lambda=c.training.lambda_,
+            )
+            if self.steps_per_dispatch > 1
+            else None
+        )
 
         # device-resident dataset cache: bags uploaded once, batches gathered
         # on device (data/device_cache.py). Engaged lazily on first epoch.
         self.device_cache = None
         self.device_cache_val = None
         self._cached_eval = None
+        self._cached_eval_multi = None
         self._cached_steps = None
         self._want_device_cache = (
             c.tpu.device_cache in ("auto", "on")
@@ -364,6 +397,15 @@ class Trainer:
             ge_mode=self.ge_mode, omic_sizes=tuple(self.omic_sizes),
             l1_lambda=c.training.lambda_, cached=True,
         )
+        self._cached_eval_multi = (
+            make_multi_eval_step(
+                self.model, c.training.loss, alpha=c.training.alpha,
+                ge_mode=self.ge_mode, omic_sizes=tuple(self.omic_sizes),
+                l1_lambda=c.training.lambda_, cached=True,
+            )
+            if self.steps_per_dispatch > 1
+            else None
+        )
         kwargs = dict(
             alpha=c.training.alpha,
             l1_lambda=c.training.lambda_,
@@ -416,6 +458,21 @@ class Trainer:
                 x.copy_to_host_async()
         leaves = [np.asarray(x) if isinstance(x, jax.Array) else x for x in leaves]
         return jax.tree_util.tree_unflatten(treedef, leaves)
+
+    def _host_k_cap(self, K):
+        """Per-bucket dispatch-group size cap for HOST-FED stacked batches:
+        K=8 at a 24576 bucket would stack a multi-GB host+device buffer, so
+        large buckets fall back toward single steps. Auto mode only — an
+        explicit steps_per_dispatch is honored as configured."""
+        bpe = {"int8": 1, "bfloat16": 2}.get(self.config.tpu.transfer_dtype, 4)
+
+        def k_cap(b):
+            if not self._spd_auto:
+                return K
+            per = self.batch_size * int(b["bucket"]) * b["wsi"].shape[-1] * bpe
+            return max(1, min(K, _SPD_STACK_BYTES // max(per, 1)))
+
+        return k_cap
 
     def _host_gather(self, x) -> np.ndarray:
         """Materialize an array on THIS host. Single-process: plain asarray.
@@ -533,23 +590,6 @@ class Trainer:
         # only per-batch index metas are transferred.
         K = self.steps_per_dispatch
 
-        def _grouped(items, key_fn, k_fn=None):
-            pend = []
-            k_cur = K
-            for it in items:
-                if pend and key_fn(it) != key_fn(pend[0]):
-                    for p in pend:
-                        yield [p]
-                    pend = []
-                if not pend:
-                    k_cur = k_fn(it) if k_fn is not None else K
-                pend.append(it)
-                if len(pend) >= k_cur:
-                    yield pend
-                    pend = []
-            for p in pend:  # leftovers run as single steps (no extra traces)
-                yield [p]
-
         if self._ensure_device_cache():
             from multimodal_path_omic_tpu.data.device_cache import build_meta
 
@@ -568,7 +608,7 @@ class Trainer:
                     yield bucket, meta, info
 
             def _staged():
-                for group in _grouped(_items(), key_fn=lambda x: x[0]):
+                for group in _grouped(_items(), key_fn=lambda x: x[0], K=K):
                     cache = self.device_cache.caches[group[0][0]]
                     infos = [g[2] for g in group]
                     if len(group) == 1:
@@ -594,20 +634,9 @@ class Trainer:
                         dev = self._device_batch(b)
                         yield [b], (lambda st, d=dev: self.train_step(st, d))
                     return
-                # cap the stacked-bag bytes per dispatch: K=8 at a 24576
-                # bucket would stack a multi-GB host+device buffer; large
-                # buckets fall back toward single steps (auto mode only —
-                # an explicit steps_per_dispatch is honored as configured)
-                bpe = {"int8": 1, "bfloat16": 2}.get(c.tpu.transfer_dtype, 4)
-
-                def k_cap(b):
-                    if not self._spd_auto:
-                        return K
-                    per = self.batch_size * int(b["bucket"]) * b["wsi"].shape[-1] * bpe
-                    return max(1, min(K, _SPD_STACK_BYTES // max(per, 1)))
-
                 for group in _grouped(
-                    batches, key_fn=lambda b: b["bucket"], k_fn=k_cap
+                    batches, key_fn=lambda b: b["bucket"], K=K,
+                    k_fn=self._host_k_cap(K),
                 ):
                     if len(group) == 1:
                         dev = self._device_batch(group[0])
@@ -730,52 +759,95 @@ class Trainer:
         return out
 
     def _val_results(self):
-        """Yield (batch-info, eval result) pairs — device-cached when the
-        cache is engaged (no per-epoch bag re-upload), host-fed otherwise."""
+        """Yield (infos, eval result) — ``infos`` is the list of per-batch
+        label/weight dicts in a dispatch group; result leaves carry a leading
+        [k] axis when the group ran as ONE device call (multi-eval dispatch).
+        Device-cached when the cache is engaged (no per-epoch bag re-upload),
+        host-fed otherwise."""
+        K = self.steps_per_dispatch
         if self._ensure_device_cache() and self.device_cache_val is not None:
             from multimodal_path_omic_tpu.data.device_cache import build_meta
 
             t = None if self.ge_mode else self.val_ds.table
-            for indices, bucket in self.val_batcher._epoch_plan():
-                meta, real = build_meta(
-                    indices, self.batch_size, self.device_cache_val
-                )
-                info = {"n_real": real, "weight": meta["weight"]}
-                if t is not None:
-                    info["censorship"] = t.censorship[meta["row"]]
-                    info["survival_months"] = t.survival_months[meta["row"]]
+
+            def _items():
+                for indices, bucket in self.val_batcher._epoch_plan():
+                    meta, real = build_meta(
+                        indices, self.batch_size, self.device_cache_val
+                    )
+                    info = {"n_real": real, "weight": meta["weight"]}
+                    if t is not None:
+                        info["censorship"] = t.censorship[meta["row"]]
+                        info["survival_months"] = t.survival_months[meta["row"]]
+                    else:
+                        info["label"] = self.val_ds.table.gene_expr_class[
+                            meta["row"]
+                        ]
+                    yield bucket, meta, info
+
+            for group in _grouped(_items(), key_fn=lambda x: x[0], K=K):
+                cache = self.device_cache_val.caches[group[0][0]]
+                infos = [g[2] for g in group]
+                if len(group) == 1:
+                    yield infos, self._cached_eval(
+                        self.state.params, cache, group[0][1]
+                    )
                 else:
-                    info["label"] = self.val_ds.table.gene_expr_class[meta["row"]]
-                yield info, self._cached_eval(
-                    self.state.params, self.device_cache_val.caches[bucket], meta
-                )
+                    stacked = {
+                        k: np.stack([g[1][k] for g in group])
+                        for k in group[0][1]
+                    }
+                    yield infos, self._cached_eval_multi(
+                        self.state.params, cache, stacked
+                    )
             return
-        for batch in self.val_batcher.batches():
-            dev = self._device_batch(batch)
-            yield batch, self.eval_step(self.state.params, dev)
+        if K == 1 or self.multi_eval is None:
+            for batch in self.val_batcher.batches():
+                dev = self._device_batch(batch)
+                yield [batch], self.eval_step(self.state.params, dev)
+            return
+        for group in _grouped(
+            self.val_batcher.batches(), key_fn=lambda b: b["bucket"], K=K,
+            k_fn=self._host_k_cap(K),
+        ):
+            if len(group) == 1:
+                dev = self._device_batch(group[0])
+                yield group, self.eval_step(self.state.params, dev)
+            else:
+                dev = self._device_batch(stack_batches(group))
+                yield group, self.multi_eval(self.state.params, dev)
 
     def validate(self, epoch) -> Dict[str, float]:
         risks, weights, censorships, months, losses, step_reals = [], [], [], [], [], []
         ys, ge_labels = [], []
         n_steps = 0
-        for batch, res in self._val_results():
-            real = int(batch["n_real"])
-            losses.append(res["loss"])  # device scalar; pulled after the loop
-            step_reals.append(real)
-            n_steps += 1
+        for infos, res in self._val_results():
+            # res leaves are per-batch, or [k]-stacked for multi-eval groups;
+            # flattened AFTER the bulk fetch in the same batch order
+            losses.append(res["loss"])
             if not self.ge_mode:
                 risks.append(res["risk"])
-                weights.append(batch["weight"])
-                censorships.append(batch["censorship"])
-                months.append(batch["survival_months"])
             else:
                 ys.append(res["y"])
-                ge_labels.append(batch["label"])
-                weights.append(batch["weight"])
+            for info in infos:
+                real = int(info["n_real"])
+                step_reals.append(real)
+                n_steps += 1
+                if not self.ge_mode:
+                    weights.append(info["weight"])
+                    censorships.append(info["censorship"])
+                    months.append(info["survival_months"])
+                else:
+                    ge_labels.append(info["label"])
+                    weights.append(info["weight"])
         # per-sample mean (reference: mcat/main.py:147)
         if self.n_processes == 1:
             losses, risks, ys = self._bulk_fetch((losses, risks, ys))
-        lv = np.array([float(l) for l in losses]) if losses else np.zeros(1)
+        # flatten [k]-stacked group leaves back to batch order (loss is a
+        # replicated scalar/stack on every backend; risk/y are data-sharded
+        # and go through the per-process allgather below)
+        losses = [np.ravel(np.asarray(l)) for l in losses]
+        lv = np.concatenate(losses) if losses else np.zeros(1)
         wv = np.array(step_reals, float) if step_reals else np.ones(1)
         out = {"val_loss": float((lv * wv).sum() / max(wv.sum(), 1.0))}
         label = epoch if isinstance(epoch, str) else epoch + 1
@@ -785,7 +857,11 @@ class Trainer:
             if ys:
                 # extra observability over the reference (which logs only the
                 # loss, ge_nacagat/main.py:119): weighted top-1 accuracy
-                y_all = np.concatenate([np.asarray(self._host_gather(y)) for y in ys])
+                y_flat = []
+                for y in ys:
+                    arr = np.asarray(self._host_gather(y))
+                    y_flat.append(arr.reshape(-1, arr.shape[-1]))
+                y_all = np.concatenate(y_flat)
                 l_all = np.concatenate([self._host_gather(x) for x in ge_labels])
                 w_all = np.concatenate([self._host_gather(w) for w in weights])
                 hit = (np.argmax(y_all, axis=1) == l_all).astype(float)
@@ -795,7 +871,10 @@ class Trainer:
             msg = f"Epoch: {label}, val_loss: {out['val_loss']:.4f}"
         else:
             if risks:
-                risks_all = np.concatenate([self._host_gather(r) for r in risks])
+                # [k,B]-stacked group leaves flatten back to batch order
+                risks_all = np.concatenate(
+                    [np.asarray(self._host_gather(r)).reshape(-1) for r in risks]
+                )
                 w_all = np.concatenate([self._host_gather(w) for w in weights])
                 cens_all = np.concatenate([self._host_gather(x) for x in censorships])
                 months_all = np.concatenate([self._host_gather(x) for x in months])

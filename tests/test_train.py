@@ -817,3 +817,35 @@ def test_auto_dispatch_byte_cap(tmp_path, monkeypatch):
     out_capped = Trainer(cfg2, verbose=False).fit()
     assert np.isclose(out_free["train_loss"], out_capped["train_loss"], atol=1e-5)
     assert np.isclose(out_free["val_loss"], out_capped["val_loss"], atol=1e-5)
+
+
+@pytest.mark.parametrize("cache", ["off", "on"])
+def test_multi_eval_dispatch_equality(tmp_path, cache):
+    """Grouped validation dispatch (K eval batches per device call) returns
+    exactly the K=1 results — host-fed and device-cached paths."""
+    outs = []
+    for k in (1, 2):
+        cfg = _make_cfg(tmp_path, epochs=1)
+        cfg.tpu.batch_size = 2  # several val batches so groups actually form
+        cfg.tpu.steps_per_dispatch = k
+        cfg.tpu.device_cache = cache
+        t = Trainer(cfg, verbose=False)
+        outs.append(t.validate(0))
+    assert np.isclose(outs[0]["val_loss"], outs[1]["val_loss"], atol=1e-6)
+    assert np.isclose(outs[0]["val_c_index"], outs[1]["val_c_index"], atol=1e-9)
+
+
+def test_multi_eval_dispatch_equality_ge(tmp_path):
+    """Same for GE mode (val_accuracy flows through [k]-stacked y leaves)."""
+    outs = []
+    for k in (1, 2):
+        cfg = _make_cfg(
+            tmp_path, model="GeneExpr-NaCAGaT", loss="ce", epochs=1,
+            model_kw={"gene": "G000"},
+        )
+        cfg.tpu.batch_size = 2
+        cfg.tpu.steps_per_dispatch = k
+        t = Trainer(cfg, verbose=False)
+        outs.append(t.validate(0))
+    assert np.isclose(outs[0]["val_loss"], outs[1]["val_loss"], atol=1e-6)
+    assert outs[0]["val_accuracy"] == outs[1]["val_accuracy"]
