@@ -174,9 +174,14 @@ class TpuConfig:
     steps_per_dispatch: int = 0
     # Device-resident dataset cache (data/device_cache.py): upload every bag
     # once, gather training batches on device — steady-state epochs transfer
-    # only KBs of indices. "auto" engages when the padded cohort fits the
-    # budget below on a single-device run; "on" forces; "off" disables.
+    # only KBs of indices. "auto" engages for whatever fits the budget below
+    # (buckets beyond it host-feed: partial caching); "on" forces the full
+    # cohort; "off" disables. Composes with meshes: the cache shards its
+    # patch axis over every mesh device (single-process only; multi-host
+    # runs fall back to host feeding).
     device_cache: str = "auto"
+    # PER-DEVICE cache budget: on an n-device mesh the cohort capacity is
+    # n x this (the cache is sharded, not replicated).
     device_cache_budget_bytes: int = 4 << 30
     # Persistent XLA compilation cache directory (jax_compilation_cache_dir):
     # repeated runs skip the multi-minute first-epoch compile. Empty = off.
@@ -195,6 +200,13 @@ class TpuConfig:
         if self.cache_dtype not in ("float32", "int8"):
             raise ValueError(
                 f'cache_dtype must be "float32" or "int8", got {self.cache_dtype!r}'
+            )
+        # normalize + validate: only exact 'auto'/'on' engage the cache, so a
+        # stray capitalization ("On") or typo would otherwise silently disable
+        self.device_cache = str(self.device_cache).strip().lower()
+        if self.device_cache not in ("auto", "on", "off"):
+            raise ValueError(
+                f'device_cache must be "auto", "on" or "off", got {self.device_cache!r}'
             )
         if self.batch_size < 0:
             raise ValueError(
@@ -279,10 +291,16 @@ def _apply_override(cfg: Config, dotted: str, value: Any) -> None:
         value = type(current)(value)
     setattr(obj, leaf, value)
     # dataclass validation runs in __post_init__, which plain setattr skips —
-    # re-run it so a bad override fails at load time, not mid-training
+    # re-run it so a bad override fails at load time, not mid-training; on
+    # failure roll the field back so the config object stays usable (a later
+    # override must not re-trip on the rejected value)
     post = getattr(obj, "__post_init__", None)
     if post is not None:
-        post()
+        try:
+            post()
+        except Exception:
+            setattr(obj, leaf, current)
+            raise
 
 
 def config_to_dict(cfg: Config) -> Dict[str, Any]:

@@ -46,9 +46,29 @@ class DeviceBagCache:
         lengths: Optional[np.ndarray] = None,
         upload_chunk: int = 64,
         store_dtype: str = "float32",
+        mesh=None,
+        only_buckets: Optional[Sequence[int]] = None,
     ):
+        """``mesh``: shard the cache over the mesh (parallel/mesh.py
+        ``cache_spec``): the patch axis spreads over EVERY mesh device (per-
+        device memory = total / n_devices) while the bag axis stays whole so
+        per-step gathers are communication-free. ``only_buckets``: cache only
+        these buckets (partial caching — the Trainer host-feeds the rest)."""
         import jax
         import jax.numpy as jnp
+
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding
+
+            from multimodal_path_omic_tpu.parallel.mesh import cache_spec
+
+            def _put(x, key):
+                return jax.device_put(x, NamedSharding(mesh, cache_spec(key)))
+        else:
+
+            def _put(x, key):
+                return jax.device_put(x)
 
         n = len(dataset)
         if lengths is None:
@@ -60,14 +80,15 @@ class DeviceBagCache:
         self.caches: Dict[int, Dict] = {}
 
         extras = extras_fn(dataset, np.arange(n))
-        table = {"label": jnp.asarray(np.asarray(extras["label"]))}
+        table = {"label": _put(np.asarray(extras["label"]), "label")}
         if not ge_mode:
-            table["omics_packed"] = jnp.asarray(
-                np.concatenate([np.asarray(o) for o in extras["omics"]], axis=-1)
+            table["omics_packed"] = _put(
+                np.concatenate([np.asarray(o) for o in extras["omics"]], axis=-1),
+                "omics_packed",
             )
-            table["censorship"] = jnp.asarray(np.asarray(extras["censorship"]))
-            table["survival_months"] = jnp.asarray(
-                np.asarray(extras["survival_months"])
+            table["censorship"] = _put(np.asarray(extras["censorship"]), "censorship")
+            table["survival_months"] = _put(
+                np.asarray(extras["survival_months"]), "survival_months"
             )
 
         if store_dtype not in ("float32", "int8"):
@@ -78,7 +99,13 @@ class DeviceBagCache:
             from multimodal_path_omic_tpu.data.quant import quantize_bag_int8
 
         dim = int(dataset.bag(0).shape[1]) if n else 0
-        for bucket in sorted(set(self.bucket_of.tolist())):
+        all_buckets = sorted(set(self.bucket_of.tolist()))
+        self.cached_buckets = (
+            [b for b in all_buckets if b in set(only_buckets)]
+            if only_buckets is not None
+            else all_buckets
+        )
+        for bucket in self.cached_buckets:
             rows = np.flatnonzero(self.bucket_of == bucket)
             self._position[rows] = np.arange(len(rows), dtype=np.int32)
             # upload in chunks to bound host staging memory
@@ -94,33 +121,58 @@ class DeviceBagCache:
                     mask[j, :m] = True
                 if int8:
                     q, scale = quantize_bag_int8(wsi)
-                    parts_w.append(jax.device_put(q))
-                    parts_s.append(jax.device_put(scale))
+                    parts_w.append(_put(q, "wsi"))
+                    parts_s.append(_put(scale, "wsi_scale"))
                 else:
-                    parts_w.append(jax.device_put(wsi))
-                parts_m.append(jax.device_put(mask))
+                    parts_w.append(_put(wsi, "wsi"))
+                parts_m.append(_put(mask, "mask"))
+            def _cat(parts, key):
+                if len(parts) == 1:
+                    return parts[0]
+                # re-pin the layout: concatenate preserves shardings in
+                # practice, but the cache contract (shard-local gathers)
+                # depends on it, so don't rely on propagation
+                return _put(jnp.concatenate(parts), key)
+
             cache = dict(
-                wsi=jnp.concatenate(parts_w) if len(parts_w) > 1 else parts_w[0],
-                mask=jnp.concatenate(parts_m) if len(parts_m) > 1 else parts_m[0],
-                **table,
+                wsi=_cat(parts_w, "wsi"), mask=_cat(parts_m, "mask"), **table
             )
             if int8:
-                cache["wsi_scale"] = (
-                    jnp.concatenate(parts_s) if len(parts_s) > 1 else parts_s[0]
-                )
+                cache["wsi_scale"] = _cat(parts_s, "wsi_scale")
             self.caches[bucket] = cache
 
     @staticmethod
     def nbytes(
         lengths: np.ndarray, buckets: Sequence[int], dim: int,
         store_dtype: str = "float32",
+        only_buckets: Optional[Sequence[int]] = None,
     ) -> int:
-        """Device bytes the wsi cache would need (padded to buckets).
-        int8 stores 1 byte/element + a 4-byte f32 scale per patch row."""
+        """TOTAL device bytes the wsi cache would need (padded to buckets;
+        divide by the mesh device count for per-device bytes — the patch axis
+        shards over every device). int8 stores 1 byte/element + a 4-byte f32
+        scale per patch row. ``only_buckets`` restricts to a bucket subset
+        (partial caching)."""
         per_patch = dim + 4 if store_dtype == "int8" else dim * 4
-        return int(
-            sum(bucket_for(int(m), tuple(buckets)) * per_patch for m in lengths)
-        )
+        keep = None if only_buckets is None else set(only_buckets)
+        total = 0
+        for m in lengths:
+            b = bucket_for(int(m), tuple(buckets))
+            if keep is None or b in keep:
+                total += b * per_patch
+        return int(total)
+
+    @staticmethod
+    def bucket_bytes(
+        lengths: np.ndarray, buckets: Sequence[int], dim: int,
+        store_dtype: str = "float32",
+    ) -> Dict[int, int]:
+        """Per-bucket wsi cache bytes (for the partial-caching budget fit)."""
+        per_patch = dim + 4 if store_dtype == "int8" else dim * 4
+        out: Dict[int, int] = {}
+        for m in lengths:
+            b = bucket_for(int(m), tuple(buckets))
+            out[b] = out.get(b, 0) + b * per_patch
+        return out
 
     def position(self, rows: np.ndarray) -> np.ndarray:
         return self._position[np.asarray(rows)]

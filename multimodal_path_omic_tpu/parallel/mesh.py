@@ -39,11 +39,31 @@ def make_mesh(
     return Mesh(grid, axis_names=("data", "seq"))
 
 
-def batch_spec(key: str) -> P:
-    """PartitionSpec for a batch-dict field."""
+def batch_spec(key: str, stacked: bool = False) -> P:
+    """PartitionSpec for a batch-dict field. ``stacked``: the field carries a
+    leading [K] dispatch-group axis (multi-step dispatch) that stays
+    unsharded — the K steps run sequentially (lax.scan); each step's batch
+    keeps the same (data, seq) layout as a single-step call."""
     if key in ("wsi", "mask", "wsi_scale"):
-        return P("data", "seq")  # [B, M, ...]: bags over data, patches over seq
-    return P("data")  # per-sample vectors/scalars (incl. omics_packed)
+        spec = ("data", "seq")  # [B, M, ...]: bags over data, patches over seq
+    else:
+        spec = ("data",)  # per-sample vectors/scalars (incl. omics_packed)
+    return P(None, *spec) if stacked else P(*spec)
+
+
+def cache_spec(key: str) -> P:
+    """PartitionSpec for a device-dataset-cache field (data/device_cache.py).
+
+    The bag axis (rows gathered per step) must stay UNSHARDED so ``jnp.take``
+    over it is communication-free; memory scaling comes from sharding the
+    patch axis over every mesh device instead. The gathered batch is then
+    sharding-constrained to the canonical (data, seq) batch layout inside the
+    jitted step (train/loop.py::_gather_batch) — one all-to-all per step over
+    batch-sized (not cohort-sized) bytes, riding ICI.
+    """
+    if key in ("wsi", "mask", "wsi_scale"):
+        return P(None, ("data", "seq"))  # [n_bags, bucket(, D)]
+    return P()  # label/omics/censorship tables: tiny, replicated
 
 
 def _put(value: np.ndarray, sh: NamedSharding, process_local: bool):
@@ -56,7 +76,10 @@ def _put(value: np.ndarray, sh: NamedSharding, process_local: bool):
 
 
 def shard_batch(
-    batch: Dict[str, Any], mesh: Mesh, process_local: Optional[bool] = None
+    batch: Dict[str, Any],
+    mesh: Mesh,
+    process_local: Optional[bool] = None,
+    stacked: bool = False,
 ) -> Dict[str, Any]:
     """device_put every field with its mesh layout (omics lists handled).
 
@@ -64,6 +87,9 @@ def shard_batch(
     slice of the global batch and the global array is assembled from the
     per-process shards (``jax.make_array_from_process_local_data``). Defaults
     to on when ``jax.process_count() > 1``.
+
+    ``stacked``: fields carry a leading [K] dispatch-group axis (multi-step
+    dispatch, train/loop.py::stack_batches); it stays unsharded.
     """
     if process_local is None:
         process_local = jax.process_count() > 1
@@ -73,10 +99,10 @@ def shard_batch(
             out[key] = value
             continue
         if key == "omics":
-            sh = NamedSharding(mesh, P("data"))
+            sh = NamedSharding(mesh, batch_spec("label", stacked))
             out[key] = [_put(o, sh, process_local) for o in value]
         else:
-            sh = NamedSharding(mesh, batch_spec(key))
+            sh = NamedSharding(mesh, batch_spec(key, stacked))
             out[key] = _put(value, sh, process_local)
     return out
 

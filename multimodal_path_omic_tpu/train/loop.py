@@ -174,6 +174,7 @@ def make_cached_train_step(
     omic_sizes: Optional[Tuple[int, ...]] = None,
     donate_state: bool = False,
     multi: bool = False,
+    mesh=None,
 ) -> Callable:
     """Train step over a DEVICE-RESIDENT dataset cache (data/device_cache.py).
 
@@ -183,13 +184,14 @@ def make_cached_train_step(
     loop transfers only a few KB of indices per optimizer step instead of the
     bags. With ``multi``, meta arrays carry a leading [K, ...] axis and one
     call runs K optimizer steps (lax.scan), the cache staying fixed.
+    ``mesh``: mesh-sharded cache (see _gather_batch).
     """
     need_attention = "ssq" if loss_name == "cesar" else False
     return _build_step(
         model, loss_name, optimizer, alpha=alpha, l1_lambda=l1_lambda,
         patch_budget=patch_budget, ge_mode=ge_mode, omic_sizes=omic_sizes,
         donate_state=donate_state, need_attention=need_attention, multi=multi,
-        cached=True,
+        cached=True, mesh=mesh,
     )
 
 
@@ -206,8 +208,17 @@ def _dequant_wsi(batch: Dict[str, Any]) -> Dict[str, Any]:
     return batch
 
 
-def _gather_batch(cache: Dict[str, Any], meta: Dict[str, Any], ge_mode: bool):
-    """Assemble a batch dict from device-cache gathers (inside jit)."""
+def _gather_batch(
+    cache: Dict[str, Any], meta: Dict[str, Any], ge_mode: bool, mesh=None
+):
+    """Assemble a batch dict from device-cache gathers (inside jit).
+
+    With ``mesh``, the cache is stored patch-axis-sharded over every device
+    (parallel/mesh.py::cache_spec) so the bag-axis gather below is
+    communication-free; the gathered batch is then sharding-constrained to
+    the canonical (data, seq) batch layout — ONE batch-sized all-to-all per
+    step over ICI, making the device-cache fast path compose with multi-chip
+    training instead of forcing mesh runs onto the slow host-fed feed."""
     pos = meta["pos"].astype(jnp.int32)
     row = meta["row"].astype(jnp.int32)
     batch = {
@@ -222,6 +233,17 @@ def _gather_batch(cache: Dict[str, Any], meta: Dict[str, Any], ge_mode: bool):
         batch["omics_packed"] = jnp.take(cache["omics_packed"], row, axis=0)
         batch["censorship"] = jnp.take(cache["censorship"], row, axis=0)
         batch["survival_months"] = jnp.take(cache["survival_months"], row, axis=0)
+    if mesh is not None:
+        from jax.sharding import NamedSharding
+
+        from multimodal_path_omic_tpu.parallel.mesh import batch_spec
+
+        batch = {
+            k: jax.lax.with_sharding_constraint(
+                v, NamedSharding(mesh, batch_spec(k))
+            )
+            for k, v in batch.items()
+        }
     return batch
 
 
@@ -246,7 +268,7 @@ def stack_batches(batches):
 
 def _build_step(
     model, loss_name, optimizer, *, alpha, l1_lambda, patch_budget, ge_mode,
-    omic_sizes, donate_state, need_attention, multi, cached=False,
+    omic_sizes, donate_state, need_attention, multi, cached=False, mesh=None,
 ):
     def forward_loss(params, rng, wsi, mask, omics, label, censorship, months, weight):
         out = model.apply(
@@ -383,7 +405,7 @@ def _build_step(
             @functools.partial(jax.jit, donate_argnums=donate)
             def cached_multi(state: TrainState, cache, stacked_meta):
                 def body(st, meta):
-                    return _step_impl(st, _gather_batch(cache, meta, ge_mode))
+                    return _step_impl(st, _gather_batch(cache, meta, ge_mode, mesh))
 
                 return jax.lax.scan(body, state, stacked_meta)
 
@@ -391,7 +413,7 @@ def _build_step(
 
         @functools.partial(jax.jit, donate_argnums=donate)
         def cached_step(state: TrainState, cache, meta):
-            return _step_impl(state, _gather_batch(cache, meta, ge_mode))
+            return _step_impl(state, _gather_batch(cache, meta, ge_mode, mesh))
 
         return cached_step
 
@@ -410,7 +432,7 @@ def _build_step(
 def make_eval_step(
     model, loss_name: str, *, alpha: float = 0.75, ge_mode: bool = False,
     need_attention: bool = False, omic_sizes: Optional[Tuple[int, ...]] = None,
-    l1_lambda: float = 0.0, cached: bool = False,
+    l1_lambda: float = 0.0, cached: bool = False, mesh=None,
 ) -> Callable:
     """Jitted no-grad eval step mirroring validate() (mcat/main.py:106-155).
 
@@ -427,7 +449,7 @@ def make_eval_step(
     @jax.jit
     def eval_step(params, batch, *maybe_meta):
         if cached:
-            batch = _gather_batch(batch, maybe_meta[0], ge_mode)
+            batch = _gather_batch(batch, maybe_meta[0], ge_mode, mesh)
         batch = _dequant_wsi(batch)
         out = model.apply(
             {"params": params},
@@ -482,7 +504,7 @@ def make_eval_step(
 def make_multi_eval_step(
     model, loss_name: str, *, alpha: float = 0.75, ge_mode: bool = False,
     need_attention: bool = False, omic_sizes: Optional[Tuple[int, ...]] = None,
-    l1_lambda: float = 0.0, cached: bool = False,
+    l1_lambda: float = 0.0, cached: bool = False, mesh=None,
 ) -> Callable:
     """K eval batches in ONE device call (``lax.map`` over a leading [K, ...]
     axis; eval carries no state, so this is exactly K single eval steps).
@@ -493,7 +515,7 @@ def make_multi_eval_step(
     step = make_eval_step(
         model, loss_name, alpha=alpha, ge_mode=ge_mode,
         need_attention=need_attention, omic_sizes=omic_sizes,
-        l1_lambda=l1_lambda, cached=cached,
+        l1_lambda=l1_lambda, cached=cached, mesh=mesh,
     )
 
     @jax.jit

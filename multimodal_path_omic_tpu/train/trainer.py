@@ -64,7 +64,6 @@ def _pack_leaves(*xs):
     return jnp.concatenate([jnp.ravel(x) for x in xs])
 
 
-_PACK_SIGS: set = set()
 _PACK_SIG_CAP = 4
 
 
@@ -287,11 +286,13 @@ class Trainer:
             l1_lambda=c.training.lambda_,
         )
         # multi-step dispatch: K optimizer steps per device call (exact
-        # single-step semantics; amortizes dispatch RTT). Mesh runs keep K=1
-        # (the batch sharding specs assume no leading step axis). 0 = auto.
+        # single-step semantics; amortizes dispatch RTT). Mesh runs compose
+        # (stacked batches keep a leading unsharded [K] axis, parallel/
+        # mesh.py::batch_spec); only multi-HOST runs keep K=1 (the per-process
+        # feeding contract is per-batch). 0 = auto.
         spd = c.tpu.steps_per_dispatch
         self._spd_auto = spd <= 0
-        if self.mesh is not None or self.n_processes > 1:
+        if self.n_processes > 1:
             spd = 1
         elif spd <= 0:
             spd = 8  # auto: measured 1.5-2x on tunneled backends, neutral off
@@ -323,17 +324,24 @@ class Trainer:
 
         # device-resident dataset cache: bags uploaded once, batches gathered
         # on device (data/device_cache.py). Engaged lazily on first epoch.
+        # Mesh runs compose (the cache shards its patch axis over every mesh
+        # device — scale-out IS the fast path); only multi-host runs fall back
+        # to host feeding (per-process cache assembly not implemented).
         self.device_cache = None
         self.device_cache_val = None
         self._cached_eval = None
         self._cached_eval_multi = None
         self._cached_steps = None
         self._want_device_cache = (
-            c.tpu.device_cache in ("auto", "on")
-            and self.mesh is None
-            and self.n_processes == 1
+            c.tpu.device_cache in ("auto", "on") and self.n_processes == 1
         )
         self._device_cache_forced = c.tpu.device_cache == "on"
+        # partial caching: buckets that fit the budget are device-cached, the
+        # rest host-feed (None = all cached buckets; set in _ensure_device_cache)
+        self._cache_partial = False
+
+        # per-Trainer packed-fetch jit signatures (see _bulk_fetch)
+        self._pack_sigs: set = set()
 
         self.logger = MetricLogger(
             wandb_enabled=c.wandb.enabled,
@@ -347,8 +355,13 @@ class Trainer:
 
     # ------------------------------------------------------------------ util
     def _ensure_device_cache(self) -> bool:
-        """Build the device-resident dataset cache on first use (when enabled
-        and the padded cohort fits the budget). Returns engagement."""
+        """Build the device-resident dataset cache on first use. Returns
+        engagement. When the full padded cohort exceeds the budget, the
+        bucket subset that fits is cached (cheapest-bytes-per-bag first) and
+        the overflow buckets host-feed — partial caching instead of an
+        all-or-nothing throughput cliff at budget+1 byte. On a mesh, the
+        budget is per-DEVICE bytes (the cache shards over all mesh devices).
+        """
         if not self._want_device_cache:
             return False
         if self.device_cache is not None:
@@ -364,30 +377,59 @@ class Trainer:
         val_lengths = (
             self.val_batcher._bag_lengths() if len(self.val_ds) else np.zeros(0)
         )
+        all_lengths = np.concatenate([lengths, val_lengths])
         dim = int(self.train_ds.bag(0).shape[1])
         cache_dtype = c.tpu.cache_dtype
-        nbytes = DeviceBagCache.nbytes(
-            np.concatenate([lengths, val_lengths]), self.buckets, dim,
-            store_dtype=cache_dtype,
+        n_mesh = 1 if self.mesh is None else int(np.prod(list(self.mesh.shape.values())))
+        budget = c.tpu.device_cache_budget_bytes * n_mesh  # per-device budget
+        per_bucket = DeviceBagCache.bucket_bytes(
+            all_lengths, self.buckets, dim, store_dtype=cache_dtype
         )
-        if not self._device_cache_forced and nbytes > c.tpu.device_cache_budget_bytes:
-            self._want_device_cache = False
-            return False
+        only_buckets = None
+        nbytes = sum(per_bucket.values())
+        if not self._device_cache_forced and nbytes > budget:
+            # greedy partial fit: cheapest bytes-per-bag buckets first (small
+            # buckets hold the most bags per byte)
+            from multimodal_path_omic_tpu.data.bags import bucket_for
+
+            counts: Dict[int, int] = {}
+            for m in all_lengths:
+                b = bucket_for(int(m), self.buckets)
+                counts[b] = counts.get(b, 0) + 1
+            order = sorted(per_bucket, key=lambda b: per_bucket[b] / counts[b])
+            chosen, used = [], 0
+            for b in order:
+                if used + per_bucket[b] <= budget:
+                    chosen.append(b)
+                    used += per_bucket[b]
+            if not chosen:
+                self._want_device_cache = False
+                return False
+            only_buckets = chosen
+            nbytes = used
+            self._cache_partial = True
         if self.verbose:
+            scope = (
+                f"buckets {sorted(only_buckets)} (partial; others host-feed)"
+                if only_buckets is not None
+                else f"{len(self.train_ds)} train + {len(self.val_ds)} val bags"
+            )
+            shard_note = f", sharded over {n_mesh} devices" if n_mesh > 1 else ""
             print(
                 f"Device dataset cache: {nbytes / (1 << 20):.0f} MiB of padded "
-                f"bags ({cache_dtype}) uploaded once ({len(self.train_ds)} "
-                f"train + {len(self.val_ds)} val bags)"
+                f"bags ({cache_dtype}) uploaded once ({scope}{shard_note})"
             )
         self.device_cache = DeviceBagCache(
             self.train_ds, self.extras_fn, self.buckets,
             ge_mode=self.ge_mode, lengths=lengths, store_dtype=cache_dtype,
+            mesh=self.mesh, only_buckets=only_buckets,
         )
         self.device_cache_val = (
             DeviceBagCache(
                 self.val_ds, self.extras_fn, self.buckets,
                 ge_mode=self.ge_mode, lengths=val_lengths,
-                store_dtype=cache_dtype,
+                store_dtype=cache_dtype, mesh=self.mesh,
+                only_buckets=only_buckets,
             )
             if len(self.val_ds)
             else None
@@ -395,13 +437,13 @@ class Trainer:
         self._cached_eval = make_eval_step(
             self.model, c.training.loss, alpha=c.training.alpha,
             ge_mode=self.ge_mode, omic_sizes=tuple(self.omic_sizes),
-            l1_lambda=c.training.lambda_, cached=True,
+            l1_lambda=c.training.lambda_, cached=True, mesh=self.mesh,
         )
         self._cached_eval_multi = (
             make_multi_eval_step(
                 self.model, c.training.loss, alpha=c.training.alpha,
                 ge_mode=self.ge_mode, omic_sizes=tuple(self.omic_sizes),
-                l1_lambda=c.training.lambda_, cached=True,
+                l1_lambda=c.training.lambda_, cached=True, mesh=self.mesh,
             )
             if self.steps_per_dispatch > 1
             else None
@@ -412,6 +454,7 @@ class Trainer:
             ge_mode=self.ge_mode,
             omic_sizes=tuple(self.omic_sizes),
             donate_state=True,
+            mesh=self.mesh,
         )
         self._cached_steps = (
             make_cached_train_step(
@@ -425,8 +468,19 @@ class Trainer:
         )
         return True
 
-    @staticmethod
-    def _bulk_fetch(tree):
+    def _put_meta(self, meta):
+        """Pin gather metas to the mesh (replicated): tiny arrays, but jit
+        placement of uncommitted numpy next to mesh-sharded operands must not
+        be left to inference. No-op off-mesh (numpy commits to the default
+        device)."""
+        if self.mesh is None:
+            return meta
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sh = NamedSharding(self.mesh, P())
+        return {k: jax.device_put(v, sh) for k, v in meta.items()}
+
+    def _bulk_fetch(self, tree):
         """Fetch a pytree of device arrays with ONE device transfer.
 
         ``jax.device_get`` pulls leaves serially, paying a full dispatch RTT
@@ -434,7 +488,9 @@ class Trainer:
         x ~6 ms = 0.24 s of a 0.30 s epoch; even pipelined async copies cost
         ~2.5 ms/leaf here). All f32 leaves are packed into one flat device
         array by a single jitted concat and fetched together; any remaining
-        leaves fall back to pipelined async copies."""
+        leaves fall back to pipelined async copies. The signature cap is
+        per-Trainer (not process-global) so config sweeps creating several
+        trainers in one process keep the packed path for each."""
         leaves, treedef = jax.tree_util.tree_flatten(tree)
         pack = [
             i
@@ -445,8 +501,9 @@ class Trainer:
         # variation in dispatch-group ORDER does not retrace
         pack.sort(key=lambda i: leaves[i].shape)
         sig = tuple(leaves[i].shape for i in pack)
-        if len(pack) > 1 and (sig in _PACK_SIGS or len(_PACK_SIGS) < _PACK_SIG_CAP):
-            _PACK_SIGS.add(sig)
+        sigs = self._pack_sigs
+        if len(pack) > 1 and (sig in sigs or len(sigs) < _PACK_SIG_CAP):
+            sigs.add(sig)
             packed = np.asarray(_pack_leaves(*[leaves[i] for i in pack]))
             off = 0
             for i in pack:
@@ -463,13 +520,17 @@ class Trainer:
         """Per-bucket dispatch-group size cap for HOST-FED stacked batches:
         K=8 at a 24576 bucket would stack a multi-GB host+device buffer, so
         large buckets fall back toward single steps. Auto mode only — an
-        explicit steps_per_dispatch is honored as configured."""
-        bpe = {"int8": 1, "bfloat16": 2}.get(self.config.tpu.transfer_dtype, 4)
+        explicit steps_per_dispatch is honored as configured.
+
+        The cap is sized on the f32 HOST-staging bytes (4/elem), not the
+        transfer dtype: stack_batches stages f32 on the host and quantization
+        to bf16/int8 happens after stacking in _device_batch, so the host
+        buffer dominates peak memory regardless of transfer_dtype."""
 
         def k_cap(b):
             if not self._spd_auto:
                 return K
-            per = self.batch_size * int(b["bucket"]) * b["wsi"].shape[-1] * bpe
+            per = self.batch_size * int(b["bucket"]) * b["wsi"].shape[-1] * 4
             return max(1, min(K, _SPD_STACK_BYTES // max(per, 1)))
 
         return k_cap
@@ -520,7 +581,9 @@ class Trainer:
             "leave_one_out": c.training.leave_one_out,
         }
 
-    def _device_batch(self, batch) -> Dict[str, Any]:
+    def _device_batch(self, batch, stacked: bool = False) -> Dict[str, Any]:
+        """``stacked``: the batch carries a leading [K] dispatch-group axis
+        (stack_batches); on a mesh it stays unsharded in every spec."""
         batch = dict(batch)
         # ``aliased``: wsi aliases a reusable native-pipeline slot buffer; the
         # hazard is closed below — copy on CPU (jax CPU arrays can zero-copy
@@ -551,6 +614,7 @@ class Trainer:
             out = shard_batch(
                 {k: v for k, v in batch.items() if k not in ("bucket", "n_real", "index")},
                 self.mesh,
+                stacked=stacked,
             )
             if aliased:
                 jax.block_until_ready(out["wsi"])
@@ -572,6 +636,94 @@ class Trainer:
         return out
 
     # --------------------------------------------------------------- training
+    def _cached_items(self, plan, cache, ds):
+        """(bucket, meta, info) per batch of ``plan`` whose bucket is cached."""
+        from multimodal_path_omic_tpu.data.device_cache import build_meta
+
+        t = None if self.ge_mode else ds.table
+        for indices, bucket in plan:
+            meta, real = build_meta(indices, self.batch_size, cache)
+            info = {"n_real": real, "weight": meta["weight"]}
+            if t is not None:
+                info["censorship"] = t.censorship[meta["row"]]
+                info["survival_months"] = t.survival_months[meta["row"]]
+            yield bucket, meta, info
+
+    def _staged_cached_train(self, K):
+        """Dispatch groups over the fully-cached cohort: (infos, call)."""
+        single_c, multi_c = self._cached_steps
+        items = self._cached_items(
+            self.train_batcher._epoch_plan(), self.device_cache, self.train_ds
+        )
+        for group in _grouped(items, key_fn=lambda x: x[0], K=K):
+            cache = self.device_cache.caches[group[0][0]]
+            infos = [g[2] for g in group]
+            if len(group) == 1:
+                meta = self._put_meta(group[0][1])
+                yield infos, (lambda st, c=cache, m=meta: single_c(st, c, m))
+            else:
+                stacked = self._put_meta(
+                    {k: np.stack([g[1][k] for g in group]) for k in group[0][1]}
+                )
+                yield infos, (lambda st, c=cache, m=stacked: multi_c(st, c, m))
+
+    def _staged_mixed_train(self, K):
+        """Partial-cache dispatch groups: cached buckets run the device-gather
+        step, overflow buckets stage host batches (BucketBatcher._make_batch;
+        the native pipelined executor needs a whole-epoch plan, so the host
+        share of a mixed epoch takes the plain per-batch loader)."""
+        from multimodal_path_omic_tpu.data.device_cache import build_meta
+
+        single_c, multi_c = self._cached_steps
+        t = None if self.ge_mode else self.train_ds.table
+        cached_buckets = set(self.device_cache.caches)
+        k_cap = self._host_k_cap(K)
+
+        def _items():
+            for indices, bucket in self.train_batcher._epoch_plan():
+                yield (bucket in cached_buckets, bucket), indices, bucket
+
+        def _k_fn(item):
+            (is_cached, _), indices, bucket = item
+            if is_cached:
+                return K
+            # the byte cap expects a batch-like dict with bucket + wsi dim
+            dim = int(self.train_ds.bag(0).shape[1])
+            return k_cap({"bucket": bucket, "wsi": np.empty((0, 0, dim))})
+
+        for group in _grouped(_items(), key_fn=lambda x: x[0], K=K, k_fn=_k_fn):
+            (is_cached, bucket) = group[0][0]
+            if is_cached:
+                cache = self.device_cache.caches[bucket]
+                metas, infos = [], []
+                for _, indices, _b in group:
+                    meta, real = build_meta(indices, self.batch_size, self.device_cache)
+                    info = {"n_real": real, "weight": meta["weight"]}
+                    if t is not None:
+                        info["censorship"] = t.censorship[meta["row"]]
+                        info["survival_months"] = t.survival_months[meta["row"]]
+                    metas.append(meta)
+                    infos.append(info)
+                if len(group) == 1:
+                    meta = self._put_meta(metas[0])
+                    yield infos, (lambda st, c=cache, m=meta: single_c(st, c, m))
+                else:
+                    stacked = self._put_meta(
+                        {k: np.stack([m[k] for m in metas]) for k in metas[0]}
+                    )
+                    yield infos, (lambda st, c=cache, m=stacked: multi_c(st, c, m))
+            else:
+                batches = [
+                    self.train_batcher._make_batch(indices, b)
+                    for _, indices, b in group
+                ]
+                if len(batches) == 1:
+                    dev = self._device_batch(batches[0])
+                    yield batches, (lambda st, d=dev: self.train_step(st, d))
+                else:
+                    dev = self._device_batch(stack_batches(batches), stacked=True)
+                    yield batches, (lambda st, d=dev: self.multi_step(st, d))
+
     def train_epoch(self, epoch: int) -> Dict[str, float]:
         c = self.config
         # Metric scalars stay ON DEVICE during the epoch: reading them per
@@ -590,42 +742,14 @@ class Trainer:
         # only per-batch index metas are transferred.
         K = self.steps_per_dispatch
 
-        if self._ensure_device_cache():
-            from multimodal_path_omic_tpu.data.device_cache import build_meta
-
-            t = None if self.ge_mode else self.train_ds.table
-            single_c, multi_c = self._cached_steps
-
-            def _items():
-                for indices, bucket in self.train_batcher._epoch_plan():
-                    meta, real = build_meta(
-                        indices, self.batch_size, self.device_cache
-                    )
-                    info = {"n_real": real, "weight": meta["weight"]}
-                    if t is not None:
-                        info["censorship"] = t.censorship[meta["row"]]
-                        info["survival_months"] = t.survival_months[meta["row"]]
-                    yield bucket, meta, info
-
-            def _staged():
-                for group in _grouped(_items(), key_fn=lambda x: x[0], K=K):
-                    cache = self.device_cache.caches[group[0][0]]
-                    infos = [g[2] for g in group]
-                    if len(group) == 1:
-                        meta = group[0][1]
-                        yield infos, (
-                            lambda st, c=cache, m=meta: single_c(st, c, m)
-                        )
-                    else:
-                        stacked = {
-                            k: np.stack([g[1][k] for g in group])
-                            for k in group[0][1]
-                        }
-                        yield infos, (
-                            lambda st, c=cache, m=stacked: multi_c(st, c, m)
-                        )
-
-            feed = prefetch(_staged(), depth=c.tpu.prefetch)
+        engaged = self._ensure_device_cache()
+        if engaged and not self._cache_partial:
+            feed = prefetch(self._staged_cached_train(K), depth=c.tpu.prefetch)
+        elif engaged:
+            # partial cache: cached buckets gather on device, overflow
+            # buckets host-feed — intermediate throughput instead of the
+            # all-or-nothing cliff at budget+1 byte
+            feed = prefetch(self._staged_mixed_train(K), depth=c.tpu.prefetch)
         else:
 
             def _staged_host(batches):
@@ -642,7 +766,7 @@ class Trainer:
                         dev = self._device_batch(group[0])
                         yield group, (lambda st, d=dev: self.train_step(st, d))
                     else:
-                        dev = self._device_batch(stack_batches(group))
+                        dev = self._device_batch(stack_batches(group), stacked=True)
                         yield group, (lambda st, d=dev: self.multi_step(st, d))
 
             feed = prefetch(
@@ -769,9 +893,14 @@ class Trainer:
             from multimodal_path_omic_tpu.data.device_cache import build_meta
 
             t = None if self.ge_mode else self.val_ds.table
+            cached_buckets = set(self.device_cache_val.caches)
 
             def _items():
                 for indices, bucket in self.val_batcher._epoch_plan():
+                    if bucket not in cached_buckets:
+                        # partial cache: overflow buckets host-feed
+                        yield (False, bucket), indices, None
+                        continue
                     meta, real = build_meta(
                         indices, self.batch_size, self.device_cache_val
                     )
@@ -783,20 +912,26 @@ class Trainer:
                         info["label"] = self.val_ds.table.gene_expr_class[
                             meta["row"]
                         ]
-                    yield bucket, meta, info
+                    yield (True, bucket), meta, info
 
             for group in _grouped(_items(), key_fn=lambda x: x[0], K=K):
-                cache = self.device_cache_val.caches[group[0][0]]
+                (is_cached, bucket) = group[0][0]
+                if not is_cached:
+                    for _, indices, _info in group:
+                        batch = self.val_batcher._make_batch(indices, bucket)
+                        dev = self._device_batch(batch)
+                        yield [batch], self.eval_step(self.state.params, dev)
+                    continue
+                cache = self.device_cache_val.caches[bucket]
                 infos = [g[2] for g in group]
                 if len(group) == 1:
                     yield infos, self._cached_eval(
-                        self.state.params, cache, group[0][1]
+                        self.state.params, cache, self._put_meta(group[0][1])
                     )
                 else:
-                    stacked = {
-                        k: np.stack([g[1][k] for g in group])
-                        for k in group[0][1]
-                    }
+                    stacked = self._put_meta(
+                        {k: np.stack([g[1][k] for g in group]) for k in group[0][1]}
+                    )
                     yield infos, self._cached_eval_multi(
                         self.state.params, cache, stacked
                     )
@@ -814,7 +949,7 @@ class Trainer:
                 dev = self._device_batch(group[0])
                 yield group, self.eval_step(self.state.params, dev)
             else:
-                dev = self._device_batch(stack_batches(group))
+                dev = self._device_batch(stack_batches(group), stacked=True)
                 yield group, self.multi_eval(self.state.params, dev)
 
     def validate(self, epoch) -> Dict[str, float]:

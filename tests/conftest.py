@@ -37,3 +37,69 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 # Repo root on sys.path so `import multimodal_path_omic_tpu` works without install.
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+# ---------------------------------------------------------------------------
+# Test tiers. The full suite takes ~15-18 min on a 1-CPU host; the fast tier
+# (`pytest -m "not slow"`) keeps a broad correctness net in a few minutes.
+# Tier membership is centralized here (measured call durations, conftest is
+# the one place to re-tier) instead of scattering @pytest.mark.slow across
+# files; tests may still carry explicit markers.
+_SLOW_TESTS = {
+    # multi-device / mesh e2e (full Trainer runs over 8 virtual devices)
+    "test_ge_ring_mesh_training_step",
+    "test_dryrun_multichip_entrypoint",
+    "test_mcat_with_ring_mesh_matches_plain",
+    "test_ge_model_with_ring_mesh_matches_plain",
+    "test_trainer_ge_sequence_parallel_e2e",
+    "test_trainer_mcat_sequence_parallel_e2e",
+    "test_trainer_data_parallel_e2e",
+    "test_ring_attention_no_mask",
+    # torch-reference gradient parity (builds + runs the actual reference)
+    "test_mcat_ces_gradient_parity",
+    "test_ge_nacagat_ce_gradient_parity",
+    "test_nacagat_cesar_gradient_parity",
+    # trainer e2e flows
+    "test_compilation_cache_dir_knob",
+    "test_bfloat16_compute_eval_parity_tolerance",
+    "test_bfloat16_compute_e2e",
+    "test_device_cache_multi_bucket_identical",
+    "test_resume_equals_uninterrupted_training",
+    "test_auto_dispatch_byte_cap",
+    "test_device_cache_with_multi_step_dispatch",
+    "test_device_cache_training_identical",
+    "test_ge_device_cache_training_identical",
+    "test_device_cache_with_leave_one_out_export",
+    "test_long_soak_training_stays_finite",
+    "test_trainer_native_pipeline_on_off_identical",
+    "test_trainer_steps_per_dispatch_e2e",
+    "test_mcat_learns_planted_signal_well",
+    "test_bag_beyond_largest_bucket_trains",
+    "test_checkpoint_save_restore",
+    "test_exp_scheduler_decays_lr",
+    "test_nacagat_cesar_end_to_end",
+    "test_mcat_end_to_end",
+    # quantization e2e
+    "test_int8_cache_equals_int8_transfer_exactly",
+    "test_int8_transfer_e2e_learns",
+    # kernels-in-model e2e
+    "test_mcat_with_pallas_coattention_matches_xla_path",
+    # model shape sweeps
+    "test_mcat_shapes",
+    "test_mcat_padding_invariance",
+    "test_ge_padding_invariance",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    import pytest as _pytest
+
+    for item in items:
+        base = item.name.split("[")[0]
+        if base in _SLOW_TESTS:
+            item.add_marker(_pytest.mark.slow)
+        if "multihost" in item.nodeid:
+            item.add_marker(_pytest.mark.slow)
+            item.add_marker(_pytest.mark.multihost)
+        if "test_kernels_tpu" in item.nodeid:
+            item.add_marker(_pytest.mark.tpu)

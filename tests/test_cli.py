@@ -89,6 +89,12 @@ def test_cli_override_on_off_spellings():
     cfg = Config()
     _apply_override(cfg, "tpu.device_cache", "on")
     assert cfg.tpu.device_cache == "on"
+    # casing is normalized ("On" must not silently disable the cache) and
+    # typos fail at load time instead of becoming a silent "off"
+    _apply_override(cfg, "tpu.device_cache", "On")
+    assert cfg.tpu.device_cache == "on"
+    with pytest.raises(ValueError, match="device_cache"):
+        _apply_override(cfg, "tpu.device_cache", "onn")
     _apply_override(cfg, "tpu.use_native_pipeline", "off")
     assert cfg.tpu.use_native_pipeline is False
     _apply_override(cfg, "tpu.use_native_pipeline", "on")

@@ -849,3 +849,46 @@ def test_multi_eval_dispatch_equality_ge(tmp_path):
         outs.append(t.validate(0))
     assert np.isclose(outs[0]["val_loss"], outs[1]["val_loss"], atol=1e-6)
     assert outs[0]["val_accuracy"] == outs[1]["val_accuracy"]
+
+
+@pytest.mark.slow
+def test_partial_device_cache_matches_full(tmp_path):
+    """VERDICT r2 #5: a budget covering only part of the cohort must cache
+    the buckets that fit and host-feed the rest — same training math, no
+    all-or-nothing throughput cliff at budget+1 byte."""
+    csv, sig, patches = make_synthetic_cohort(
+        str(tmp_path), n_patients=24, bag_lengths=(48, 120), n_genes=24,
+        n_signatures=3, seed=5, signal_strength=2.0,
+    )
+
+    def run(budget, label):
+        raw = synthetic_config_dict(csv, sig, patches)
+        raw["model"]["model_size"] = "small"
+        raw["training"]["epochs"] = 2
+        raw["tpu"] = {
+            "bag_buckets": [64, 128], "batch_size": 8, "use_pallas": False,
+            "steps_per_dispatch": 8, "device_cache": "auto",
+            "device_cache_budget_bytes": budget,
+        }
+        cfg = config_from_dict(raw)
+        cfg.model.checkpoint_dir = os.path.join(str(tmp_path), f"ck_{label}")
+        cfg.training.test_output_dir = os.path.join(str(tmp_path), f"out_{label}")
+        t = Trainer(cfg, verbose=False)
+        out = t.fit()
+        flat = np.concatenate(
+            [np.asarray(p).ravel() for p in jax.tree_util.tree_leaves(t.state.params)]
+        )
+        return t, out, flat
+
+    t_full, out_full, p_full = run(4 << 30, "full")
+    assert not t_full._cache_partial
+    assert sorted(t_full.device_cache.caches) == [64, 128]
+
+    # ~5 MiB fits only the 64-bucket (24 bags x 64x1024 f32 ~ 6 MiB for 128)
+    t_part, out_part, p_part = run(5 << 20, "partial")
+    assert t_part._cache_partial, "partial caching should engage"
+    assert sorted(t_part.device_cache.caches) == [64]
+
+    np.testing.assert_allclose(p_part, p_full, atol=1e-7)
+    assert abs(out_part["train_loss"] - out_full["train_loss"]) < 1e-7
+    assert abs(out_part["val_loss"] - out_full["val_loss"]) < 1e-7
