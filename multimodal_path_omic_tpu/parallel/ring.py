@@ -103,10 +103,33 @@ def ring_self_attention(
     return fn(q, k, v, mask_f)
 
 
-def _cross_body(q, k, v, mask_f, axis_name: str, pre_gate: bool = False):
+def _cross_body(
+    q,
+    k,
+    v,
+    mask_f,
+    rng,
+    axis_name: str,
+    pre_gate: bool = False,
+    dropout_rate: float = 0.0,
+    need_ssq: bool = False,
+):
     """shard_map body for cross-attention: q [B, H, N, D] replicated, k/v
     [B, H, Ml, D] local shards. Local partial softmax stats merged across the
-    axis with pmax/psum (the 'reduce-scatter the output' scheme)."""
+    axis with pmax/psum (the 'reduce-scatter the output' scheme).
+
+    ``dropout_rate``: exact torch attention-probability dropout semantics
+    (reference blocks.py:188-192: probabilities dropped AFTER normalization,
+    kept ones scaled by 1/(1-p)) — the normalizer l uses the UNdropped sum,
+    so the mask can be applied to the unnormalized exponentials shard-locally
+    with the per-shard PRNG stream ``fold_in(rng, axis_index)`` (the same
+    seeding scheme the fused kernel uses per tile, ops/coattn.py:146).
+
+    ``need_ssq``: also return the per-query sum of squares of the FINAL
+    (post-dropout) attention weights [B, H, N] — all the cesar loss's
+    ||A||_2 penalty needs (reference loss.py:97-98) — without ever
+    materializing the full N x M map on any device.
+    """
     d = q.shape[-1]
     scale = 1.0 / (d**0.5)
     s = jnp.einsum(
@@ -131,13 +154,24 @@ def _cross_body(q, k, v, mask_f, axis_name: str, pre_gate: bool = False):
     m_global = jax.lax.pmax(m_local, axis_name)
     p = jnp.exp(s - m_global)
     l_local = jnp.sum(p, axis=-1, keepdims=True)
+    if dropout_rate > 0.0:
+        shard_rng = jax.random.fold_in(rng, jax.lax.axis_index(axis_name))
+        keep = jax.random.bernoulli(shard_rng, 1.0 - dropout_rate, p.shape)
+        p_used = jnp.where(keep, p / (1.0 - dropout_rate), 0.0)
+    else:
+        p_used = p
     o_local = jnp.einsum(
-        "bhnm,bhmd->bhnd", p, v, preferred_element_type=jnp.float32
+        "bhnm,bhmd->bhnd", p_used, v, preferred_element_type=jnp.float32
     )
     l_global = jax.lax.psum(l_local, axis_name)
     o_global = jax.lax.psum(o_local, axis_name)
     l_safe = jnp.where(l_global == 0.0, 1.0, l_global)
-    return (o_global / l_safe).astype(q.dtype)
+    out = (o_global / l_safe).astype(q.dtype)
+    if not need_ssq:
+        return out, jnp.zeros(q.shape[:-1], q.dtype)  # static-shape dummy
+    ssq_local = jnp.sum(p_used * p_used, axis=-1, keepdims=True)
+    ssq = jax.lax.psum(ssq_local, axis_name) / (l_safe * l_safe)
+    return out, ssq[..., 0].astype(q.dtype)
 
 
 def sequence_parallel_cross_attention(
@@ -148,17 +182,24 @@ def sequence_parallel_cross_attention(
     mesh: Mesh,
     seq_axis: str = "seq",
     pre_gate: bool = False,
-) -> jnp.ndarray:
+    dropout_rate: float = 0.0,
+    dropout_rng: Optional[jnp.ndarray] = None,
+    need_ssq: bool = False,
+):
     """Exact masked cross-attention with K/V sharded over ``seq_axis`` and the
     (few) queries replicated — the survival models' co-attention over
     mega-bags (N ~ 6 omic queries, M up to many chips' worth of patches).
 
     No rotation needed: each device attends over its local K/V shard and the
     softmax statistics merge with one pmax + two psums (O(N*D) bytes per
-    device, independent of M).
+    device, independent of M). Attention-probability dropout (the reference's
+    default p=0.25 training config, blocks.py:188-190) runs shard-locally
+    with a fold_in(rng, shard) PRNG stream — the seq-parallel path no longer
+    disengages when dropout is active.
 
     q: [B, H, N, D]; k, v: [B, H, M, D] (M divisible by the axis size);
-    key_mask: [B, M] bool or None. Returns [B, H, N, D] (replicated).
+    key_mask: [B, M] bool or None. Returns [B, H, N, D] (replicated), or
+    (out, ssq [B, H, N]) with ``need_ssq``.
     """
     b, h, n, d = q.shape
     m = k.shape[2]
@@ -168,18 +209,31 @@ def sequence_parallel_cross_attention(
     if key_mask is None:
         key_mask = jnp.ones((b, m), bool)
     mask_f = key_mask.astype(jnp.float32)
+    if dropout_rate > 0.0 and dropout_rng is None:
+        raise ValueError("dropout_rate > 0 needs dropout_rng")
+    rng = dropout_rng if dropout_rng is not None else jax.random.key(0)
 
     from jax.experimental.shard_map import shard_map
 
     fn = shard_map(
-        functools.partial(_cross_body, axis_name=seq_axis, pre_gate=pre_gate),
+        functools.partial(
+            _cross_body,
+            axis_name=seq_axis,
+            pre_gate=pre_gate,
+            dropout_rate=dropout_rate,
+            need_ssq=need_ssq,
+        ),
         mesh=mesh,
         in_specs=(
             P(None, None, None, None),
             P(None, None, seq_axis, None),
             P(None, None, seq_axis, None),
             P(None, seq_axis),
+            P(),
         ),
-        out_specs=P(None, None, None, None),
+        out_specs=(P(None, None, None, None), P(None, None, None)),
     )
-    return fn(q, k, v, mask_f)
+    out, ssq = fn(q, k, v, mask_f, rng)
+    if need_ssq:
+        return out, ssq
+    return out

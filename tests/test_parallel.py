@@ -594,3 +594,145 @@ def test_trainer_mesh_cached_multi_step_is_the_fast_path(tmp_path):
     # mesh vs single device: fp reduction-order noise only
     np.testing.assert_allclose(p_mesh, p_ref, atol=2e-4)
     assert abs(out_mesh["val_loss"] - out_ref["val_loss"]) < 1e-4
+
+
+def test_seq_parallel_cross_attention_dropout_exact_semantics():
+    """VERDICT r2 #2: attention-probability dropout on the seq-parallel path.
+    The shard-local fold_in(rng, shard) masks must reproduce EXACT torch
+    dropout semantics: probabilities dropped after normalization, kept ones
+    scaled 1/(1-p), normalizer from the UNdropped sum. Reconstructed on the
+    host bit-for-bit (up to reduction order) from the same PRNG streams."""
+    from multimodal_path_omic_tpu.parallel.ring import (
+        sequence_parallel_cross_attention,
+    )
+
+    rng = np.random.default_rng(33)
+    b, h, n, m, d = 2, 1, 6, 256, 32
+    n_seq = 4
+    rate = 0.25
+    q = jnp.array(rng.normal(size=(b, h, n, d)), jnp.float32)
+    k = jnp.array(rng.normal(size=(b, h, m, d)), jnp.float32)
+    v = jnp.array(rng.normal(size=(b, h, m, d)), jnp.float32)
+    key_mask = jnp.array(np.arange(m)[None, :] < 200, bool)
+    drop_key = jax.random.key(7)
+
+    mesh = make_mesh(data=2, seq=n_seq)
+    out, ssq = sequence_parallel_cross_attention(
+        q, k, v, key_mask, mesh, pre_gate=True,
+        dropout_rate=rate, dropout_rng=drop_key, need_ssq=True,
+    )
+
+    # host reconstruction with the same per-shard PRNG streams
+    scores = np.einsum("bhnd,bhmd->bhnm", np.asarray(q) / np.sqrt(d), np.asarray(k))
+    gate = (np.einsum(
+        "bhnd,bhmd->bhnm", np.tanh(np.asarray(q)), np.tanh(np.asarray(k))
+    ) + 1.0) / 2.0
+    scores = scores * gate
+    NEG = -0.7 * 3.4e38
+    scores = np.where(np.asarray(key_mask)[:, None, None, :], scores, NEG)
+    m_glob = scores.max(axis=-1, keepdims=True)
+    p = np.exp(scores - m_glob)
+    l_glob = p.sum(axis=-1, keepdims=True)
+    ml = m // n_seq
+    keep = np.concatenate(
+        [
+            np.asarray(
+                jax.random.bernoulli(
+                    jax.random.fold_in(drop_key, s), 1.0 - rate, (b, h, n, ml)
+                )
+            )
+            for s in range(n_seq)
+        ],
+        axis=-1,
+    )
+    p_used = np.where(keep, p / (1.0 - rate), 0.0)
+    ref_out = np.einsum("bhnm,bhmd->bhnd", p_used, np.asarray(v)) / l_glob
+    ref_ssq = (p_used**2).sum(axis=-1) / l_glob[..., 0] ** 2
+
+    np.testing.assert_allclose(np.asarray(out), ref_out, atol=3e-5)
+    np.testing.assert_allclose(np.asarray(ssq), ref_ssq, atol=3e-5)
+    # dropout actually dropped something
+    assert keep.mean() < 0.9
+
+
+def test_seq_parallel_cross_attention_dropout_grads_finite():
+    """Backward through the dropout-active seq-parallel path (the training
+    configuration): grads exist, are finite, and are zero where masks say."""
+    from multimodal_path_omic_tpu.parallel.ring import (
+        sequence_parallel_cross_attention,
+    )
+
+    rng = np.random.default_rng(34)
+    b, h, n, m, d = 1, 1, 4, 128, 16
+    q = jnp.array(rng.normal(size=(b, h, n, d)), jnp.float32)
+    k = jnp.array(rng.normal(size=(b, h, m, d)), jnp.float32)
+    v = jnp.array(rng.normal(size=(b, h, m, d)), jnp.float32)
+    mesh = make_mesh(data=1, seq=8)
+
+    def loss_fn(q, k, v):
+        out, ssq = sequence_parallel_cross_attention(
+            q, k, v, None, mesh, pre_gate=True,
+            dropout_rate=0.25, dropout_rng=jax.random.key(3), need_ssq=True,
+        )
+        return jnp.sum(out**2) + jnp.sum(ssq)
+
+    grads = jax.grad(loss_fn, argnums=(0, 1, 2))(q, k, v)
+    for g in grads:
+        assert np.all(np.isfinite(np.asarray(g)))
+        assert float(jnp.abs(g).max()) > 0.0
+
+
+@pytest.mark.slow
+def test_nacagat_train_step_seq_mesh_dropout_uses_seq_parallel_path(monkeypatch):
+    """A NaCAGaT cesar train step (dropout 0.25 ACTIVE, the reference's
+    default config) on a seq=2 mesh must run the purpose-built seq-parallel
+    co-attention — not silently fall back to the XLA einsum path
+    (VERDICT r2 #2 'done when')."""
+    from multimodal_path_omic_tpu.models import NaCAGaT
+    from multimodal_path_omic_tpu.parallel import ring
+    from multimodal_path_omic_tpu.train.loop import TrainState, make_train_step
+    from multimodal_path_omic_tpu.train.optim import make_optimizer
+
+    calls = []
+    real = ring.sequence_parallel_cross_attention
+
+    def spy(*args, **kwargs):
+        calls.append(kwargs.get("dropout_rate", 0.0))
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(ring, "sequence_parallel_cross_attention", spy)
+
+    rng = np.random.default_rng(35)
+    b, m = 4, 256
+    mesh = make_mesh(data=4, seq=2)
+    model = NaCAGaT(
+        n_signatures=len(OMIC_SIZES), model_size="small", use_pallas=False,
+        ring_mesh=mesh,
+    )
+    batch = {
+        "wsi": jnp.array(rng.normal(size=(b, m, 1024)), jnp.float32),
+        "mask": jnp.ones((b, m), bool),
+        "omics": [
+            jnp.array(rng.normal(size=(b, s)), jnp.float32) for s in OMIC_SIZES
+        ],
+        "label": jnp.array(rng.integers(0, 4, b), jnp.int32),
+        "censorship": jnp.array(rng.integers(0, 2, b), jnp.float32),
+        "survival_months": jnp.array(rng.uniform(1, 100, b), jnp.float32),
+        "weight": jnp.ones((b,), jnp.float32),
+    }
+    wsi0 = jnp.zeros((1, 128, 1024), jnp.float32)
+    omics0 = [jnp.zeros((1, s), jnp.float32) for s in OMIC_SIZES]
+    params = model.init(jax.random.key(0), wsi0, omics0)["params"]
+    opt = make_optimizer("adam", 1e-3)
+    state = TrainState(
+        params, opt.init(params), jax.random.key(1), jnp.zeros((), jnp.int32)
+    )
+    step = make_train_step(model, "cesar", opt)
+    with mesh:
+        state2, metrics = step(state, shard_batch(batch, mesh))
+        loss = float(metrics.loss)
+        attn_loss = float(metrics.attn_loss)
+    assert calls, "seq-parallel co-attention path did not engage"
+    assert any(r > 0 for r in calls), "dropout was not active on the seq path"
+    assert np.isfinite(loss)
+    assert attn_loss > 0.0, "cesar ssq penalty missing on the seq path"
