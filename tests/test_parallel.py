@@ -736,3 +736,54 @@ def test_nacagat_train_step_seq_mesh_dropout_uses_seq_parallel_path(monkeypatch)
     assert any(r > 0 for r in calls), "dropout was not active on the seq path"
     assert np.isfinite(loss)
     assert attn_loss > 0.0, "cesar ssq penalty missing on the seq path"
+
+
+@pytest.mark.slow
+def test_ring_attention_backward_memory_at_mega_bag():
+    """VERDICT r2 #4: the flash-tiled ring must keep backward memory sub-
+    quadratic at 8 x 24k patches. The compiled grad executable's temp
+    allocation must stay far below what materialized per-step probability
+    blocks would need (naive: >= n_steps x Ml^2 f32 saved for backward
+    ~ 600 MiB here; flash-tiled measured ~107 MiB total)."""
+    from multimodal_path_omic_tpu.parallel.ring import ring_self_attention
+
+    b, h, m, d = 1, 1, 24576, 128
+    mesh = make_mesh(data=1, seq=8)
+    q = jnp.zeros((b, h, m, d), jnp.float32)
+
+    def loss(q, k, v):
+        return jnp.sum(ring_self_attention(q, k, v, None, mesh) ** 2)
+
+    comp = jax.jit(jax.grad(loss, argnums=(0, 1, 2))).lower(q, q, q).compile()
+    temp = comp.memory_analysis().temp_size_in_bytes
+    assert temp < 256 * (1 << 20), f"ring backward temp {temp/(1<<20):.0f} MiB"
+
+
+def test_ring_attention_grads_match_local_reference():
+    """Gradients THROUGH the flash-tiled ring (checkpointed chunk scan +
+    ppermute rotation) match the dense local attention's gradients."""
+    from multimodal_path_omic_tpu.ops.attention import attention_core
+    from multimodal_path_omic_tpu.parallel.ring import ring_self_attention
+
+    rng = np.random.default_rng(44)
+    b, h, m, d = 1, 2, 128, 16
+    q = jnp.array(rng.normal(size=(b, h, m, d)), jnp.float32)
+    k = jnp.array(rng.normal(size=(b, h, m, d)), jnp.float32)
+    v = jnp.array(rng.normal(size=(b, h, m, d)), jnp.float32)
+    mask = jnp.array(np.arange(m)[None, :] < 100, bool)
+    mesh = make_mesh(data=2, seq=4)
+
+    def ring_loss(q, k, v):
+        return jnp.sum(ring_self_attention(q, k, v, mask, mesh) ** 2)
+
+    def ref_loss(q, k, v):
+        out, _ = attention_core(
+            q, k, v, mask, pre_gate=False, dropout_rate=0.0,
+            deterministic=True, need_weights=False,
+        )
+        return jnp.sum(out**2)
+
+    g_ring = jax.grad(ring_loss, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(ref_loss, argnums=(0, 1, 2))(q, k, v)
+    for a, r in zip(g_ring, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r), atol=5e-4)
