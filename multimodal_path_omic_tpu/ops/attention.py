@@ -217,6 +217,21 @@ class MultiheadAttention(nn.Module):
 
             out_h = fused_attention(qh, kh, vh, key_mask, pre_gate=self.pre_gate)
             weights = None
+        elif (
+            self.use_pallas
+            and need_weights is True
+            and not dropout_active
+            and not self_attn
+        ):
+            # attention-map EXPORT: chunked two-pass weights emission — the
+            # N x M map is streamed tile-by-tile to HBM as the final artifact
+            # (scores + pre-gate never materialize); off-eligible shapes fall
+            # back to the XLA core inside (SURVEY §7.1, VERDICT r2 #6)
+            from multimodal_path_omic_tpu.ops.coattn import attention_with_weights
+
+            out_h, weights = attention_with_weights(
+                qh, kh, vh, key_mask, pre_gate=self.pre_gate
+            )
         else:
             out_h, weights = attention_core(
                 qh,

@@ -543,6 +543,140 @@ def coattention(
 
 
 # =============================================================================
+# Chunked attention-weights emission (export/inference path)
+# =============================================================================
+
+
+def _make_weights_kernel(*, sm_scale: float, pre_gate: bool):
+    """Pass-2 kernel: recompute each score tile from the pass-1 (l, m) stats
+    and stream the NORMALIZED [NP, block_k] weight tile straight to its HBM
+    output slot — the full N x M map exists only as the final artifact, never
+    as a compute intermediate (and the pre-gate never materializes at all)."""
+
+    def kernel(q_ref, k_ref, mask_ref, l_ref, m_ref, w_ref):
+        q = q_ref[0]  # [NP, D]
+        k = k_ref[0]  # [BK, D]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * sm_scale
+        if pre_gate:
+            p_gate = jax.lax.dot_general(
+                jnp.tanh(q), jnp.tanh(k), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            s = s * (p_gate + 1.0) * 0.5
+        mask = mask_ref[0, 0]
+        s = jnp.where(mask[None, :] > 0, s, NEG)
+        l_vec = l_ref[0, 0][:, None]
+        m_vec = m_ref[0, 0][:, None]
+        l_inv = jnp.where(l_vec == 0.0, 1.0, 1.0 / l_vec)
+        w_ref[0] = (jnp.exp(s - m_vec) * l_inv).astype(w_ref.dtype)
+
+    return kernel
+
+
+def coattention_weights(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    key_mask: Optional[jnp.ndarray],
+    *,
+    pre_gate: bool = False,
+    block_k: int = DEFAULT_BLOCK_K,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Full normalized attention weights [B, N, M] via the two-pass kernel:
+    pass 1 runs the fused online-softmax forward for the per-row (l, m)
+    stats; pass 2 re-derives each tile and emits it chunked ([N, block_k]
+    tiles to HBM). This is the attention-map EXPORT path (reference
+    ``need_weights=inference``, mcat.py:97; SURVEY §7.1 'weights-emitting
+    path (chunked)') — export semantics at any M without the XLA
+    score-materializing fallback. Inference-only (no VJP)."""
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    b, n, d = q.shape
+    m_len = k.shape[1]
+    sm_scale = 1.0 / (d**0.5)
+    block_k = min(block_k, 1024)
+    np_ = max(LANES, _round_up(n, LANES))
+    if np_ != n:
+        q = jnp.pad(q, ((0, 0), (0, np_ - n), (0, 0)))
+    bk = min(block_k, m_len)
+    m_pad = _round_up(m_len, bk)
+    if m_pad != m_len:
+        k = jnp.pad(k, ((0, 0), (0, m_pad - m_len), (0, 0)))
+        if key_mask is None:
+            key_mask = jnp.concatenate(
+                [jnp.ones((b, m_len), bool), jnp.zeros((b, m_pad - m_len), bool)],
+                axis=1,
+            )
+        else:
+            key_mask = jnp.pad(key_mask, ((0, 0), (0, m_pad - m_len)))
+    if key_mask is None:
+        mask_f = jnp.ones((b, 1, m_pad), jnp.float32)
+    else:
+        mask_f = key_mask.astype(jnp.float32)[:, None, :]
+
+    # pass 1: (l, m) stats from the fused forward (values V are not needed —
+    # pass a zero-strided dummy of K's shape)
+    _, l, m_stat, _ = _coattn_fwd_impl(
+        q, k, jnp.zeros_like(k), mask_f, None, pre_gate=pre_gate, block_k=bk,
+        interpret=interpret, dropout_rate=0.0, emit_ssq=False,
+    )
+
+    kernel = _make_weights_kernel(sm_scale=sm_scale, pre_gate=pre_gate)
+    w = pl.pallas_call(
+        kernel,
+        grid=(b, m_pad // bk),
+        in_specs=[
+            pl.BlockSpec((1, np_, d), lambda b_, j: (b_, 0, 0)),
+            pl.BlockSpec((1, bk, d), lambda b_, j: (b_, j, 0)),
+            pl.BlockSpec((1, 1, bk), lambda b_, j: (b_, 0, j)),
+            pl.BlockSpec((1, 1, np_), lambda b_, j: (b_, 0, 0)),
+            pl.BlockSpec((1, 1, np_), lambda b_, j: (b_, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, np_, bk), lambda b_, j: (b_, 0, j)),
+        out_shape=jax.ShapeDtypeStruct((b, np_, m_pad), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(q, k, mask_f, l, m_stat)
+    return w[:, :n, :m_len]
+
+
+def attention_with_weights(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    key_mask: Optional[jnp.ndarray] = None,
+    *,
+    pre_gate: bool = False,
+):
+    """Kernel-path (out, weights [B, H, N, M]) for need_weights=True export
+    shapes: weights via the chunked two-pass emission, output via one einsum
+    over the emitted weights (so out and weights are exactly consistent).
+    Falls back to the XLA core off-eligible shapes."""
+    b, h, n, d = q.shape
+    m_len = k.shape[2]
+    if not kernel_eligible(n, m_len, d):
+        DISPATCH_COUNTS["xla"] += 1
+        return attention_core(
+            q, k, v, key_mask, pre_gate=pre_gate, dropout_rate=0.0,
+            deterministic=True, need_weights=True,
+        )
+    DISPATCH_COUNTS["kernel"] += 1
+    qf = q.reshape(b * h, n, d)
+    kf = k.reshape(b * h, m_len, d)
+    mf = None
+    if key_mask is not None:
+        mf = jnp.repeat(key_mask, h, axis=0) if h > 1 else key_mask
+    w = coattention_weights(qf, kf, mf, pre_gate=pre_gate)
+    w = w.reshape(b, h, n, m_len)
+    out = jnp.einsum("bhnm,bhmd->bhnd", w, v)
+    return out.astype(q.dtype), w
+
+
+# =============================================================================
 # Dispatcher used by ops.attention.MultiheadAttention
 # =============================================================================
 
