@@ -91,10 +91,13 @@ class DeviceBagCache:
                 np.asarray(extras["survival_months"]), "survival_months"
             )
 
-        if store_dtype not in ("float32", "int8"):
-            raise ValueError(f"store_dtype must be float32 or int8, got {store_dtype!r}")
+        if store_dtype not in ("float32", "bfloat16", "int8"):
+            raise ValueError(
+                f"store_dtype must be float32, bfloat16 or int8, got {store_dtype!r}"
+            )
         self.store_dtype = store_dtype
         int8 = store_dtype == "int8"
+        bf16 = store_dtype == "bfloat16"
         if int8:
             from multimodal_path_omic_tpu.data.quant import quantize_bag_int8
 
@@ -123,6 +126,11 @@ class DeviceBagCache:
                     q, scale = quantize_bag_int8(wsi)
                     parts_w.append(_put(q, "wsi"))
                     parts_s.append(_put(scale, "wsi_scale"))
+                elif bf16:
+                    # under default matmul precision the MXU consumes bf16
+                    # operands regardless — bf16 storage is the same math,
+                    # half the HBM, and no giant on-device convert
+                    parts_w.append(_put(wsi.astype(jnp.bfloat16), "wsi"))
                 else:
                     parts_w.append(_put(wsi, "wsi"))
                 parts_m.append(_put(mask, "mask"))
@@ -152,7 +160,8 @@ class DeviceBagCache:
         shards over every device). int8 stores 1 byte/element + a 4-byte f32
         scale per patch row. ``only_buckets`` restricts to a bucket subset
         (partial caching)."""
-        per_patch = dim + 4 if store_dtype == "int8" else dim * 4
+        bpe = {"int8": 1, "bfloat16": 2}.get(store_dtype, 4)
+        per_patch = dim + 4 if store_dtype == "int8" else dim * bpe
         keep = None if only_buckets is None else set(only_buckets)
         total = 0
         for m in lengths:
@@ -167,7 +176,8 @@ class DeviceBagCache:
         store_dtype: str = "float32",
     ) -> Dict[int, int]:
         """Per-bucket wsi cache bytes (for the partial-caching budget fit)."""
-        per_patch = dim + 4 if store_dtype == "int8" else dim * 4
+        bpe = {"int8": 1, "bfloat16": 2}.get(store_dtype, 4)
+        per_patch = dim + 4 if store_dtype == "int8" else dim * bpe
         out: Dict[int, int] = {}
         for m in lengths:
             b = bucket_for(int(m), tuple(buckets))

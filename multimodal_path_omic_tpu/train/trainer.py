@@ -124,6 +124,18 @@ class Trainer:
         self.verbose = verbose
         c = config
 
+        # "auto" feed dtypes resolve per backend: bf16 on TPU (the MXU
+        # consumes bf16 operands under default matmul precision anyway, so
+        # f32 feeding only buys a giant on-device convert — profiled ~19% of
+        # a B=256 step), f32 elsewhere (CPU tests keep exact f32 equality).
+        def _feed_dtype(name: str) -> str:
+            if name == "auto":
+                return "bfloat16" if jax.default_backend() == "tpu" else "float32"
+            return name
+
+        self.transfer_dtype = _feed_dtype(c.tpu.transfer_dtype)
+        self.cache_dtype = _feed_dtype(c.tpu.cache_dtype)
+
         self.ge_mode = _is_ge(c.model.name)
         if self.ge_mode and c.training.loss != "ce":
             # faithful to the GE driver's restriction (ge_nacagat/main.py:32-35)
@@ -379,7 +391,7 @@ class Trainer:
         )
         all_lengths = np.concatenate([lengths, val_lengths])
         dim = int(self.train_ds.bag(0).shape[1])
-        cache_dtype = c.tpu.cache_dtype
+        cache_dtype = self.cache_dtype
         n_mesh = 1 if self.mesh is None else int(np.prod(list(self.mesh.shape.values())))
         budget = c.tpu.device_cache_budget_bytes * n_mesh  # per-device budget
         per_bucket = DeviceBagCache.bucket_bytes(
@@ -590,10 +602,10 @@ class Trainer:
         # host numpy memory), or block on the H2D transfer so the bytes are on
         # device before the slot can be recycled.
         aliased = bool(batch.pop("aliased", False))
-        if self.config.tpu.transfer_dtype == "bfloat16":
+        if self.transfer_dtype == "bfloat16":
             batch["wsi"] = np.asarray(batch["wsi"], np.float32).astype(jnp.bfloat16)
             aliased = False  # astype copied
-        elif self.config.tpu.transfer_dtype == "int8":
+        elif self.transfer_dtype == "int8":
             # quarter H2D bytes: per-patch symmetric int8 (data/quant.py); the
             # jitted steps dequantize on device (loop.py::_dequant_wsi)
             from multimodal_path_omic_tpu.data.quant import quantize_bag_int8

@@ -9,7 +9,14 @@ H2D / on-device-gather bytes and ~4x more cohort per device-cache budget.
 import numpy as np
 import pytest
 
+import os
+
+from multimodal_path_omic_tpu.config import config_from_dict
 from multimodal_path_omic_tpu.data.quant import dequantize, quantize_bag_int8
+from multimodal_path_omic_tpu.data.synthetic import (
+    make_synthetic_cohort,
+    synthetic_config_dict,
+)
 from multimodal_path_omic_tpu.train.trainer import Trainer
 
 from test_train import _make_cfg
@@ -130,6 +137,58 @@ def test_config_rejects_bad_dtypes():
     with pytest.raises(ValueError, match="transfer_dtype"):
         TpuConfig(transfer_dtype="int4")
     with pytest.raises(ValueError, match="cache_dtype"):
-        TpuConfig(cache_dtype="bfloat16")
+        TpuConfig(cache_dtype="fp16")
     with pytest.raises(ValueError, match="compute_dtype"):
         TpuConfig(compute_dtype="fp8")
+
+
+@pytest.mark.slow
+def test_bfloat16_cache_and_transfer_train_close_to_f32(tmp_path):
+    """cache_dtype/transfer_dtype "bfloat16" (the TPU "auto" resolution):
+    training stays finite and lands near the f32 run. Under default TPU
+    matmul precision bf16 feeding is the same math as f32 feeding; on CPU
+    (true f32 matmuls) it differs only by the storage rounding, so the
+    comparison here is a closeness bar, not exact equality."""
+    csv, sig, patches = make_synthetic_cohort(
+        str(tmp_path), n_patients=16, bag_lengths=(48, 96), n_genes=24,
+        n_signatures=3, seed=7, signal_strength=2.0,
+    )
+
+    def run(cache, transfer, label):
+        raw = synthetic_config_dict(csv, sig, patches)
+        raw["model"]["model_size"] = "small"
+        raw["training"]["epochs"] = 2
+        raw["tpu"] = {
+            "bag_buckets": [128], "batch_size": 8, "use_pallas": False,
+            "cache_dtype": cache, "transfer_dtype": transfer,
+            "device_cache": "on" if cache != "off" else "off",
+        }
+        cfg = config_from_dict(raw)
+        cfg.model.checkpoint_dir = os.path.join(str(tmp_path), f"ck_{label}")
+        cfg.training.test_output_dir = os.path.join(str(tmp_path), f"o_{label}")
+        t = Trainer(cfg, verbose=False)
+        assert t.cache_dtype == cache and t.transfer_dtype == transfer
+        return t.fit()
+
+    ref = run("float32", "float32", "f32")
+    bf = run("bfloat16", "bfloat16", "bf16")
+    assert np.isfinite(bf["train_loss"]) and np.isfinite(bf["val_loss"])
+    assert abs(bf["train_loss"] - ref["train_loss"]) < 0.05
+    assert abs(bf["val_loss"] - ref["val_loss"]) < 0.05
+
+
+def test_auto_dtypes_resolve_to_f32_on_cpu(tmp_path):
+    """"auto" transfer/cache dtypes resolve per backend (f32 on CPU, bf16 on
+    TPU) so CPU equality tests stay exact while TPU runs get convert-free
+    MXU feeding by default."""
+    csv, sig, patches = make_synthetic_cohort(
+        str(tmp_path), n_patients=4, bag_lengths=(48,), n_genes=12,
+        n_signatures=2, seed=8,
+    )
+    raw = synthetic_config_dict(csv, sig, patches)
+    raw["model"]["model_size"] = "small"
+    cfg = config_from_dict(raw)
+    assert cfg.tpu.transfer_dtype == "auto" and cfg.tpu.cache_dtype == "auto"
+    t = Trainer(cfg, verbose=False)
+    assert t.transfer_dtype == "float32"
+    assert t.cache_dtype == "float32"
