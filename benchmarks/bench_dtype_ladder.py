@@ -1,0 +1,127 @@
+"""Feed/compute dtype ladder — the round-3 MFU benchmark.
+
+Measures the MCAT train step (fwd+bwd+adam, K=8 multi-step dispatch) at a
+given batch size for one arm of the ladder:
+
+* ``--wsi f32|bf16``  — feed dtype of the patch embeddings. Under default
+  TPU matmul precision the MXU consumes bf16 operands either way; f32
+  feeding merely inserts a whole-tensor on-device convert (profiled at
+  ~19% of a B=256 call). bf16 feeding is the framework's TPU default
+  (tpu.transfer_dtype/cache_dtype "auto").
+* ``--compute f32|bf16`` — activation dtype of the model layers (heads
+  stay f32). Pays off at large batch only (tpu.compute_dtype "auto"
+  enables it at B>=128 on TPU).
+
+One arm per PROCESS: the dev chip is time-shared and reloads programs on
+switches, so in-process interleaving of two compiled programs measures the
+switch cost, not the arms (round-3 finding). Run arms back-to-back and
+compare best-of-5 windows; re-run the pair when the chip is noisy.
+
+Measured 2026-08-17 (v5e, quiet windows, best-of-5, hard float() sync):
+  B=32 :  f32/f32 33.5-34.9k | bf16/f32 37.8-42.3k | bf16/bf16 33.2k (loses)
+  B=256:  f32/f32 38.5k      | bf16/f32 46.9-47.5k | bf16/bf16 54.0k
+54.0k bags/sec x 1.056 GFLOP/bag = 57 TFLOP/s ~ 29% MFU (v5e bf16 peak
+~197) — up from 18.4% in round 2.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+OMIC_SIZES = [100, 200, 300, 400, 500, 600]
+BUCKET = 512
+K = 8
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--wsi", choices=["f32", "bf16"], default="bf16")
+    ap.add_argument("--compute", choices=["f32", "bf16"], default="f32")
+    ap.add_argument("--windows", type=int, default=5)
+    ap.add_argument("--calls", type=int, default=16)
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_default_prng_impl", "rbg")
+    import jax.numpy as jnp
+
+    from multimodal_path_omic_tpu.models import MCAT
+    from multimodal_path_omic_tpu.train.loop import TrainState, make_multi_train_step
+    from multimodal_path_omic_tpu.train.optim import make_optimizer
+
+    B = args.batch
+    rng = np.random.default_rng(0)
+    mask = np.zeros((B, BUCKET), bool)
+    mask[:, :500] = True
+    wsi = jnp.asarray(rng.normal(size=(B, BUCKET, 1024)).astype(np.float32))
+    batch = {
+        "wsi": wsi.astype(jnp.bfloat16) if args.wsi == "bf16" else wsi,
+        "mask": jnp.asarray(mask),
+        "omics": [
+            jnp.asarray(rng.normal(size=(B, s)).astype(np.float32))
+            for s in OMIC_SIZES
+        ],
+        "label": jnp.asarray(rng.integers(0, 4, B).astype(np.int32)),
+        "censorship": jnp.asarray(rng.integers(0, 2, B).astype(np.float32)),
+        "survival_months": jnp.asarray(rng.uniform(1, 100, B).astype(np.float32)),
+        "weight": jnp.ones((B,), jnp.float32),
+    }
+    model = MCAT(
+        n_signatures=len(OMIC_SIZES), model_size="medium", use_pallas=True,
+        dtype=jnp.bfloat16 if args.compute == "bf16" else None,
+    )
+    optimizer = make_optimizer("adam", 2e-4, 1e-5)
+    params = jax.jit(
+        lambda r: model.init(
+            r, batch["wsi"].astype(jnp.float32), batch["omics"], batch["mask"]
+        )
+    )(jax.random.key(0))["params"]
+    state = TrainState(
+        params, optimizer.init(params), jax.random.key(1), jnp.zeros((), jnp.int32)
+    )
+    step = make_multi_train_step(model, "ces", optimizer, donate_state=True)
+    stacked = {
+        k: (
+            [jnp.broadcast_to(o, (K,) + o.shape) for o in v]
+            if k == "omics"
+            else jnp.broadcast_to(v, (K,) + v.shape)
+        )
+        for k, v in batch.items()
+    }
+    state, m = step(state, stacked)
+    float(m.loss[-1])
+    for _ in range(3):
+        state, m = step(state, stacked)
+    float(m.loss[-1])
+    best = 0.0
+    for _ in range(args.windows):
+        t0 = time.perf_counter()
+        for _ in range(args.calls):
+            state, m = step(state, stacked)
+        float(m.loss[-1])  # hard sync (block_until_ready lies on this backend)
+        best = max(best, args.calls * K * B / (time.perf_counter() - t0))
+    gflop_per_bag = 1.056  # XLA cost_analysis, single 32-bag step / 32
+    print(
+        json.dumps(
+            {
+                "batch": B,
+                "wsi": args.wsi,
+                "compute": args.compute,
+                "bags_per_sec": round(best, 1),
+                "tflops": round(best * gflop_per_bag / 1000.0, 1),
+                "mfu_pct": round(best * gflop_per_bag / 1000.0 / 197.0 * 100, 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

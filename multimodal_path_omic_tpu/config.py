@@ -135,9 +135,14 @@ class TpuConfig:
     # keeps its optimizer-update cadence here without also setting this.
     # Setting it explicitly overrides grad_acc_step.
     batch_size: int = 0
-    # Compute dtype for matmuls: "float32" (recommended; on TPU the MXU
-    # already runs bf16 passes at default precision) or "bfloat16".
-    compute_dtype: str = "float32"
+    # Compute dtype for layer activations: "auto", "float32" or "bfloat16".
+    # Survival heads always stay f32 (bf16 sigmoid saturates, round-2 fix).
+    # "auto" (default) = bfloat16 on TPU when the device batch is >= 128
+    # (measured +14% at B=256 on top of bf16 feeding; cast overhead LOSES
+    # ~12% at B=32), float32 otherwise. On TPU the MXU runs bf16 matmul
+    # passes at default precision either way — this knob additionally makes
+    # the elementwise/normalization chain bf16 (halved HBM traffic).
+    compute_dtype: str = "auto"
     # XLA matmul precision: "default" (fast bf16 MXU passes) or "highest"
     # (true f32 accumulation — use for strict numerics parity runs).
     matmul_precision: str = "default"
@@ -195,9 +200,10 @@ class TpuConfig:
     compilation_cache_dir: str = ""
 
     def __post_init__(self):
-        if self.compute_dtype not in ("float32", "bfloat16"):
+        if self.compute_dtype not in ("auto", "float32", "bfloat16"):
             raise ValueError(
-                f'compute_dtype must be "float32" or "bfloat16", got {self.compute_dtype!r}'
+                f'compute_dtype must be "auto", "float32" or "bfloat16", '
+                f"got {self.compute_dtype!r}"
             )
         if self.transfer_dtype not in ("auto", "float32", "bfloat16", "int8"):
             raise ValueError(

@@ -192,3 +192,4 @@ def test_auto_dtypes_resolve_to_f32_on_cpu(tmp_path):
     t = Trainer(cfg, verbose=False)
     assert t.transfer_dtype == "float32"
     assert t.cache_dtype == "float32"
+    assert t.compute_dtype == "float32"  # auto: bf16 only on TPU at B>=128
