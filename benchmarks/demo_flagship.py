@@ -39,8 +39,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--workdir", default="/tmp/mpot_flagship")
     ap.add_argument("--patients", type=int, default=64)
-    ap.add_argument("--epochs", type=int, default=8)
-    ap.add_argument("--resume-at", type=int, default=4)
+    ap.add_argument("--epochs", type=int, default=16)
+    ap.add_argument("--resume-at", type=int, default=8)
     args = ap.parse_args()
 
     from multimodal_path_omic_tpu.config import config_from_dict
@@ -77,7 +77,7 @@ def main():
         )
         raw["training"].update(
             epochs=epochs, loss="ces", optimizer="adam", lr=2e-4,
-            grad_acc_step=16, leave_one_out="P000", output_attn_epoch=epochs,
+            grad_acc_step=8, leave_one_out="P000", output_attn_epoch=epochs,
             test_output_dir=os.path.join(wd, "outputs"),
         )
         raw["tpu"] = {
