@@ -1180,6 +1180,13 @@ class Trainer:
             step=jnp.asarray(payload["step"], jnp.int32),
         )
         self.starting_epoch = int(payload["epoch"])
+        if self.config.training.bug_compat:
+            # reference quirk: it saves the 0-indexed epoch it just finished
+            # (mcat/main.py:96) and restores starting_epoch straight from it
+            # (main.py:309-312, 323) — so a resumed run RE-TRAINS the saved
+            # epoch. The payload stores epoch+1 (the fixed semantics);
+            # subtract it back under --bug-compat.
+            self.starting_epoch = max(0, self.starting_epoch - 1)
         # resume must reproduce the shuffle order an uninterrupted run would
         # use at this epoch (the batcher seeds each epoch as seed + epoch)
         self.train_batcher._epoch = self.starting_epoch
@@ -1200,7 +1207,14 @@ class Trainer:
             fusion=self.config.model.fusion,
         )
         self.state = self.state._replace(params=params["params"])
-        self.starting_epoch = int(payload.get("epoch", 0))
+        # a reference checkpoint's 'epoch' is the 0-indexed epoch it finished
+        # (mcat/main.py:96); resume at the NEXT one — unless --bug-compat,
+        # which keeps the reference's re-train-the-saved-epoch behavior
+        # (main.py:309-312, 323)
+        saved = int(payload.get("epoch", -1))
+        self.starting_epoch = max(
+            0, saved + (0 if self.config.training.bug_compat else 1)
+        )
         self.train_batcher._epoch = self.starting_epoch
 
     # -------------------------------------------------------------------- fit

@@ -111,6 +111,32 @@ def test_checkpoint_save_restore(tmp_path):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
+def test_bug_compat_resume_retrains_saved_epoch(tmp_path):
+    """--bug-compat resume replicates the reference's quirk: it saves the
+    0-indexed epoch it just finished (mcat/main.py:96) and restores
+    starting_epoch straight from it (main.py:309-312, 323), so the resumed
+    run RE-TRAINS the saved epoch. Default (fixed) semantics resume at the
+    next epoch instead."""
+    cfg = _make_cfg(tmp_path, epochs=2)
+    t = Trainer(cfg, verbose=False)
+    t.fit()
+    path = t.save(1, 0.0)  # finished 0-indexed epoch 1
+    from multimodal_path_omic_tpu.train import checkpoint as ckpt
+
+    ckpt.wait_for_checkpoints()
+
+    cfg_fixed = _make_cfg(tmp_path, epochs=4)
+    t_fixed = Trainer(cfg_fixed, verbose=False)
+    t_fixed.restore(path)
+    assert t_fixed.starting_epoch == 2  # next epoch
+
+    cfg_bc = _make_cfg(tmp_path, epochs=4, training_kw={"bug_compat": True})
+    t_bc = Trainer(cfg_bc, verbose=False)
+    t_bc.restore(path)
+    assert t_bc.starting_epoch == 1  # re-trains epoch 1, like the reference
+    assert t_bc.train_batcher._epoch == 1
+
+
 @pytest.mark.parametrize("fmt", ["npy", "pt"])
 def test_leave_one_out_attention_export(tmp_path, fmt):
     cfg = _make_cfg(tmp_path, epochs=1)
