@@ -284,10 +284,11 @@ class Trainer:
             step=jnp.zeros((), jnp.int32),
         )
         self.starting_epoch = 0
-        if self.mesh is not None:
-            from multimodal_path_omic_tpu.parallel.mesh import replicate
-
-            self.state = replicate(self.state, self.mesh)
+        # commit the fresh state to its canonical placement: checkpoint
+        # restores hand back COMMITTED arrays (orbax), and jax lowers key
+        # inputs differently by commitment — unifying placement here keeps
+        # fresh and resumed runs byte-identical programs (see _place_state)
+        self.state = self._place_state(self.state)
 
         # checkpoint restore (mcat/main.py:261-266, 309-312)
         if c.model.load_from_checkpoint:
@@ -1159,6 +1160,21 @@ class Trainer:
             block=False,
         )
 
+    def _place_state(self, state: TrainState) -> TrainState:
+        """Commit a (restored) state to the SAME placement a fresh trainer's
+        state has. Checkpoint restores hand back uncommitted arrays; feeding
+        those to the jitted steps changes the program's input-sharding
+        identity vs the fresh path, so every resumed run SILENTLY RECOMPILES
+        everything (in-process jit cache miss + new persistent-cache keys —
+        measured 103 s of avoidable compile on the flagship demo's resume
+        phase). device_put here makes resume and fresh runs byte-identical
+        programs."""
+        if self.mesh is not None:
+            from multimodal_path_omic_tpu.parallel.mesh import replicate
+
+            return replicate(state, self.mesh)
+        return jax.device_put(state, jax.devices()[0])
+
     def restore(self, path: str) -> None:
         if self.verbose:
             print(f"Loading model checkpoint from {path}")
@@ -1173,11 +1189,13 @@ class Trainer:
             "seed": 0,
         }
         payload = ckpt.restore_checkpoint(path, template)
-        self.state = TrainState(
-            params=payload["params"],
-            opt_state=payload["opt_state"],
-            rng=jax.random.wrap_key_data(jnp.asarray(payload["rng"])),
-            step=jnp.asarray(payload["step"], jnp.int32),
+        self.state = self._place_state(
+            TrainState(
+                params=payload["params"],
+                opt_state=payload["opt_state"],
+                rng=jax.random.wrap_key_data(jnp.asarray(payload["rng"])),
+                step=jnp.asarray(payload["step"], jnp.int32),
+            )
         )
         self.starting_epoch = int(payload["epoch"])
         if self.config.training.bug_compat:
@@ -1206,7 +1224,9 @@ class Trainer:
             n_signatures=len(self.omic_sizes),
             fusion=self.config.model.fusion,
         )
-        self.state = self.state._replace(params=params["params"])
+        self.state = self._place_state(
+            self.state._replace(params=params["params"])
+        )
         # a reference checkpoint's 'epoch' is the 0-indexed epoch it finished
         # (mcat/main.py:96); resume at the NEXT one — unless --bug-compat,
         # which keeps the reference's re-train-the-saved-epoch behavior

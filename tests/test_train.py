@@ -111,6 +111,42 @@ def test_checkpoint_save_restore(tmp_path):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
+def test_restored_trainer_lowers_identical_programs(tmp_path):
+    """A resumed run must HIT the compile caches, not silently recompile:
+    checkpoint restores hand back uncommitted arrays, and feeding those to
+    the jitted steps changes the program's input-sharding identity vs the
+    fresh path (caught on the flagship demo: 103 s of avoidable recompile on
+    the resume phase). Trainer._place_state commits restored state to the
+    fresh path's placement; this pins the fix by comparing lowered HLO."""
+    from multimodal_path_omic_tpu.data.device_cache import build_meta
+    from multimodal_path_omic_tpu.train import checkpoint as ckpt
+
+    cfg = _make_cfg(tmp_path, epochs=1)
+    cfg.tpu.device_cache = "on"
+    t1 = Trainer(cfg, verbose=False)
+    t1.fit()
+    path = t1.save(0, 0.0)
+    ckpt.wait_for_checkpoints()
+
+    cfg2 = _make_cfg(tmp_path, epochs=2)
+    cfg2.tpu.device_cache = "on"
+    cfg2.model.load_from_checkpoint = path
+    t2 = Trainer(cfg2, verbose=False)
+    t2._ensure_device_cache()
+
+    def lowered_text(t):
+        single_c, _ = t._cached_steps
+        bucket = next(iter(t.device_cache.caches))
+        meta, _ = build_meta(
+            list(range(t.batch_size)), t.batch_size, t.device_cache
+        )
+        return single_c.lower(
+            t.state, t.device_cache.caches[bucket], meta
+        ).as_text()
+
+    assert lowered_text(t1) == lowered_text(t2)
+
+
 def test_bug_compat_resume_retrains_saved_epoch(tmp_path):
     """--bug-compat resume replicates the reference's quirk: it saves the
     0-indexed epoch it just finished (mcat/main.py:96) and restores
