@@ -83,7 +83,9 @@ def main():
     # of device compute per step; docs/performance.md).
     from multimodal_path_omic_tpu.train.loop import make_multi_train_step
 
-    K = 8
+    # K=32 measured best on this backend (41.9k @ K=8, 48.9k @ K=16,
+    # 56.0k @ K=32, K=64 regressed on the 2.1 GB stacked-operand staging)
+    K = int(os.environ.get("BENCH_K", "32"))
     step = make_multi_train_step(model, "ces", optimizer, donate_state=True)
     stacked = {
         k: (

@@ -42,7 +42,7 @@ K = 8
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=256)
-    ap.add_argument("--wsi", choices=["f32", "bf16"], default="bf16")
+    ap.add_argument("--wsi", choices=["f32", "bf16", "int8"], default="bf16")
     ap.add_argument("--compute", choices=["f32", "bf16"], default="f32")
     ap.add_argument("--windows", type=int, default=5)
     ap.add_argument("--calls", type=int, default=16)
@@ -61,7 +61,8 @@ def main():
     rng = np.random.default_rng(0)
     mask = np.zeros((B, BUCKET), bool)
     mask[:, :500] = True
-    wsi = jnp.asarray(rng.normal(size=(B, BUCKET, 1024)).astype(np.float32))
+    wsi_np = rng.normal(size=(B, BUCKET, 1024)).astype(np.float32)
+    wsi = jnp.asarray(wsi_np)
     batch = {
         "wsi": wsi.astype(jnp.bfloat16) if args.wsi == "bf16" else wsi,
         "mask": jnp.asarray(mask),
@@ -74,6 +75,16 @@ def main():
         "survival_months": jnp.asarray(rng.uniform(1, 100, B).astype(np.float32)),
         "weight": jnp.ones((B,), jnp.float32),
     }
+    if args.wsi == "int8":
+        # the framework's storage/transfer quantization (data/quant.py): the
+        # step dequantizes in-graph; the interesting question at large B is
+        # whether XLA's fused int8 load beats reading bf16 on the
+        # bandwidth-heavy first projection
+        from multimodal_path_omic_tpu.data.quant import quantize_bag_int8
+
+        q, scale = quantize_bag_int8(wsi_np)
+        batch["wsi"] = jnp.asarray(q)
+        batch["wsi_scale"] = jnp.asarray(scale)
     model = MCAT(
         n_signatures=len(OMIC_SIZES), model_size="medium", use_pallas=True,
         dtype=jnp.bfloat16 if args.compute == "bf16" else None,

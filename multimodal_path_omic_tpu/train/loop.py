@@ -195,16 +195,20 @@ def make_cached_train_step(
     )
 
 
-def _dequant_wsi(batch: Dict[str, Any]) -> Dict[str, Any]:
+def _dequant_wsi(batch: Dict[str, Any], dtype=None) -> Dict[str, Any]:
     """Dequantize an int8 wsi field in place (no-op for float batches). The
     convert+scale fuses into the first consumer under jit; int8 storage keeps
-    the gather / H2D traffic at a quarter of f32 (data/quant.py)."""
+    the gather / H2D traffic at a quarter of f32 (data/quant.py).
+
+    ``dtype`` is the model's compute dtype: when it trains in bf16 the
+    dequant goes STRAIGHT to bf16, skipping the f32 intermediate the model
+    would immediately down-cast anyway (q in [-127,127] is exact in bf16;
+    the scale multiply rounds once either way)."""
     if "wsi_scale" in batch:
+        dt = dtype or jnp.float32
         batch = dict(batch)
         scale = batch.pop("wsi_scale")
-        batch["wsi"] = batch["wsi"].astype(jnp.float32) * scale[..., None].astype(
-            jnp.float32
-        )
+        batch["wsi"] = batch["wsi"].astype(dt) * scale[..., None].astype(dt)
     return batch
 
 
@@ -297,7 +301,7 @@ def _build_step(
     grad_fn = jax.value_and_grad(forward_loss, has_aux=True)
 
     def _step_impl(state: TrainState, batch: Dict[str, Any]) -> Tuple[TrainState, StepMetrics]:
-        batch = _dequant_wsi(batch)
+        batch = _dequant_wsi(batch, getattr(model, "dtype", None))
         b, m = batch["wsi"].shape[0], batch["wsi"].shape[1]
         # static (trace-time) choice of accumulation chunks: largest divisor
         # of b whose chunk fits the patch budget
@@ -450,7 +454,7 @@ def make_eval_step(
     def eval_step(params, batch, *maybe_meta):
         if cached:
             batch = _gather_batch(batch, maybe_meta[0], ge_mode, mesh)
-        batch = _dequant_wsi(batch)
+        batch = _dequant_wsi(batch, getattr(model, "dtype", None))
         out = model.apply(
             {"params": params},
             batch["wsi"],

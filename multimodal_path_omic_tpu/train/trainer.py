@@ -94,14 +94,26 @@ _SPD_STACK_BYTES = 1 << 30
 
 def _grouped(items, key_fn, K, k_fn=None):
     """Group consecutive items sharing key_fn(item) into runs of exactly
-    k (k = k_fn(first) or K); leftovers yield as singles so no extra jit
-    traces are created by odd-sized groups."""
+    k (k = k_fn(first) or K); leftovers flush down a fixed size ladder
+    (k, 8, 1) so short runs still amortize dispatch without creating a jit
+    trace per odd group size — at most 3 group shapes exist per bucket."""
+
+    def _flush(pend, k):
+        # leftover run: largest ladder sizes first (8-chunks, then singles)
+        for size in (8, 1):
+            if size >= k:
+                continue
+            while len(pend) >= size:
+                yield pend[:size]
+                pend = pend[size:]
+        for p in pend:
+            yield [p]
+
     pend = []
     k_cur = K
     for it in items:
         if pend and key_fn(it) != key_fn(pend[0]):
-            for p in pend:
-                yield [p]
+            yield from _flush(pend, k_cur)
             pend = []
         if not pend:
             k_cur = k_fn(it) if k_fn is not None else K
@@ -109,8 +121,7 @@ def _grouped(items, key_fn, K, k_fn=None):
         if len(pend) >= k_cur:
             yield pend
             pend = []
-    for p in pend:  # leftovers run as single steps (no extra traces)
-        yield [p]
+    yield from _flush(pend, k_cur)
 
 
 def _is_ge(model_name: str) -> bool:
@@ -319,7 +330,11 @@ class Trainer:
         if self.n_processes > 1:
             spd = 1
         elif spd <= 0:
-            spd = 8  # auto: measured 1.5-2x on tunneled backends, neutral off
+            # auto: measured 1.5-2x over K=1 on tunneled backends at K=8
+            # (round 2), and a further +34% at K=32 on the headline bench
+            # (round 3: 41.9k -> 56.0k bags/sec; K=64 regressed on operand
+            # staging). Host-fed paths stay byte-capped by _host_k_cap.
+            spd = 32
         self.steps_per_dispatch = max(1, spd)
         self.multi_step = (
             make_multi_train_step(

@@ -111,6 +111,26 @@ def test_checkpoint_save_restore(tmp_path):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
+def test_grouped_dispatch_ladder():
+    """_grouped bounds jit traces to 3 group shapes per bucket (K, 8, 1)
+    while still amortizing short same-bucket runs: a 13-run at K=32 yields
+    one 8-group + 5 singles, not 13 singles."""
+    from multimodal_path_omic_tpu.train.trainer import _grouped
+
+    items = [("a", i) for i in range(13)] + [("b", i) for i in range(70)]
+    groups = list(_grouped(items, key_fn=lambda x: x[0], K=32))
+    sizes_a = [len(g) for g in groups if g[0][0] == "a"]
+    sizes_b = [len(g) for g in groups if g[0][0] == "b"]
+    assert sizes_a == [8, 1, 1, 1, 1, 1]
+    assert sizes_b == [32, 32, 1, 1, 1, 1, 1, 1]
+    assert [x for g in groups for x in g] == items  # order + completeness
+    # byte-capped k below 8 never emits 8-chunks
+    groups = list(
+        _grouped(items[:13], key_fn=lambda x: x[0], K=32, k_fn=lambda it: 4)
+    )
+    assert [len(g) for g in groups] == [4, 4, 4, 1]
+
+
 def test_restored_trainer_lowers_identical_programs(tmp_path):
     """A resumed run must HIT the compile caches, not silently recompile:
     checkpoint restores hand back uncommitted arrays, and feeding those to
