@@ -20,8 +20,12 @@ compare best-of-5 windows; re-run the pair when the chip is noisy.
 Measured 2026-08-17 (v5e, quiet windows, best-of-5, hard float() sync):
   B=32 :  f32/f32 33.5-34.9k | bf16/f32 37.8-42.3k | bf16/bf16 33.2k (loses)
   B=256:  f32/f32 38.5k      | bf16/f32 46.9-47.5k | bf16/bf16 54.0k
-54.0k bags/sec x 1.056 GFLOP/bag = 57 TFLOP/s ~ 29% MFU (v5e bf16 peak
-~197) — up from 18.4% in round 2.
+  B=256 --k 16:                                      bf16/bf16 55.4k
+  B=256 int8 feed (in-graph dequant):                int8/bf16 46.7-46.8k
+55.4k bags/sec x 1.056 GFLOP/bag = 58.5 TFLOP/s ~ 29.7% MFU (v5e bf16 peak
+~197) — up from 18.4% in round 2. int8 feeding LOSES at large B (the
+dequant costs more than the saved read bandwidth) — int8 remains a
+cache-capacity / H2D knob, not a throughput one.
 """
 
 import argparse
@@ -36,7 +40,6 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 OMIC_SIZES = [100, 200, 300, 400, 500, 600]
 BUCKET = 512
-K = 8
 
 
 def main():
@@ -46,7 +49,9 @@ def main():
     ap.add_argument("--compute", choices=["f32", "bf16"], default="f32")
     ap.add_argument("--windows", type=int, default=5)
     ap.add_argument("--calls", type=int, default=16)
+    ap.add_argument("--k", type=int, default=8, help="optimizer steps per dispatch")
     args = ap.parse_args()
+    K = args.k
 
     import jax
 
