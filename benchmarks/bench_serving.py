@@ -1,0 +1,111 @@
+"""Serving-path latency benchmark: HTTP round-trip on the scoring server.
+
+The reference has NO serving surface (its only inference is an offline loop
+printing to stdout, reference mcat/main.py:158-183); this measures what the
+rebuild adds: multimodal_path_omic_tpu/server.py on top of serve.Predictor
+(bucketed, padded, jitted-per-bucket inference).
+
+Starts the stdlib HTTP server in-process on a random port, then POSTs
+``/predict_npz`` (the binary path real embedding sizes need) with bags of
+several sizes and reports per-size p50/p95 round-trip latency — request
+serialization + HTTP + pad-to-bucket + H2D + jitted forward + D2H + JSON
+response. First request per bucket pays the compile; it is timed separately.
+
+Run:  python benchmarks/bench_serving.py [--sizes 500,4000,20000] [--n 20]
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import os
+import sys
+import tempfile
+import threading
+import time
+import urllib.request
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+OMIC_SIZES = [100, 200, 300, 400, 500, 600]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sizes", default="500,4000,20000")
+    ap.add_argument("--n", type=int, default=20, help="timed requests per size")
+    args = ap.parse_args()
+    sizes = [int(s) for s in args.sizes.split(",")]
+
+    from multimodal_path_omic_tpu.config import config_from_dict
+    from multimodal_path_omic_tpu.data.synthetic import (
+        make_synthetic_cohort,
+        synthetic_config_dict,
+    )
+    from multimodal_path_omic_tpu.serve import Predictor
+    from multimodal_path_omic_tpu.server import make_server
+
+    # minimal cohort just to build a config/model (weights are fresh — serving
+    # latency does not depend on training state)
+    wd = tempfile.mkdtemp(prefix="bench_serving_")
+    csv, sig, patches = make_synthetic_cohort(
+        wd, n_patients=8, bag_lengths=(64,), n_genes=60,
+        n_signatures=len(OMIC_SIZES), seed=0,
+    )
+    raw = synthetic_config_dict(csv, sig, patches)
+    raw["model"]["model_size"] = "medium"
+    raw["tpu"] = {"bag_buckets": sorted({1 << (s - 1).bit_length() for s in sizes})}
+    cfg = config_from_dict(raw)
+    predictor = Predictor.from_config(cfg)
+    omic_sizes = [o.shape[-1] for o in predictor._t._example_inputs()[1]]
+
+    server = make_server(predictor, port=0)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+
+    rng = np.random.default_rng(0)
+    rows = []
+    for m in sizes:
+        bag = rng.normal(size=(m, 1024)).astype(np.float32)
+        buf = io.BytesIO()
+        np.savez(
+            buf, wsi=bag,
+            **{
+                f"omic_{i}": rng.normal(size=(s,)).astype(np.float32)
+                for i, s in enumerate(omic_sizes)
+            },
+        )
+        payload = buf.getvalue()
+
+        def roundtrip():
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/predict_npz", data=payload,
+                headers={"Content-Type": "application/octet-stream"},
+            )
+            t0 = time.perf_counter()
+            with urllib.request.urlopen(req, timeout=600) as r:
+                body = json.loads(r.read())
+            assert "risk" in body or "probs" in body, body
+            return time.perf_counter() - t0
+
+        first = roundtrip()  # compile for this bucket
+        lat = sorted(roundtrip() for _ in range(args.n))
+        rows.append(
+            {
+                "patches": m,
+                "payload_mb": round(len(payload) / 1e6, 1),
+                "first_request_s": round(first, 2),
+                "p50_ms": round(lat[len(lat) // 2] * 1e3, 1),
+                "p95_ms": round(lat[int(len(lat) * 0.95) - 1] * 1e3, 1),
+            }
+        )
+        print(json.dumps(rows[-1]))
+    server.shutdown()
+    print(json.dumps({"metric": "serving_http_roundtrip", "rows": rows}))
+
+
+if __name__ == "__main__":
+    main()
