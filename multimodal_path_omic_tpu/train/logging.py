@@ -46,11 +46,11 @@ class MetricLogger:
                 print(f"wandb disabled ({exc})")
 
     def log(self, metrics: Dict[str, Any], step: Optional[int] = None):
-        if self._wandb is not None:
+        # epochs run after finish() (e.g. ad-hoc extra training on a fitted
+        # Trainer) must not crash on a finished run / closed sink
+        if self._wandb is not None and getattr(self._wandb, "run", None) is not None:
             self._wandb.log(metrics, step=step)
         if self._jsonl is not None and not self._jsonl.closed:
-            # epochs run after finish() (e.g. ad-hoc extra training on a
-            # fitted Trainer) must not crash on the closed sink
             rec = dict(metrics)
             if step is not None:
                 rec["step"] = step

@@ -1188,7 +1188,12 @@ class Trainer:
             from multimodal_path_omic_tpu.parallel.mesh import replicate
 
             return replicate(state, self.mesh)
-        return jax.device_put(state, jax.devices()[0])
+        if self.n_processes > 1:
+            # meshless multi-process feeding: jax.devices()[0] is
+            # non-addressable on processes > 0 — leave placement to jit
+            # (the multi-step/cache machinery is off in this mode anyway)
+            return state
+        return jax.device_put(state, jax.local_devices()[0])
 
     def restore(self, path: str) -> None:
         if self.verbose:

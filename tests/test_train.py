@@ -755,9 +755,19 @@ def test_wandb_logging_path_with_stub(tmp_path, monkeypatch):
     calls = {"init": [], "log": [], "finish": 0}
     stub = types.ModuleType("wandb")
     stub.Settings = lambda **kw: kw
-    stub.init = lambda **kw: calls["init"].append(kw)
+    stub.run = None  # like real wandb: set by init, cleared by finish
+
+    def _init(**kw):
+        calls["init"].append(kw)
+        stub.run = object()
+
+    def _finish():
+        calls["finish"] += 1
+        stub.run = None
+
+    stub.init = _init
     stub.log = lambda metrics, step=None: calls["log"].append((metrics, step))
-    stub.finish = lambda: calls.__setitem__("finish", calls["finish"] + 1)
+    stub.finish = _finish
     monkeypatch.setitem(sys.modules, "wandb", stub)
 
     logger = MetricLogger(
@@ -774,6 +784,11 @@ def test_wandb_logging_path_with_stub(tmp_path, monkeypatch):
     assert calls["init"][0]["config"]["model"] == "MCAT"
     assert ({"train_loss": 1.0, "train_c_index": 0.7}, 0) in calls["log"]
     assert calls["finish"] == 1
+    # post-finish logging (ad-hoc extra epochs on a fitted Trainer) must not
+    # hit the finished wandb run — and must not crash
+    n_logged = len(calls["log"])
+    logger.log({"train_loss": 0.5}, step=99)
+    assert len(calls["log"]) == n_logged
     # the JSONL sink recorded the same metrics
     import json as _json
 
