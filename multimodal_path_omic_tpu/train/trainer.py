@@ -236,6 +236,16 @@ class Trainer:
                     f"Mesh: data={c.tpu.data_axis} x seq={c.tpu.seq_axis} "
                     f"over {c.tpu.data_axis * c.tpu.seq_axis} devices"
                 )
+        elif self.n_processes > 1:
+            # without a cross-process mesh there is no gradient sync: each
+            # process would silently train a divergent replica on its data
+            # slice. Make the misconfiguration loud instead.
+            raise ValueError(
+                f"{self.n_processes} jax processes but tpu.data_axis="
+                f"{c.tpu.data_axis} x tpu.seq_axis={c.tpu.seq_axis} defines "
+                "no mesh — set the axes to span all devices (e.g. data_axis="
+                f"{jax.device_count()}) so gradients synchronize"
+            )
 
         # ----- model (mcat/main.py:254-259) --------------------------------
         # "auto" compute dtype: bf16 activations pay off only when the batch
