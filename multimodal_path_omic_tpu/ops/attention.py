@@ -30,7 +30,11 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from multimodal_path_omic_tpu.ops.layers import TorchLinear, masked_softmax
+from multimodal_path_omic_tpu.ops.layers import (
+    TorchLinear,
+    fast_keep_mask,
+    masked_softmax,
+)
 
 
 def xavier_uniform_packed_init(key, shape, dtype=jnp.float32):
@@ -83,10 +87,10 @@ def attention_core(
     mask4 = None if key_mask is None else key_mask[:, None, None, :]
     weights = masked_softmax(scores, mask4)
     if dropout_rate > 0.0 and not deterministic:
-        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, weights.shape)
+        keep, keep_prob = fast_keep_mask(dropout_rng, dropout_rate, weights.shape)
         # torch dropout semantics: returned weights are also the dropped ones
         # (blocks.py:188-201)
-        weights = jnp.where(keep, weights / (1.0 - dropout_rate), 0.0)
+        weights = jnp.where(keep, weights / keep_prob, 0.0)
     out = jnp.einsum("bhnm,bhmd->bhnd", weights, v)
     return out, (weights if need_weights else None)
 

@@ -13,7 +13,12 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from multimodal_path_omic_tpu.ops.layers import AlphaDropout, TorchLinear, masked_softmax
+from multimodal_path_omic_tpu.ops.layers import (
+    AlphaDropout,
+    FastDropout,
+    TorchLinear,
+    masked_softmax,
+)
 
 
 class AttentionNetGated(nn.Module):
@@ -36,8 +41,8 @@ class AttentionNetGated(nn.Module):
             TorchLinear(self.hidden_dim, dtype=self.dtype, name="attention_b")(x)
         )
         if self.dropout:
-            a = nn.Dropout(self.dropout_rate)(a, deterministic=deterministic)
-            b = nn.Dropout(self.dropout_rate)(b, deterministic=deterministic)
+            a = FastDropout(self.dropout_rate)(a, deterministic=deterministic)
+            b = FastDropout(self.dropout_rate)(b, deterministic=deterministic)
         scores = TorchLinear(self.n_classes, dtype=self.dtype, name="attention_c")(a * b)
         return scores, x
 
@@ -84,7 +89,7 @@ class GatedMILPool(nn.Module):
         pooled = jnp.einsum("bol,bld->bod", weights, h)[:, 0, :]  # [B, D]
         pooled = TorchLinear(self.dim, dtype=self.dtype, name="rho")(pooled)
         pooled = jax.nn.relu(pooled)
-        pooled = nn.Dropout(self.dropout_rate)(pooled, deterministic=deterministic)
+        pooled = FastDropout(self.dropout_rate)(pooled, deterministic=deterministic)
         return pooled, a
 
 
@@ -121,7 +126,7 @@ class WSIEncoder(nn.Module):
     @nn.compact
     def __call__(self, wsi: jnp.ndarray, deterministic: bool = True):
         h = jax.nn.relu(TorchLinear(self.dim, dtype=self.dtype, name="fc")(wsi))
-        h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
+        h = FastDropout(self.dropout_rate)(h, deterministic=deterministic)
         return h
 
 

@@ -13,7 +13,11 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from multimodal_path_omic_tpu.ops.layers import TorchLinear, normal_fan_in_init
+from multimodal_path_omic_tpu.ops.layers import (
+    FastDropout,
+    TorchLinear,
+    normal_fan_in_init,
+)
 
 
 class ConcatFusion(nn.Module):
@@ -157,7 +161,7 @@ class BilinearFusion(nn.Module):
         else:
             o1 = x1
         o1 = relu(self._linear("linear_o1", self.hidden_size)(o1))
-        o1 = nn.Dropout(self.dropout_rate)(o1, deterministic=deterministic)
+        o1 = FastDropout(self.dropout_rate)(o1, deterministic=deterministic)
 
         if self.use_gates:
             h2 = relu(self._linear("linear_h2", self.hidden_size)(x2))
@@ -171,7 +175,7 @@ class BilinearFusion(nn.Module):
         else:
             o2 = x2
         o2 = relu(self._linear("linear_o2", self.hidden_size)(o2))
-        o2 = nn.Dropout(self.dropout_rate)(o2, deterministic=deterministic)
+        o2 = FastDropout(self.dropout_rate)(o2, deterministic=deterministic)
 
         # Kronecker product with appended ones (fusion.py:100-105)
         ones = jnp.ones(o1.shape[:-1] + (1,), o1.dtype)
@@ -180,13 +184,13 @@ class BilinearFusion(nn.Module):
         out = jnp.einsum("...i,...j->...ij", o1p, o2p)
         out = out.reshape(out.shape[:-2] + (-1,))
 
-        out = nn.Dropout(self.dropout_rate)(out, deterministic=deterministic)
+        out = FastDropout(self.dropout_rate)(out, deterministic=deterministic)
         out = relu(self._linear("fc1", self.mm_hidden_size)(out))
-        out = nn.Dropout(self.dropout_rate)(out, deterministic=deterministic)
+        out = FastDropout(self.dropout_rate)(out, deterministic=deterministic)
         if self.use_skip_connection:
             out = jnp.concatenate([out, o1p, o2p], axis=-1)
         out = relu(self._linear("fc2", self.output_size)(out))
-        out = nn.Dropout(self.dropout_rate)(out, deterministic=deterministic)
+        out = FastDropout(self.dropout_rate)(out, deterministic=deterministic)
         return out
 
 

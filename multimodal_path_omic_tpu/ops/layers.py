@@ -79,6 +79,45 @@ class TorchLinear(nn.Module):
         return y
 
 
+def fast_keep_mask(rng, rate: float, shape):
+    """Dropout keep-mask via a uint16 bit threshold: (keep [bool], keep_prob).
+
+    Semantically a ``bernoulli(rng, 1 - rate)`` draw, but generates 16 random
+    bits per element instead of a 32-bit float uniform — measured ~3x cheaper
+    mask generation on TPU at the [256, 512, 256] training activation shape
+    (462 -> 146 us of overhead per masked op; the op is PRNG-bandwidth-bound).
+    Same scheme the fused co-attention kernel uses in-kernel
+    (ops/coattn.py::_dropout_threshold), here for the XLA-path masks.
+
+    Exact for rates that are multiples of 1/65536 (the reference's hardcoded
+    p=0.25 included, /root/reference/models/blocks.py:33); otherwise the
+    effective rate is round(rate * 65536) / 65536 (|error| <= 2^-17) and the
+    returned keep_prob reflects it so 1/keep_prob scaling stays unbiased.
+    """
+    thresh = min(int(round(float(rate) * 65536.0)), 65535)
+    keep = jax.random.bits(rng, shape, jnp.uint16) >= jnp.uint16(thresh)
+    return keep, 1.0 - thresh / 65536.0
+
+
+class FastDropout(nn.Module):
+    """Drop-in for ``flax.linen.Dropout`` (inverted dropout, "dropout" rng
+    collection) with the uint16-bits keep mask (``fast_keep_mask``)."""
+
+    rate: float
+    deterministic: Optional[bool] = None
+
+    @nn.compact
+    def __call__(self, x, deterministic: Optional[bool] = None):
+        deterministic = nn.merge_param(
+            "deterministic", self.deterministic, deterministic
+        )
+        if deterministic or self.rate == 0.0:
+            return x
+        rng = self.make_rng("dropout")
+        keep, keep_prob = fast_keep_mask(rng, self.rate, x.shape)
+        return jnp.where(keep, x / keep_prob, 0.0).astype(x.dtype)
+
+
 class AlphaDropout(nn.Module):
     """SELU-preserving alpha dropout, exact torch semantics.
 
@@ -101,11 +140,11 @@ class AlphaDropout(nn.Module):
         deterministic = nn.merge_param("deterministic", self.deterministic, deterministic)
         if deterministic or self.rate == 0.0:
             return x
-        p = self.rate
+        rng = self.make_rng("dropout")
+        keep, keep_prob = fast_keep_mask(rng, self.rate, x.shape)
+        p = 1.0 - keep_prob  # effective rate; == self.rate for multiples of 1/65536
         a = ((1.0 - p) * (1.0 + p * self.ALPHA_PRIME**2)) ** -0.5
         b = -a * self.ALPHA_PRIME * p
-        rng = self.make_rng("dropout")
-        keep = jax.random.bernoulli(rng, 1.0 - p, x.shape)
         return a * jnp.where(keep, x, self.ALPHA_PRIME) + b
 
 

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from multimodal_path_omic_tpu.ops.attention import MultiheadAttention
-from multimodal_path_omic_tpu.ops.layers import TorchLinear
+from multimodal_path_omic_tpu.ops.layers import FastDropout, TorchLinear
 
 
 class TransformerEncoderLayer(nn.Module):
@@ -48,15 +48,15 @@ class TransformerEncoderLayer(nn.Module):
             ring_mesh=self.ring_mesh,
             name="self_attn",
         )(x, x, x, mask, need_weights=False, deterministic=deterministic)
-        attn_out = nn.Dropout(self.dropout_rate)(attn_out, deterministic=deterministic)
+        attn_out = FastDropout(self.dropout_rate)(attn_out, deterministic=deterministic)
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x + attn_out)
 
         ff = jax.nn.relu(
             TorchLinear(self.dim_feedforward, dtype=self.dtype, name="linear1")(x)
         )
-        ff = nn.Dropout(self.dropout_rate)(ff, deterministic=deterministic)
+        ff = FastDropout(self.dropout_rate)(ff, deterministic=deterministic)
         ff = TorchLinear(self.d_model, dtype=self.dtype, name="linear2")(ff)
-        ff = nn.Dropout(self.dropout_rate)(ff, deterministic=deterministic)
+        ff = FastDropout(self.dropout_rate)(ff, deterministic=deterministic)
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x + ff)
         return x
 

@@ -195,9 +195,11 @@ def _cross_body(
     p = jnp.exp(s - m_global)
     l_local = jnp.sum(p, axis=-1, keepdims=True)
     if dropout_rate > 0.0:
+        from multimodal_path_omic_tpu.ops.layers import fast_keep_mask
+
         shard_rng = jax.random.fold_in(rng, jax.lax.axis_index(axis_name))
-        keep = jax.random.bernoulli(shard_rng, 1.0 - dropout_rate, p.shape)
-        p_used = jnp.where(keep, p / (1.0 - dropout_rate), 0.0)
+        keep, keep_prob = fast_keep_mask(shard_rng, dropout_rate, p.shape)
+        p_used = jnp.where(keep, p / keep_prob, 0.0)
     else:
         p_used = p
     o_local = jnp.einsum(

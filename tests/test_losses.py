@@ -212,3 +212,42 @@ def test_alpha_dropout_deterministic_passthrough():
     mod = AlphaDropout(0.5)
     out = mod.apply({}, x, deterministic=True)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(x))
+
+def test_fast_keep_mask_statistics_and_exactness():
+    """uint16-bits dropout mask (ops/layers.py::fast_keep_mask): exact
+    keep_prob for multiples of 1/65536 (the reference's p=0.25,
+    /root/reference/models/blocks.py:33), unbiased scaling, per-key
+    determinism."""
+    from multimodal_path_omic_tpu.ops.layers import fast_keep_mask
+
+    key = jax.random.key(11)
+    keep, keep_prob = fast_keep_mask(key, 0.25, (512, 512))
+    assert keep_prob == 0.75  # exact, not approximate
+    frac = float(np.asarray(keep).mean())
+    assert abs(frac - 0.75) < 0.01  # ~3 sigma at n=262144 is 0.0025
+    # deterministic per key
+    keep2, _ = fast_keep_mask(key, 0.25, (512, 512))
+    np.testing.assert_array_equal(np.asarray(keep), np.asarray(keep2))
+    # arbitrary rate: effective keep_prob within 2^-16 of requested
+    _, kp = fast_keep_mask(key, 0.1, (8,))
+    assert abs((1.0 - kp) - 0.1) <= 1.0 / 65536
+
+
+def test_fast_dropout_matches_flax_semantics():
+    """FastDropout == inverted dropout: kept entries scaled 1/keep_prob,
+    dropped are zero, mean preserved; deterministic mode is identity."""
+    from multimodal_path_omic_tpu.ops.layers import FastDropout
+
+    x = jnp.ones((256, 256), jnp.float32)
+    mod = FastDropout(0.25)
+    rng = jax.random.key(3)
+    out = mod.apply({}, x, deterministic=False, rngs={"dropout": rng})
+    vals = np.unique(np.asarray(out).round(6))
+    np.testing.assert_allclose(vals, [0.0, 1.0 / 0.75], rtol=1e-6)
+    assert abs(float(np.asarray(out).mean()) - 1.0) < 0.02
+    # deterministic per rng (make_rng folds by module path, so exact mask
+    # values are checked at the fast_keep_mask level, not through flax)
+    out2 = mod.apply({}, x, deterministic=False, rngs={"dropout": rng})
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
+    out_det = mod.apply({}, x, deterministic=True)
+    np.testing.assert_array_equal(np.asarray(out_det), np.asarray(x))

@@ -634,18 +634,15 @@ def test_seq_parallel_cross_attention_dropout_exact_semantics():
     p = np.exp(scores - m_glob)
     l_glob = p.sum(axis=-1, keepdims=True)
     ml = m // n_seq
-    keep = np.concatenate(
-        [
-            np.asarray(
-                jax.random.bernoulli(
-                    jax.random.fold_in(drop_key, s), 1.0 - rate, (b, h, n, ml)
-                )
-            )
-            for s in range(n_seq)
-        ],
-        axis=-1,
-    )
-    p_used = np.where(keep, p / (1.0 - rate), 0.0)
+    from multimodal_path_omic_tpu.ops.layers import fast_keep_mask
+
+    keeps = [
+        fast_keep_mask(jax.random.fold_in(drop_key, s), rate, (b, h, n, ml))
+        for s in range(n_seq)
+    ]
+    keep = np.concatenate([np.asarray(kk) for kk, _ in keeps], axis=-1)
+    keep_prob = keeps[0][1]
+    p_used = np.where(keep, p / keep_prob, 0.0)
     ref_out = np.einsum("bhnm,bhmd->bhnd", p_used, np.asarray(v)) / l_glob
     ref_ssq = (p_used**2).sum(axis=-1) / l_glob[..., 0] ** 2
 
