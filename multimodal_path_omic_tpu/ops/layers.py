@@ -101,7 +101,13 @@ def fast_keep_mask(rng, rate: float, shape):
 
 class FastDropout(nn.Module):
     """Drop-in for ``flax.linen.Dropout`` (inverted dropout, "dropout" rng
-    collection) with the uint16-bits keep mask (``fast_keep_mask``)."""
+    collection) with the uint16-bits keep mask (``fast_keep_mask``).
+
+    A mask-REGENERATING custom-vjp variant (save only the key, re-run the PRNG
+    in the backward) was measured a no-op here — identical compiled temp
+    memory (343 MiB) and throughput (61.7k vs 62.0k bags/sec at B=256): XLA
+    already rematerializes the mask from the cheap rng-bit-generator on its
+    own, so the plain form is kept."""
 
     rate: float
     deterministic: Optional[bool] = None
