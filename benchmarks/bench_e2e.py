@@ -6,7 +6,7 @@ dataset cache + multi-step dispatch. Reports the one-time cache upload time,
 steady-state epoch seconds, and quality (val c-index), as one JSON line.
 
 Usage:
-  python benchmarks/bench_e2e.py [--cache-dtype float32|int8] [--epochs 6]
+  python benchmarks/bench_e2e.py [--cache-dtype auto|float32|bfloat16|int8] [--epochs 6]
       [--patients 512] [--cache on|off|auto] [--steps-per-dispatch 8]
 
 The cohort is generated once into --cohort-dir (default /tmp/bench_e2e_cohort)
@@ -50,7 +50,11 @@ def build_cohort(out_dir: str, n_patients: int, seed: int = 0):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--cache-dtype", default="float32", choices=["float32", "int8"])
+    ap.add_argument(
+        "--cache-dtype", default="auto",
+        choices=["auto", "float32", "bfloat16", "int8"],
+        help="auto = the Trainer default (bfloat16 on TPU)",
+    )
     ap.add_argument("--cache", default="on", choices=["on", "off", "auto"])
     ap.add_argument("--epochs", type=int, default=6)
     ap.add_argument("--patients", type=int, default=512)
