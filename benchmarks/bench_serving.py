@@ -37,6 +37,15 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sizes", default="500,4000,20000")
     ap.add_argument("--n", type=int, default=20, help="timed requests per size")
+    ap.add_argument(
+        "--payload-dtype", default="f32", choices=["f32", "f16"],
+        help="wire dtype of the wsi npz entry (f16 halves payload bytes; "
+        "the server casts to f32 — pinned by test_server.py)",
+    )
+    ap.add_argument(
+        "--transfer-dtype", default="auto", choices=["auto", "float32", "bfloat16", "int8"],
+        help="tpu.transfer_dtype for the serving Trainer (H2D bytes per bag)",
+    )
     args = ap.parse_args()
     sizes = [int(s) for s in args.sizes.split(",")]
 
@@ -57,7 +66,10 @@ def main():
     )
     raw = synthetic_config_dict(csv, sig, patches)
     raw["model"]["model_size"] = "medium"
-    raw["tpu"] = {"bag_buckets": sorted({1 << (s - 1).bit_length() for s in sizes})}
+    raw["tpu"] = {
+        "bag_buckets": sorted({1 << (s - 1).bit_length() for s in sizes}),
+        "transfer_dtype": args.transfer_dtype,
+    }
     cfg = config_from_dict(raw)
     predictor = Predictor.from_config(cfg)
     omic_sizes = list(predictor._t.omic_sizes)
@@ -70,7 +82,9 @@ def main():
     rows = []
     compiled_buckets = set()
     for m in sizes:
-        bag = rng.normal(size=(m, 1024)).astype(np.float32)
+        bag = rng.normal(size=(m, 1024)).astype(
+            np.float16 if args.payload_dtype == "f16" else np.float32
+        )
         buf = io.BytesIO()
         np.savez(
             buf, wsi=bag,

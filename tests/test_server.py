@@ -94,3 +94,28 @@ def test_bad_request_is_400(served):
     except urllib.error.HTTPError as e:
         status, body = e.code, json.loads(e.read())
     assert status == 400 and "error" in body
+
+def test_predict_npz_f16_payload_halves_wire_bytes(served):
+    """float16 npz payloads are accepted (server casts to f32) and match the
+    f32-payload predictions to f16 input precision — the documented
+    half-size wire format for large bags (embeddings carry ~1e-3 features;
+    f16's 10-bit mantissa loses less than bf16 compute already does)."""
+    base, trainer = served
+    rng = np.random.default_rng(2)
+    wsi = rng.normal(size=(48, 1024)).astype(np.float32)
+    omics = [rng.normal(size=(s,)).astype(np.float32) for s in trainer.omic_sizes]
+
+    def post(wsi_arr):
+        buf = io.BytesIO()
+        np.savez(buf, wsi=wsi_arr, **{f"omic_{i}": o for i, o in enumerate(omics)})
+        return _post(base + "/predict_npz", buf.getvalue(), "application/octet-stream")
+
+    s32, b32 = post(wsi)
+    s16, b16 = post(wsi.astype(np.float16))
+    assert s32 == 200 and s16 == 200
+    np.testing.assert_allclose(
+        np.asarray(b16["risk"]), np.asarray(b32["risk"]), atol=2e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(b16["hazards"]), np.asarray(b32["hazards"]), atol=2e-3
+    )
