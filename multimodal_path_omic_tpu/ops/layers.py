@@ -94,7 +94,13 @@ def fast_keep_mask(rng, rate: float, shape):
     effective rate is round(rate * 65536) / 65536 (|error| <= 2^-17) and the
     returned keep_prob reflects it so 1/keep_prob scaling stays unbiased.
     """
-    thresh = min(int(round(float(rate) * 65536.0)), 65535)
+    thresh = int(round(float(rate) * 65536.0))
+    if thresh >= 65536:
+        # rate rounds to 1.0: drop everything (flax nn.Dropout zeroes the
+        # output at rate=1.0; capping the threshold at 65535 would instead
+        # keep ~1/65536 of elements scaled by 65536). keep_prob returns 1.0
+        # so callers' 1/keep_prob scaling stays finite on the all-False mask.
+        return jnp.zeros(shape, bool), 1.0
     keep = jax.random.bits(rng, shape, jnp.uint16) >= jnp.uint16(thresh)
     return keep, 1.0 - thresh / 65536.0
 

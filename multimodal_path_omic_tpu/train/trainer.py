@@ -124,6 +124,20 @@ def _grouped(items, key_fn, K, k_fn=None):
     yield from _flush(pend, k_cur)
 
 
+def resolve_compute_dtype(
+    value: str, backend: str, batch_size: int, data_axis: int
+) -> str:
+    """Resolve tpu.compute_dtype "auto": bf16 activations on TPU when the
+    per-DEVICE batch (global batch / data_axis) is >= 128 — the measured
+    crossover where the cast overhead amortizes (+14% at B=256, -12% at
+    B=32 on v5e); f32 everywhere else. Heads stay f32 inside the models
+    regardless of this choice."""
+    if value != "auto":
+        return value
+    per_device = batch_size // max(1, data_axis)
+    return "bfloat16" if backend == "tpu" and per_device >= 128 else "float32"
+
+
 def _is_ge(model_name: str) -> bool:
     key = model_name.lower().replace("-", "_").replace(" ", "")
     return "ge" in key.split("_") or key.startswith("geneexpr") or key.startswith("ge_")
@@ -248,16 +262,10 @@ class Trainer:
             )
 
         # ----- model (mcat/main.py:254-259) --------------------------------
-        # "auto" compute dtype: bf16 activations pay off only when the batch
-        # is large enough to amortize the casts (measured +14% at B=256,
-        # -12% at B=32 on v5e); heads stay f32 inside the models regardless.
-        compute_dtype = c.tpu.compute_dtype
-        if compute_dtype == "auto":
-            compute_dtype = (
-                "bfloat16"
-                if jax.default_backend() == "tpu" and self.batch_size >= 128
-                else "float32"
-            )
+        compute_dtype = resolve_compute_dtype(
+            c.tpu.compute_dtype, jax.default_backend(),
+            self.batch_size, c.tpu.data_axis,
+        )
         self.compute_dtype = compute_dtype
         dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else None
         # bags sharded over a seq axis: GE self-attention rotates K/V around
@@ -273,7 +281,14 @@ class Trainer:
             n_classes=c.model.n_classes if not self.ge_mode else 3,
             dropout=c.model.dropout,
             dtype=dtype,
-            use_pallas=c.tpu.use_pallas,
+            # pallas_call has no GSPMD partitioning rule: on a multi-device
+            # mesh the partitioner all-gathers the sharded operands and runs
+            # the kernel replicated on every device (verified on the 8-device
+            # CPU mesh — output comes back fully replicated), undoing the
+            # data/seq sharding exactly at the big buckets the kernel targets.
+            # The XLA core partitions cleanly, and the seq-parallel/ring paths
+            # (which shard_map their kernels) are not gated on this flag.
+            use_pallas=c.tpu.use_pallas and self.mesh is None,
             ring_mesh=ring_mesh,
             bug_compat=c.training.bug_compat,
         )
@@ -732,12 +747,14 @@ class Trainer:
             for indices, bucket in self.train_batcher._epoch_plan():
                 yield (bucket in cached_buckets, bucket), indices, bucket
 
+        # the byte cap expects a batch-like dict with bucket + wsi dim; the
+        # dim is cohort-constant — probe it once, not per host-fed group
+        dim = int(self.train_ds.bag(0).shape[1])
+
         def _k_fn(item):
             (is_cached, _), indices, bucket = item
             if is_cached:
                 return K
-            # the byte cap expects a batch-like dict with bucket + wsi dim
-            dim = int(self.train_ds.bag(0).shape[1])
             return k_cap({"bucket": bucket, "wsi": np.empty((0, 0, dim))})
 
         for group in _grouped(_items(), key_fn=lambda x: x[0], K=K, k_fn=_k_fn):
@@ -1198,11 +1215,8 @@ class Trainer:
             from multimodal_path_omic_tpu.parallel.mesh import replicate
 
             return replicate(state, self.mesh)
-        if self.n_processes > 1:
-            # meshless multi-process feeding: jax.devices()[0] is
-            # non-addressable on processes > 0 — leave placement to jit
-            # (the multi-step/cache machinery is off in this mode anyway)
-            return state
+        # single process, no mesh (the constructor raises on meshless
+        # multi-process runs, so jax.local_devices()[0] is always addressable)
         return jax.device_put(state, jax.local_devices()[0])
 
     def restore(self, path: str) -> None:

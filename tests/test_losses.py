@@ -233,6 +233,22 @@ def test_fast_keep_mask_statistics_and_exactness():
     assert abs((1.0 - kp) - 0.1) <= 1.0 / 65536
 
 
+def test_fast_keep_mask_rate_one_drops_everything():
+    """rate=1.0 (and rates rounding to 1.0) zero the output like flax
+    nn.Dropout — not a 1/65536-sparse tensor of 65536-scaled values, which a
+    capped uint16 threshold would produce."""
+    from multimodal_path_omic_tpu.ops.layers import FastDropout, fast_keep_mask
+
+    keep, keep_prob = fast_keep_mask(jax.random.key(0), 1.0, (1024,))
+    assert not bool(np.asarray(keep).any())
+    assert keep_prob == 1.0  # callers' 1/keep_prob scaling stays finite
+    out = FastDropout(1.0).apply(
+        {}, jnp.ones((64, 64)), deterministic=False,
+        rngs={"dropout": jax.random.key(1)},
+    )
+    np.testing.assert_array_equal(np.asarray(out), 0.0)
+
+
 def test_fast_dropout_matches_flax_semantics():
     """FastDropout == inverted dropout: kept entries scaled 1/keep_prob,
     dropped are zero, mean preserved; deterministic mode is identity."""

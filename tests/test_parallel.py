@@ -147,6 +147,48 @@ def test_ring_attention_no_mask():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
 
 
+def test_mesh_trainer_disables_module_level_pallas(tmp_path):
+    """pallas_call has no GSPMD partitioning rule: on a multi-device mesh the
+    partitioner all-gathers the sharded operands and runs the kernel
+    replicated on every device (verified empirically — the output comes back
+    with spec=PartitionSpec()), undoing the sharding at exactly the big
+    buckets the kernel targets. The Trainer must therefore build mesh models
+    with use_pallas=False (the seq-parallel/ring paths shard_map their
+    kernels and are not gated on the flag); single-chip trainers keep the
+    kernel dispatch."""
+    import os
+
+    from multimodal_path_omic_tpu.config import config_from_dict
+    from multimodal_path_omic_tpu.data.synthetic import (
+        make_synthetic_cohort,
+        synthetic_config_dict,
+    )
+    from multimodal_path_omic_tpu.train.trainer import Trainer
+
+    csv, sig, patches = make_synthetic_cohort(
+        str(tmp_path), n_patients=8, bag_lengths=(48,), n_genes=12,
+        n_signatures=2, seed=3,
+    )
+    raw = synthetic_config_dict(csv, sig, patches)
+    raw["model"]["model_size"] = "small"
+    raw["training"]["epochs"] = 1
+    raw["tpu"] = {
+        "bag_buckets": [64], "batch_size": 8, "use_pallas": True,
+        "data_axis": 8, "seq_axis": 1,
+    }
+    cfg = config_from_dict(raw)
+    cfg.model.checkpoint_dir = os.path.join(str(tmp_path), "ck")
+    mesh_trainer = Trainer(cfg, verbose=False)
+    assert mesh_trainer.mesh is not None
+    assert mesh_trainer.model.use_pallas is False
+
+    raw["tpu"] = {"bag_buckets": [64], "batch_size": 8, "use_pallas": True}
+    cfg1 = config_from_dict(raw)
+    cfg1.model.checkpoint_dir = os.path.join(str(tmp_path), "ck1")
+    single = Trainer(cfg1, verbose=False)
+    assert single.mesh is None and single.model.use_pallas is True
+
+
 def test_trainer_data_parallel_e2e(tmp_path):
     """Full Trainer run with tpu.data_axis=8 on the virtual CPU mesh."""
     import os

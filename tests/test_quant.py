@@ -193,3 +193,18 @@ def test_auto_dtypes_resolve_to_f32_on_cpu(tmp_path):
     assert t.transfer_dtype == "float32"
     assert t.cache_dtype == "float32"
     assert t.compute_dtype == "float32"  # auto: bf16 only on TPU at B>=128
+
+
+def test_auto_compute_dtype_gates_on_per_device_batch():
+    """"auto" compute dtype uses the per-DEVICE batch (global / data_axis):
+    a data_axis=8 mesh at global B=256 puts 32 bags on each device — the
+    regime where bf16 casts measured a 12% LOSS — so auto stays f32 there."""
+    from multimodal_path_omic_tpu.train.trainer import resolve_compute_dtype
+
+    assert resolve_compute_dtype("auto", "tpu", 256, 1) == "bfloat16"
+    assert resolve_compute_dtype("auto", "tpu", 256, 8) == "float32"
+    assert resolve_compute_dtype("auto", "tpu", 1024, 8) == "bfloat16"
+    assert resolve_compute_dtype("auto", "cpu", 256, 1) == "float32"
+    # explicit values pass through untouched on any backend/mesh
+    assert resolve_compute_dtype("bfloat16", "cpu", 8, 1) == "bfloat16"
+    assert resolve_compute_dtype("float32", "tpu", 1024, 1) == "float32"
