@@ -46,6 +46,11 @@ def main():
         "--transfer-dtype", default="auto", choices=["auto", "float32", "bfloat16", "int8"],
         help="tpu.transfer_dtype for the serving Trainer (H2D bytes per bag)",
     )
+    ap.add_argument(
+        "--batch", type=int, default=0,
+        help="send N bags per request through /predict_batch_npz instead of "
+        "one bag per /predict_npz request; reports per-BAG p50/p95",
+    )
     args = ap.parse_args()
     sizes = [int(s) for s in args.sizes.split(",")]
 
@@ -82,29 +87,44 @@ def main():
     rows = []
     compiled_buckets = set()
     for m in sizes:
-        bag = rng.normal(size=(m, 1024)).astype(
-            np.float16 if args.payload_dtype == "f16" else np.float32
-        )
+        wire = np.float16 if args.payload_dtype == "f16" else np.float32
         buf = io.BytesIO()
-        np.savez(
-            buf, wsi=bag,
-            **{
-                f"omic_{i}": rng.normal(size=(s,)).astype(np.float32)
-                for i, s in enumerate(omic_sizes)
-            },
-        )
+        if args.batch:
+            np.savez(
+                buf,
+                **{
+                    f"wsi_{i}": rng.normal(size=(m, 1024)).astype(wire)
+                    for i in range(args.batch)
+                },
+                **{
+                    f"omic_{i}_{j}": rng.normal(size=(s,)).astype(np.float32)
+                    for i in range(args.batch)
+                    for j, s in enumerate(omic_sizes)
+                },
+            )
+            endpoint = "/predict_batch_npz"
+        else:
+            np.savez(
+                buf, wsi=rng.normal(size=(m, 1024)).astype(wire),
+                **{
+                    f"omic_{i}": rng.normal(size=(s,)).astype(np.float32)
+                    for i, s in enumerate(omic_sizes)
+                },
+            )
+            endpoint = "/predict_npz"
         payload = buf.getvalue()
+        per_bag = max(1, args.batch)
 
         def roundtrip():
             req = urllib.request.Request(
-                f"http://127.0.0.1:{port}/predict_npz", data=payload,
+                f"http://127.0.0.1:{port}{endpoint}", data=payload,
                 headers={"Content-Type": "application/octet-stream"},
             )
             t0 = time.perf_counter()
             with urllib.request.urlopen(req, timeout=600) as r:
                 body = json.loads(r.read())
             assert "risk" in body or "probs" in body, body
-            return time.perf_counter() - t0
+            return (time.perf_counter() - t0) / per_bag
 
         bucket = 1 << (m - 1).bit_length()
         is_compile = bucket not in compiled_buckets
@@ -120,6 +140,8 @@ def main():
             "p50_ms": round(lat[len(lat) // 2] * 1e3, 1),
             "p95_ms": round(lat[p95_i] * 1e3, 1),
         }
+        if args.batch:
+            row["bags_per_request"] = args.batch  # latencies are per BAG
         if is_compile:
             row["first_request_s"] = round(first, 2)
         rows.append(row)

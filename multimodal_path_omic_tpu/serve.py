@@ -79,6 +79,62 @@ class Predictor:
         res = self.eval_step(t.state.params, t._device_batch(batch))
         return self._debatch(res, 1)
 
+    # ------------------------------------------------------------------ multi
+    def predict_bags(self, bags, omics=None) -> Dict[str, np.ndarray]:
+        """Score a list of bags in bucketed, FIXED-SHAPE batches.
+
+        ``bags``: list of [M_i, D] arrays; ``omics``: per-bag signature lists
+        (survival models) or None (GE). Bags are grouped by bucket and padded
+        to ``(batch_size, bucket, D)`` — the exact shapes the dataset path
+        compiles — so arbitrary request sizes reuse the per-bucket programs
+        instead of compiling per request size. Outputs are row-aligned with
+        the input order. Amortizes dispatch + HTTP overhead over the batch vs
+        per-bag ``predict_bag`` calls.
+        """
+        t = self._t
+        n = len(bags)
+        if n == 0:
+            return {}
+        if not t.ge_mode and (omics is None or len(omics) != n):
+            raise ValueError("survival models need one omics signature list per bag")
+        by_bucket: Dict[int, list] = {}
+        for i, bag in enumerate(bags):
+            by_bucket.setdefault(bucket_for(len(bag), t.buckets), []).append(i)
+        slots: Dict[str, list] = {}
+        bsz = t.batch_size
+        dim = int(np.asarray(bags[0]).shape[1])
+        for bucket, idxs in sorted(by_bucket.items()):
+            for c0 in range(0, len(idxs), bsz):
+                chunk = idxs[c0 : c0 + bsz]
+                wsi = np.zeros((bsz, bucket, dim), np.float32)
+                mask = np.zeros((bsz, bucket), bool)
+                for row, i in enumerate(chunk):
+                    padded, m = pad_bag(np.asarray(bags[i], np.float32), bucket)
+                    wsi[row], mask[row] = padded, m
+                batch: Dict[str, Any] = {
+                    "wsi": wsi,
+                    "mask": mask,
+                    "label": np.zeros((bsz,), np.int32),
+                    "weight": (np.arange(bsz) < len(chunk)).astype(np.float32),
+                }
+                if not t.ge_mode:
+                    batch["omics"] = [
+                        np.stack(
+                            [np.asarray(omics[i][j], np.float32) for i in chunk]
+                            + [np.zeros((s,), np.float32)] * (bsz - len(chunk))
+                        )
+                        for j, s in enumerate(t.omic_sizes)
+                    ]
+                    batch["censorship"] = np.zeros((bsz,), np.float32)
+                    batch["survival_months"] = np.zeros((bsz,), np.float32)
+                res = self.eval_step(t.state.params, t._device_batch(batch))
+                out = self._debatch(res, len(chunk))
+                for k, v in out.items():
+                    slots.setdefault(k, [None] * n)
+                    for row, i in enumerate(chunk):
+                        slots[k][i] = v[row]
+        return {k: np.stack(v) for k, v in slots.items()}
+
     # ----------------------------------------------------------------- dataset
     def predict_dataset(self, dataset=None) -> Dict[str, np.ndarray]:
         """Score every sample of a dataset (defaults to the full config

@@ -17,11 +17,18 @@ Endpoints:
   class probabilities (GE).
 * ``POST /predict_npz`` — body: an ``.npz`` payload with ``wsi`` and
   ``omic_0..omic_{k-1}`` arrays (binary path for real embedding sizes —
-  a 20k x 1024 f32 bag is ~80 MB as JSON but 80 MB raw).
+  a 20k x 1024 f32 bag is ~80 MB as JSON but 80 MB raw). float16 ``wsi``
+  payloads are accepted (cast to f32 on receipt) — half the wire bytes.
+* ``POST /predict_batch_npz`` — body: an ``.npz`` with ``wsi_0..wsi_{n-1}``
+  (and, for survival models, ``omic_{i}_{j}`` per bag i / signature j).
+  Scores all n bags through fixed-shape bucketed batches
+  (``Predictor.predict_bags``) — one HTTP round-trip and one device dispatch
+  per batch_size bags instead of one per bag; response arrays are
+  row-aligned with the request order.
 
 Requests are served one at a time (the device is the bottleneck, and
 jit-per-bucket means the first request of a new bucket pays a compile);
-front with a batching proxy for high QPS.
+front with a batching proxy for high QPS — or use the batch endpoint.
 """
 
 from __future__ import annotations
@@ -73,6 +80,31 @@ class PredictHandler(BaseHTTPRequestHandler):
                     wsi = np.asarray(z["wsi"], np.float32)
                     keys = sorted(k for k in z.files if k.startswith("omic_"))
                     omics = [np.asarray(z[k], np.float32) for k in keys] or None
+            elif self.path == "/predict_batch_npz":
+                with np.load(io.BytesIO(raw)) as z:
+                    n_bags = sum(1 for k in z.files if k.startswith("wsi_"))
+                    if n_bags == 0:
+                        raise ValueError("no wsi_<i> arrays in payload")
+                    bags = [np.asarray(z[f"wsi_{i}"], np.float32) for i in range(n_bags)]
+                    omics_b = None
+                    if any(k.startswith("omic_") for k in z.files):
+                        n_sig = sum(
+                            1 for k in z.files if k.startswith("omic_0_")
+                        )
+                        omics_b = [
+                            [np.asarray(z[f"omic_{i}_{j}"], np.float32) for j in range(n_sig)]
+                            for i in range(n_bags)
+                        ]
+                try:
+                    out = self.predictor.predict_bags(bags, omics=omics_b)
+                except ValueError as exc:
+                    self._reply(400, {"error": f"bad request: {exc}"})
+                    return
+                except Exception as exc:
+                    self._reply(500, {"error": f"inference failed: {exc}"})
+                    return
+                self._reply(200, {k: np.asarray(v).tolist() for k, v in out.items()})
+                return
             else:
                 self._reply(404, {"error": "unknown path"})
                 return

@@ -119,3 +119,68 @@ def test_predict_npz_f16_payload_halves_wire_bytes(served):
     np.testing.assert_allclose(
         np.asarray(b16["hazards"]), np.asarray(b32["hazards"]), atol=2e-3
     )
+
+
+def test_predict_batch_npz_matches_per_bag(served):
+    """/predict_batch_npz scores N bags in fixed-shape bucketed batches
+    (Predictor.predict_bags) and its rows match per-bag /predict_npz calls —
+    the padded zero-weight rows in a partial batch must not leak into real
+    rows, and output order must follow request order even though bags are
+    regrouped by bucket internally."""
+    base, trainer = served
+    rng = np.random.default_rng(7)
+    sizes = [48, 100, 30, 80, 60]  # spans both buckets, non-monotone order
+    bags = [rng.normal(size=(m, 1024)).astype(np.float32) for m in sizes]
+    omics = [
+        [rng.normal(size=(s,)).astype(np.float32) for s in trainer.omic_sizes]
+        for _ in sizes
+    ]
+
+    buf = io.BytesIO()
+    np.savez(
+        buf,
+        **{f"wsi_{i}": b for i, b in enumerate(bags)},
+        **{
+            f"omic_{i}_{j}": o
+            for i, os_ in enumerate(omics)
+            for j, o in enumerate(os_)
+        },
+    )
+    status, batch_out = _post(
+        base + "/predict_batch_npz", buf.getvalue(), "application/octet-stream"
+    )
+    assert status == 200
+    assert len(batch_out["risk"]) == len(sizes)
+
+    for i in range(len(sizes)):
+        buf = io.BytesIO()
+        np.savez(
+            buf, wsi=bags[i], **{f"omic_{j}": o for j, o in enumerate(omics[i])}
+        )
+        s, single = _post(
+            base + "/predict_npz", buf.getvalue(), "application/octet-stream"
+        )
+        assert s == 200
+        np.testing.assert_allclose(
+            np.asarray(batch_out["risk"][i]),
+            np.asarray(single["risk"][0]),
+            atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(batch_out["hazards"][i]),
+            np.asarray(single["hazards"][0]),
+            atol=1e-5,
+        )
+
+
+def test_predict_batch_npz_empty_is_400(served):
+    base, _ = served
+    buf = io.BytesIO()
+    np.savez(buf, nothing=np.zeros(1))
+    try:
+        status, body = _post(
+            base + "/predict_batch_npz", buf.getvalue(), "application/octet-stream"
+        )
+    except urllib.error.HTTPError as e:
+        status, body = e.code, json.loads(e.read())
+    assert status == 400 and "error" in body
