@@ -184,3 +184,54 @@ def test_predict_batch_npz_empty_is_400(served):
     except urllib.error.HTTPError as e:
         status, body = e.code, json.loads(e.read())
     assert status == 400 and "error" in body
+
+
+@pytest.fixture(scope="module")
+def ge_served(tmp_path_factory):
+    """A served Gene-Expression model (no omics in requests; class probs out)."""
+    tmp = tmp_path_factory.mktemp("ge_server")
+    csv, sig, patches = make_synthetic_cohort(
+        str(tmp), n_patients=8, bag_lengths=(48, 80), n_genes=24,
+        n_signatures=3, seed=1,
+    )
+    raw = synthetic_config_dict(csv, sig, patches)
+    raw["model"].update(model_size="small", name="GeneExpr-NaCAGaT", gene="G000")
+    raw["training"]["loss"] = "ce"
+    raw["tpu"] = {"bag_buckets": [128], "batch_size": 4, "use_pallas": False}
+    cfg = config_from_dict(raw)
+    trainer = Trainer(cfg, verbose=False)
+    server = make_server(Predictor(trainer), port=0)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{server.server_address[1]}", trainer
+    server.shutdown()
+
+
+def test_ge_predict_npz_and_batch(ge_served):
+    """GE models serve without omics: /predict_npz returns class probabilities
+    (no survival keys), and /predict_batch_npz rows match per-bag calls."""
+    base, trainer = ge_served
+    assert trainer.ge_mode
+    rng = np.random.default_rng(4)
+    bags = [rng.normal(size=(m, 1024)).astype(np.float32) for m in (48, 100, 30)]
+
+    buf = io.BytesIO()
+    np.savez(buf, **{f"wsi_{i}": b for i, b in enumerate(bags)})
+    status, batch_out = _post(
+        base + "/predict_batch_npz", buf.getvalue(), "application/octet-stream"
+    )
+    assert status == 200
+    assert "y" in batch_out and "risk" not in batch_out
+    assert len(batch_out["y"]) == len(bags)
+
+    for i, bag in enumerate(bags):
+        buf = io.BytesIO()
+        np.savez(buf, wsi=bag)
+        s, single = _post(
+            base + "/predict_npz", buf.getvalue(), "application/octet-stream"
+        )
+        assert s == 200 and "risk" not in single
+        np.testing.assert_allclose(
+            np.asarray(batch_out["y"][i]), np.asarray(single["y"][0]), atol=1e-5
+        )
+        np.testing.assert_allclose(np.sum(single["y"][0]), 1.0, rtol=1e-5)
