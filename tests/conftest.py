@@ -88,6 +88,15 @@ _SLOW_TESTS = {
     "test_mcat_shapes",
     "test_mcat_padding_invariance",
     "test_ge_padding_invariance",
+    "test_nacagat_padding_invariance",
+    "test_mcat_no_attention_when_not_requested",
+    # ring / seq-parallel gradient checks (large vjp traces on 1 CPU)
+    "test_ring_attention_grads_match_local_reference",
+    "test_seq_parallel_cross_attention_dropout_grads_finite",
+    "test_seq_parallel_cross_attention_dropout_exact_semantics",
+    "test_nacagat_with_ring_mesh_matches_plain",
+    # kernel dispatch-in-train-step checks
+    "test_nacagat_ces_train_step_dispatches_pregated_kernel",
 }
 
 
