@@ -119,7 +119,16 @@ class DeviceBagCache:
                 mask = np.zeros((len(chunk_rows), bucket), bool)
                 for j, r in enumerate(chunk_rows):
                     bag = np.asarray(dataset.bag(int(r)), np.float32)
-                    m = min(bag.shape[0], bucket)
+                    m = bag.shape[0]
+                    if m > bucket:
+                        # bucket_for guarantees m <= bucket when the lengths
+                        # probe was correct; clamping here would silently
+                        # train on amputated bags (e.g. a stale length cache)
+                        raise ValueError(
+                            f"bag {int(r)} has {m} patches but was assigned "
+                            f"bucket {bucket} — stale bag-length probe? "
+                            "(delete the store's .bag_lengths.json sidecar)"
+                        )
                     wsi[j, :m] = bag[:m]
                     mask[j, :m] = True
                 if int8:

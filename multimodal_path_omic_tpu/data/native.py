@@ -35,15 +35,24 @@ def _build_lib() -> Optional[str]:
     so_path = os.path.join(os.path.dirname(_SRC), "libbagloader.so")
     if os.path.exists(so_path) and os.path.getmtime(so_path) >= os.path.getmtime(_SRC):
         return so_path
+    # compile to a private temp name, then atomically publish: concurrent
+    # processes (multi-process launch, parallel test runners) must never CDLL
+    # a partially-written .so
+    tmp_path = f"{so_path}.tmp.{os.getpid()}"
     try:
         subprocess.run(
             ["g++", "-O3", "-fPIC", "-shared", "-std=c++17", "-pthread",
-             _SRC, "-o", so_path],
+             _SRC, "-o", tmp_path],
             check=True,
             capture_output=True,
         )
+        os.replace(tmp_path, so_path)
         return so_path
     except Exception:
+        try:
+            os.unlink(tmp_path)
+        except OSError:
+            pass
         return None
 
 
@@ -56,7 +65,13 @@ def _load() -> Optional[ctypes.CDLL]:
         if so is None:
             _LIB = False
             return None
-        lib = ctypes.CDLL(so)
+        try:
+            lib = ctypes.CDLL(so)
+        except OSError:
+            # e.g. a stale .so for another arch copied in with a fresh mtime:
+            # the documented contract is graceful fallback, not a crash
+            _LIB = False
+            return None
         lib.bl_open.restype = ctypes.c_void_p
         lib.bl_open.argtypes = [ctypes.c_char_p]
         lib.bl_count.restype = ctypes.c_int64
@@ -88,6 +103,23 @@ def available() -> bool:
     return _load() is not None
 
 
+_STORES: dict = {}
+_STORES_LOCK = threading.Lock()
+
+
+def shared_store(patches_dir: str) -> "NativeBagStore":
+    """One NativeBagStore per directory: bl_open readdirs + header-parses
+    every slide, so train/val/test/predict batchers over the same store
+    should share a single index instead of rebuilding it each."""
+    key = os.path.abspath(patches_dir)
+    with _STORES_LOCK:
+        store = _STORES.get(key)
+        if store is None:
+            store = NativeBagStore(patches_dir)
+            _STORES[key] = store
+        return store
+
+
 class NativeBagStore:
     """Directory of `.npy` bags indexed and batch-loaded by the C++ runtime."""
 
@@ -108,11 +140,12 @@ class NativeBagStore:
         except Exception:
             pass
 
-    def _stem(self, slide_id: str) -> str:
-        return slide_id[:-4] if slide_id.endswith(".svs") else slide_id
-
     def lookup(self, slide_id: str) -> int:
-        return int(self._lib.bl_lookup(self._handle, self._stem(slide_id).encode()))
+        from multimodal_path_omic_tpu.data.bags import slide_basename
+
+        return int(
+            self._lib.bl_lookup(self._handle, slide_basename(slide_id).encode())
+        )
 
     def exists(self, slide_id: str) -> bool:
         return self.lookup(slide_id) >= 0
@@ -190,7 +223,13 @@ class NativePipeline:
 
         flat, offsets, buckets = [], [0], []
         for ids, bucket in plan:
-            flat.extend(store.lookup(s) for s in ids)
+            for s in ids:
+                i = store.lookup(s)
+                if i < 0:
+                    # surface the missing/unparseable slide by name now —
+                    # a -1 id handed to C++ would come back as a bare IOError
+                    raise FileNotFoundError(f"bag missing from native index: {s!r}")
+                flat.append(i)
             offsets.append(len(flat))
             buckets.append(bucket)
         self._flat = np.array(flat, dtype=np.int64)

@@ -31,6 +31,16 @@ class Batch(dict):
     __getattr__ = dict.__getitem__
 
 
+def pad_plan_indices(indices: Sequence[int], batch_size: int):
+    """Static-shape batch fill: repeat the last index into the padding rows
+    and weight them 0 (losses/metrics drop them). Returns (full, weight)."""
+    real = len(indices)
+    full = list(indices) + [indices[-1]] * (batch_size - real)
+    weight = np.zeros((batch_size,), np.float32)
+    weight[:real] = 1.0
+    return full, weight
+
+
 class BucketBatcher:
     """Builds bucketed, padded batches from a dataset.
 
@@ -85,19 +95,29 @@ class BucketBatcher:
                 and hasattr(dataset, "slide_id")
                 and native_mod.available()
             ):
-                self._native = native_mod.NativeBagStore(store.patches_dir)
+                self._native = native_mod.shared_store(store.patches_dir)
         except Exception:
             self._native = None
 
     def _bag_lengths(self) -> np.ndarray:
         if self._lengths is None:
             if self._native is not None:
-                self._lengths = np.array(
+                lengths = np.array(
                     [
                         self._native.length(self.dataset.slide_id(i))
                         for i in range(len(self.dataset))
                     ]
                 )
+                if (lengths < 0).any():
+                    # some bag the C++ header parser rejects (float64/f16,
+                    # 1-D, fortran order) but np.load handles: the native
+                    # index can't serve this cohort — keep the Python path
+                    # for EVERYTHING rather than mixing -1 lengths into
+                    # bucket assignment / batch loading
+                    self._native = None
+                    self._lengths = self._lengths_with_sidecar()
+                else:
+                    self._lengths = lengths
             else:
                 self._lengths = self._lengths_with_sidecar()
         return self._lengths
@@ -105,7 +125,13 @@ class BucketBatcher:
     def _lengths_with_sidecar(self) -> np.ndarray:
         """Bag lengths via a JSON sidecar cache next to the store when
         possible. Probing a .pt store otherwise deserializes every bag just to
-        read its shape (reference-format stores can be large)."""
+        read its shape (reference-format stores can be large).
+
+        Entries are ``[length, mtime_ns, size]`` validated against the bag
+        file's current stat — re-extracted embeddings (same slide id, new
+        patch count) invalidate their entry instead of training on stale
+        lengths (which would crash in pad_bag or silently truncate in the
+        device cache). Legacy bare-int entries are treated as misses."""
         import json
         import os
 
@@ -113,6 +139,7 @@ class BucketBatcher:
         sidecar = None
         cache = {}
         patches_dir = getattr(store, "patches_dir", None)
+        path_fn = getattr(store, "_path", None)
         if patches_dir and os.path.isdir(patches_dir):
             sidecar = os.path.join(patches_dir, ".bag_lengths.json")
             if os.path.exists(sidecar):
@@ -121,19 +148,37 @@ class BucketBatcher:
                         cache = json.load(f)
                 except Exception:
                     cache = {}
+
+        def _stat(key):
+            if path_fn is None:
+                return None
+            try:
+                st = os.stat(path_fn(key))
+                return [st.st_mtime_ns, st.st_size]
+            except OSError:
+                return None
+
         lengths = []
         dirty = False
         for i in range(len(self.dataset)):
             key = None
             if sidecar is not None and hasattr(self.dataset, "slide_id"):
                 key = str(self.dataset.slide_id(i))
+            sig = _stat(key) if key is not None else None
             if key is not None and key in cache:
-                lengths.append(int(cache[key]))
-                continue
+                entry = cache[key]
+                if (
+                    isinstance(entry, list)
+                    and len(entry) == 3
+                    and sig is not None
+                    and entry[1:] == sig
+                ):
+                    lengths.append(int(entry[0]))
+                    continue
             m = int(self.dataset.bag(i).shape[0])
             lengths.append(m)
-            if key is not None:
-                cache[key] = m
+            if key is not None and sig is not None:
+                cache[key] = [m, *sig]
                 dirty = True
         if sidecar is not None and dirty:
             try:
@@ -224,20 +269,18 @@ class BucketBatcher:
         from multimodal_path_omic_tpu.data.native import NativePipeline
 
         lo, hi = self._local_slice()
-        id_plan = []
-        for indices, bucket in plan:
-            full = list(indices) + [indices[-1]] * (self.batch_size - len(indices))
-            id_plan.append(
-                ([self.dataset.slide_id(i) for i in full[lo:hi]], bucket)
-            )
+        fills = [pad_plan_indices(indices, self.batch_size) for indices, _ in plan]
+        id_plan = [
+            ([self.dataset.slide_id(i) for i in full[lo:hi]], bucket)
+            for (full, _), (_, bucket) in zip(fills, plan)
+        ]
         pipe = NativePipeline(
             self._native, id_plan, hi - lo, dim, n_slots=n_slots
         )
-        for (bi, wsi, mask), (indices, bucket) in zip(pipe.batches(), plan):
+        for (bi, wsi, mask), (indices, bucket), (full, weight) in zip(
+            pipe.batches(), plan, fills
+        ):
             real = len(indices)
-            full = list(indices) + [indices[-1]] * (self.batch_size - real)
-            weight = np.zeros((self.batch_size,), np.float32)
-            weight[:real] = 1.0
             local = np.array(full[lo:hi])
             batch = Batch(
                 wsi=wsi,
@@ -253,7 +296,7 @@ class BucketBatcher:
 
     def _make_batch(self, indices: List[int], bucket: int) -> Batch:
         real = len(indices)
-        full = list(indices) + [indices[-1]] * (self.batch_size - real)
+        full, weight = pad_plan_indices(indices, self.batch_size)
         lo, hi = self._local_slice()
         local = full[lo:hi]
         if self._native is not None:
@@ -269,8 +312,6 @@ class BucketBatcher:
                 bags.append(padded)
                 masks[len(bags) - 1] = mask
             wsi = np.stack(bags)
-        weight = np.zeros((self.batch_size,), np.float32)
-        weight[:real] = 1.0
         batch = Batch(
             wsi=wsi,
             mask=masks,
@@ -308,22 +349,55 @@ def prefetch(iterator: Iterator, depth: int = 2) -> Iterator:
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     sentinel = object()
     error: List[BaseException] = []
+    stop = threading.Event()
+
+    def _put(item) -> bool:
+        # bounded put that notices an abandoned consumer: a plain q.put would
+        # block forever once the consumer generator is dropped (e.g. a train
+        # step raised mid-epoch), pinning the source iterator — and with it
+        # the native pipeline's slot buffers/threads — for the process's life
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def worker():
         try:
             for item in iterator:
-                q.put(item)
+                if not _put(item):
+                    break
         except BaseException as exc:  # propagate to consumer
             error.append(exc)
         finally:
-            q.put(sentinel)
+            # run the source generator's finalizers (NativePipeline.close)
+            # from the thread that owns the running frame
+            close = getattr(iterator, "close", None)
+            if close is not None:
+                try:
+                    close()
+                except Exception:
+                    pass
+            _put(sentinel)
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is sentinel:
-            if error:
-                raise error[0]
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is sentinel:
+                if error:
+                    raise error[0]
+                return
+            yield item
+    finally:
+        # consumer done or abandoned: release the worker (it may be blocked
+        # on a full queue), then drain so its pending put unblocks
+        stop.set()
+        try:
+            while True:
+                q.get_nowait()
+        except queue.Empty:
+            pass

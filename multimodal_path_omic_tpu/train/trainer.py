@@ -124,6 +124,23 @@ def _grouped(items, key_fn, K, k_fn=None):
     yield from _flush(pend, k_cur)
 
 
+def _own_aliased(batches):
+    """Take ownership of pipelined slot views BEFORE any buffering.
+
+    A native-pipeline batch's ``wsi`` aliases a slot ring that recycles the
+    moment the iterator advances (data/native.py::NativePipeline.batches:
+    pulling batch b+1 releases b's slot for refill). ``_grouped`` always has
+    a one-batch lookahead and holds up to K batches before ``stack_batches``
+    copies them, so grouped consumers must copy at pull time — the per-batch
+    path instead closes the hazard inside ``_device_batch``."""
+    for b in batches:
+        if b.get("aliased"):
+            b = dict(b)
+            b["wsi"] = np.array(b["wsi"])
+            del b["aliased"]
+        yield b
+
+
 def resolve_compute_dtype(
     value: str, backend: str, batch_size: int, data_axis: int
 ) -> str:
@@ -825,7 +842,7 @@ class Trainer:
                         yield [b], (lambda st, d=dev: self.train_step(st, d))
                     return
                 for group in _grouped(
-                    batches, key_fn=lambda b: b["bucket"], K=K,
+                    _own_aliased(batches), key_fn=lambda b: b["bucket"], K=K,
                     k_fn=self._host_k_cap(K),
                 ):
                     if len(group) == 1:
@@ -1008,7 +1025,8 @@ class Trainer:
                 yield [batch], self.eval_step(self.state.params, dev)
             return
         for group in _grouped(
-            self.val_batcher.batches(), key_fn=lambda b: b["bucket"], K=K,
+            _own_aliased(self.val_batcher.batches()),
+            key_fn=lambda b: b["bucket"], K=K,
             k_fn=self._host_k_cap(K),
         ):
             if len(group) == 1:

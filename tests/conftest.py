@@ -72,6 +72,7 @@ _SLOW_TESTS = {
     "test_device_cache_with_leave_one_out_export",
     "test_long_soak_training_stays_finite",
     "test_trainer_native_pipeline_on_off_identical",
+    "test_grouped_dispatch_owns_pipelined_slot_views",
     "test_trainer_steps_per_dispatch_e2e",
     "test_mcat_learns_planted_signal_well",
     "test_bag_beyond_largest_bucket_trains",

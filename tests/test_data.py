@@ -355,3 +355,84 @@ def test_hdf5_shape_probes(tmp_path):
     assert get_omics_sizes_from_dataset(path) == [3, 7]  # sorted by name
     assert get_rnaseq_size_from_dataset(path) == 60
     assert get_cnv_size_from_dataset(path) == 30
+
+
+def test_prefetch_abandoned_consumer_closes_source():
+    """Dropping the prefetch generator mid-stream must not leave the worker
+    thread blocked on a full queue — the source iterator's close() (which
+    releases native-pipeline slot buffers in real feeds) must still run."""
+    import gc
+    import time
+
+    closed = []
+
+    def source():
+        try:
+            for i in range(1000):
+                yield i
+        finally:
+            closed.append(True)
+
+    gen = prefetch(source(), depth=2)
+    assert next(gen) == 0
+    gen.close()  # abandon mid-stream (same path as a raising train step)
+    gc.collect()
+    for _ in range(50):  # worker closes the source asynchronously
+        if closed:
+            break
+        time.sleep(0.05)
+    assert closed, "source generator was never finalized"
+
+
+def test_sidecar_invalidates_on_bag_rewrite(tmp_path):
+    """Re-extracted embeddings (same slide id, new patch count) must not be
+    served with stale cached lengths: the sidecar keys entries by file
+    mtime+size, so the rewritten bag is re-probed (a stale 48 would send the
+    96-patch bag to pad_bag/device-cache with a too-small bucket)."""
+    import os
+    import time
+
+    csv, sig, patches = make_synthetic_cohort(
+        str(tmp_path), n_patients=4, bag_lengths=(48,), seed=3
+    )
+    cfg = synthetic_config_dict(csv, sig, patches)
+    ds = MultimodalDataset(csv, cfg, use_signatures=True)
+    b1 = BucketBatcher(ds, survival_extras, 2, buckets=(64, 128), shuffle=False)
+    b1._native = None  # force the sidecar path (native probes headers live)
+    assert set(b1._bag_lengths().tolist()) == {48}
+    assert os.path.exists(os.path.join(patches, ".bag_lengths.json"))
+
+    sid = ds.slide_id(0)
+    path = ds.store._path(sid)
+    old = np.load(path)
+    time.sleep(0.01)  # ensure a distinct mtime even on coarse filesystems
+    np.save(path, np.concatenate([old, old], axis=0))
+
+    b2 = BucketBatcher(ds, survival_extras, 2, buckets=(64, 128), shuffle=False)
+    b2._native = None
+    lengths = {ds.slide_id(i): int(m) for i, m in enumerate(b2._bag_lengths())}
+    assert lengths[sid] == 96  # fresh probe, not the stale cached 48
+
+
+def test_unparseable_npy_falls_back_to_python_path(tmp_path):
+    """A bag the C++ header parser rejects (float64) but np.load accepts must
+    not corrupt bucketing (-1 lengths) or crash batch loads: the batcher
+    drops to the pure-Python loader for the whole cohort."""
+    from multimodal_path_omic_tpu.data import native as native_mod
+
+    csv, sig, patches = make_synthetic_cohort(
+        str(tmp_path), n_patients=4, bag_lengths=(48,), seed=4
+    )
+    cfg = synthetic_config_dict(csv, sig, patches)
+    ds = MultimodalDataset(csv, cfg, use_signatures=True)
+    sid = ds.slide_id(1)
+    path = ds.store._path(sid)
+    np.save(path, np.load(path).astype(np.float64))  # header now '<f8'
+
+    batcher = BucketBatcher(ds, survival_extras, 2, buckets=(64,), shuffle=False)
+    lengths = batcher._bag_lengths()
+    assert (lengths == 48).all(), lengths
+    if native_mod.available():
+        assert batcher._native is None  # fallback engaged
+    batches = list(batcher.batches())
+    assert sum(int(b["weight"].sum()) for b in batches) == len(ds)

@@ -24,10 +24,10 @@ from multimodal_path_omic_tpu.train.optim import make_optimizer
 from multimodal_path_omic_tpu.train.trainer import Trainer
 
 
-def _make_cfg(tmp, *, model="MCAT", loss="ces", epochs=2, seed=0, **kw):
+def _make_cfg(tmp, *, model="MCAT", loss="ces", epochs=2, seed=0, n_patients=24, **kw):
     csv, sig, patches = make_synthetic_cohort(
         str(tmp),
-        n_patients=24,
+        n_patients=n_patients,
         bag_lengths=(48, 80, 120),
         n_genes=36,
         n_signatures=4,
@@ -617,6 +617,32 @@ def test_trainer_native_pipeline_on_off_identical(tmp_path):
     out_off = t_off.fit()
     assert np.isclose(out_on["train_loss"], out_off["train_loss"], atol=1e-6)
     assert np.isclose(out_on["val_loss"], out_off["val_loss"], atol=1e-6)
+
+
+def test_grouped_dispatch_owns_pipelined_slot_views(tmp_path):
+    """K>1 dispatch groups buffer up to K host batches before stack_batches
+    copies them, but a native-pipeline batch's wsi aliases a 3-slot ring that
+    recycles the moment the iterator advances — without copying at pull time
+    (trainer._own_aliased) a group of >3 same-bucket batches trains on
+    overwritten bags. Needs >3 batches in one bucket: 48 patients / batch 8
+    gives a 5-batch group under auto K; the sibling on/off test's 24-patient
+    cohort fits inside the slot ring and cannot catch this."""
+    cfg_on = _make_cfg(tmp_path, epochs=1, n_patients=48)
+    cfg_on.tpu.device_cache = "off"  # force the host-fed grouped path
+    t_on = Trainer(cfg_on, verbose=False)
+    t_on.train_batcher.use_native_pipeline = True
+    t_on.val_batcher.use_native_pipeline = True
+    if t_on.train_batcher._native is None:
+        pytest.skip("native loader unavailable")
+    assert t_on.steps_per_dispatch > 3  # the property under test needs K>3
+    out_on = t_on.fit()
+
+    cfg_off = _make_cfg(tmp_path, epochs=1, n_patients=48)
+    cfg_off.tpu.use_native_pipeline = False
+    cfg_off.tpu.device_cache = "off"
+    out_off = Trainer(cfg_off, verbose=False).fit()
+    assert np.isclose(out_on["train_loss"], out_off["train_loss"], atol=1e-7)
+    assert np.isclose(out_on["val_loss"], out_off["val_loss"], atol=1e-7)
 
 
 def test_multi_step_dispatch_matches_single_steps():
