@@ -140,9 +140,12 @@ class MultiheadAttention(nn.Module):
         wq, wk, wv = jnp.split(in_kernel, 3, axis=1)
         bq, bk, bv = jnp.split(in_bias, 3)
 
-        q = jnp.dot(query.astype(self.dtype), wq.astype(self.dtype)) + bq
-        k = jnp.dot(key.astype(self.dtype), wk.astype(self.dtype)) + bk
-        v = jnp.dot(value.astype(self.dtype), wv.astype(self.dtype)) + bv
+        # bias cast matters: an f32 bias would silently promote q/k/v (and
+        # with them the whole attention chain over up to 24k-patch keys) back
+        # to f32 on the bf16 compute path — same pattern as TorchLinear
+        q = jnp.dot(query.astype(self.dtype), wq.astype(self.dtype)) + bq.astype(self.dtype)
+        k = jnp.dot(key.astype(self.dtype), wk.astype(self.dtype)) + bk.astype(self.dtype)
+        v = jnp.dot(value.astype(self.dtype), wv.astype(self.dtype)) + bv.astype(self.dtype)
 
         qh = _split_heads(q, self.num_heads)
         kh = _split_heads(k, self.num_heads)
@@ -160,16 +163,22 @@ class MultiheadAttention(nn.Module):
         # CO-attention keeps exact dropout semantics at any M: the fused
         # kernel (ops/coattn.py) and the sequence-parallel stat-merge path
         # (parallel/ring.py) both apply it in place.
-        huge = key.shape[1] >= 4096 and query.shape[1] == key.shape[1]
+        # Object identity, not shape equality: a cross-attention call whose N
+        # happens to equal M must not be classified self-attention (the huge-M
+        # paths drop the dropout site / rotate K-V on the ring — justified
+        # only for genuine self-attention). Every in-repo self-attention call
+        # passes the same array for q/k/v (ops/transformer.py, ge_nacagat.py).
+        self_attn = query is key
+        huge = self_attn and key.shape[1] >= 4096
         on_seq_mesh = (
             self.ring_mesh is not None
             and dict(self.ring_mesh.shape).get("seq", 1) > 1
         )
-        self_attn = query.shape[1] == key.shape[1]
         ssq = None
         if (
             on_seq_mesh
             and self_attn
+            and not self.pre_gate  # ring_self_attention has no pre-gate path
             and need_weights is False
             and (not dropout_active or huge)
         ):

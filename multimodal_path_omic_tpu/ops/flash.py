@@ -62,7 +62,12 @@ def flash_attention(
     # 512/512/512 beats the 128-default by ~4.9x and 512/512/128 by ~1.35x
     # (see ROADMAP "tune flash block sizes" — done). block_q_dkv=512 re-swept
     # round 2 on the full GE train step: ~3% over 128, no VMEM pressure.
+    # The library kernel requires block | n: custom buckets like 768 or 4864
+    # (supported() admits any multiple of 128) take the largest dividing
+    # block instead of tripping its divisibility ValueError at trace time.
     block = min(512, n)
+    while n % block != 0:
+        block //= 2
     sizes = fa.BlockSizes(
         block_q=block,
         block_k_major=block,

@@ -161,13 +161,21 @@ def cross_entropy_survival_attn_reg(
     """"cesar" — ces + lambda * ||A||_2 (reference: loss.py:88-101).
 
     Returns ``(loss, attn_loss)`` like the reference. ``attention`` is the raw
-    co-attention map; the penalty is the global L2 (Frobenius) norm, matching
-    ``torch.norm(attention, p=2)``.
+    co-attention map [B, ...]; the penalty is the global L2 (Frobenius) norm,
+    matching ``torch.norm(attention, p=2)`` exactly at the reference's
+    batch-1. With ``sample_weight``, padded rows are excluded from the norm
+    (sqrt of the weighted sum of per-sample squares) so batch padding
+    contributes zero loss. Note the Trainer's batched cesar (train/loop.py)
+    instead generalizes batch-1 as the weighted MEAN of per-sample norms —
+    both reduce to the reference at B=1.
     """
     loss = cross_entropy_survival(
         hazards, survs, y, c, alpha=alpha, eps=eps, sample_weight=sample_weight
     )
-    attn_loss = lambda_reg * jnp.linalg.norm(attention.reshape(-1), ord=2)
+    sq = jnp.sum(attention.reshape(attention.shape[0], -1) ** 2, axis=1)
+    if sample_weight is not None:
+        sq = sq * sample_weight
+    attn_loss = lambda_reg * jnp.sqrt(jnp.sum(sq))
     return loss + attn_loss, attn_loss
 
 

@@ -23,7 +23,9 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-NEG = -0.7 * 3.4e38
+# single source for the finite mask constant (shared with the kernels —
+# ops/coattn.py documents the exp(-inf - -inf) NaN-avoidance rationale)
+from multimodal_path_omic_tpu.ops.coattn import NEG  # noqa: E402
 
 
 def _ring_chunk_size(ml: int, target: int = 512) -> int:

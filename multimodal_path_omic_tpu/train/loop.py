@@ -305,7 +305,12 @@ def _build_step(
         b, m = batch["wsi"].shape[0], batch["wsi"].shape[1]
         # static (trace-time) choice of accumulation chunks: largest divisor
         # of b whose chunk fits the patch budget
-        if patch_budget is None:
+        if patch_budget is None or loss_name == "cox":
+            # cox is NOT sum-decomposable over samples: each event's risk set
+            # spans the whole batch, so chunked accumulation would shrink the
+            # risk sets to chunk-local ones and bias loss and gradient. Cox
+            # always sees the full batch (at the memory cost of no remat
+            # chunking on huge buckets).
             accum = 1
         else:
             max_chunk = max(1, patch_budget // max(m, 1))

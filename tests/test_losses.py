@@ -267,3 +267,53 @@ def test_fast_dropout_matches_flax_semantics():
     np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
     out_det = mod.apply({}, x, deterministic=True)
     np.testing.assert_array_equal(np.asarray(out_det), np.asarray(x))
+
+
+def test_cox_loss_ignores_patch_budget_chunking():
+    """Cox partial likelihood is not sum-decomposable (each event's risk set
+    spans the whole batch): the train step must NOT split cox batches into
+    gradient-accumulation chunks, or risk sets silently shrink to chunk-local
+    ones. A tiny patch_budget that forces accum=4 on every other loss must
+    produce the identical cox loss as the unchunked trace."""
+    from multimodal_path_omic_tpu.train.loop import make_train_step
+    from multimodal_path_omic_tpu.train.optim import make_optimizer
+    from tests.test_train import TinySurvival, _tiny_batch, _tiny_state
+
+    model = TinySurvival()
+    opt = make_optimizer("adam", 1e-3)
+    batch = _tiny_batch(b=4, m=16)
+
+    def run(loss_name, budget):
+        step = make_train_step(
+            model, loss_name, opt, alpha=0.0, l1_lambda=0.0,
+            patch_budget=budget, ge_mode=False, omic_sizes=(4,),
+            donate_state=False,
+        )
+        _, metrics = step(_tiny_state(model, opt, batch), batch)
+        return float(metrics.loss)
+
+    # batch of 4 x 16-patch bags: budget 16 forces chunk=1/accum=4 for a
+    # decomposable loss (sanity: ces chunked == unchunked too), and cox must
+    # ignore the budget entirely
+    assert np.isclose(run("ces", 16), run("ces", None), atol=1e-6)
+    assert np.isclose(run("cox", 16), run("cox", None), atol=1e-7)
+
+
+def test_cesar_exported_norm_excludes_padding():
+    """cross_entropy_survival_attn_reg with sample_weight: padded rows'
+    attention must not leak into the global norm (the docstring's zero-loss
+    contract for padding)."""
+    rng = np.random.default_rng(5)
+    hz = jax.nn.sigmoid(jnp.array(rng.normal(size=(2, 4)), jnp.float32))
+    sv = jnp.cumprod(1 - hz, axis=1)
+    y = jnp.array([1, 2]); c = jnp.array([0.0, 0.0])
+    attn = jnp.array(rng.normal(size=(2, 6, 8)), jnp.float32)
+    w = jnp.array([1.0, 0.0])
+
+    _, attn_full = losses.cross_entropy_survival_attn_reg(
+        hz, sv, y, c, attn, sample_weight=w
+    )
+    _, attn_single = losses.cross_entropy_survival_attn_reg(
+        hz[:1], sv[:1], y[:1], c[:1], attn[:1], sample_weight=jnp.ones((1,))
+    )
+    np.testing.assert_allclose(float(attn_full), float(attn_single), rtol=1e-6)

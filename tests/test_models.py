@@ -196,3 +196,42 @@ def test_pcag_composite_block():
     out, weights = block.apply(params, slide, omics)
     assert out.shape == (1, 6, 128)
     assert weights.shape == (1, 6, 300)
+
+
+def test_attention_bf16_path_stays_bf16():
+    """An f32 in-projection bias must not promote q/k/v (and the whole
+    attention chain over the patch axis) back to f32 on the bf16 compute
+    path — the bias is cast like TorchLinear's."""
+    from multimodal_path_omic_tpu.ops.attention import MultiheadAttention
+
+    mod = MultiheadAttention(embed_dim=16, num_heads=1, dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    q = jnp.array(rng.normal(size=(2, 4, 16)), jnp.float32)
+    kv = jnp.array(rng.normal(size=(2, 8, 16)), jnp.float32)
+    params = mod.init(jax.random.key(0), q, kv, kv, need_weights=False)
+    _, _, qp = mod.apply(
+        params, q, kv, kv, need_weights=False, return_projected_q=True
+    )
+    assert qp.dtype == jnp.bfloat16, qp.dtype
+
+
+def test_pre_gated_self_attention_on_seq_mesh_keeps_the_gate():
+    """ring_self_attention has no pre-gate path: a pre-gated self-attention
+    on a seq mesh must fall back to a gated path (XLA core under GSPMD), not
+    silently compute un-gated scores on the ring."""
+    from multimodal_path_omic_tpu.ops.attention import MultiheadAttention
+    from multimodal_path_omic_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(data=1, seq=8)
+    rng = np.random.default_rng(1)
+    x = jnp.array(rng.normal(size=(2, 64, 16)), jnp.float32)
+
+    plain = MultiheadAttention(embed_dim=16, num_heads=1, pre_gate=True)
+    params = plain.init(jax.random.key(0), x, x, x, need_weights=False)
+    ref, _ = plain.apply(params, x, x, x, need_weights=False)
+
+    ringed = MultiheadAttention(
+        embed_dim=16, num_heads=1, pre_gate=True, ring_mesh=mesh
+    )
+    got, _ = ringed.apply(params, x, x, x, need_weights=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
