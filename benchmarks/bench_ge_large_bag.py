@@ -18,6 +18,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
+    import argparse
+
     import jax
     import jax.numpy as jnp
 
@@ -25,12 +27,24 @@ def main():
     from multimodal_path_omic_tpu.train.loop import TrainState, make_train_step
     from multimodal_path_omic_tpu.train.optim import make_optimizer
 
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--compute", choices=["f32", "bf16"], default="f32",
+        help="activation dtype (bf16 halves flash-attention HBM traffic; "
+        "heads stay f32 inside the model either way)",
+    )
+    ap.add_argument("--sizes", default="4096,8192,16384,24576")
+    args = ap.parse_args()
+
     rng = np.random.default_rng(0)
-    model = GENaCAGaT(model_size="medium", use_pallas=True)
+    model = GENaCAGaT(
+        model_size="medium", use_pallas=True,
+        dtype=jnp.bfloat16 if args.compute == "bf16" else None,
+    )
     params = None
     opt = make_optimizer("adam", 2e-4, 1e-5)
 
-    for m in (4096, 8192, 16384, 24576):
+    for m in [int(s) for s in args.sizes.split(",")]:
         b = 2
         wsi = jnp.asarray(rng.normal(size=(b, m, 1024)).astype(np.float32))
         mask = jnp.asarray(
