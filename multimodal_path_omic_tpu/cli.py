@@ -115,7 +115,12 @@ def cmd_convert_checkpoint(args) -> int:
     cfg = load_config(args.config, _parse_overrides(args.set, args))
     trainer = Trainer(cfg)
     trainer.load_torch_checkpoint(args.torch_checkpoint)
-    path = trainer.save(trainer.starting_epoch - 1 if trainer.starting_epoch else 0, 0.0)
+    # save() stores epoch+1; passing starting_epoch-1 round-trips exactly.
+    # A torch payload without an 'epoch' key leaves starting_epoch=0 — the
+    # converted checkpoint must store 0 (resume trains from epoch 0), not 1
+    # (the old `if starting_epoch else 0` branch made resume SKIP epoch 0).
+    path = trainer.save(trainer.starting_epoch - 1, 0.0)
+    ckpt.wait_for_checkpoints()  # surface async-commit errors before exit 0
     print(f"Converted checkpoint written to {path}")
     return 0
 

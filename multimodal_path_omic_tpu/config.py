@@ -302,7 +302,14 @@ def _apply_override(cfg: Config, dotted: str, value: Any) -> None:
         else:
             raise ValueError(f"cannot parse {value!r} as a boolean for {dotted}")
     elif current is not None and value is not None and not isinstance(value, type(current)):
-        value = type(current)(value)
+        coerced = type(current)(value)
+        if isinstance(current, int) and isinstance(value, float) and coerced != value:
+            # int(19.9) == 19 would silently run with a different value than
+            # the user asked for — reject non-integral overrides of int fields
+            raise ValueError(
+                f"{dotted}={value!r} is not an integer (field is int-typed)"
+            )
+        value = coerced
     setattr(obj, leaf, value)
     # dataclass validation runs in __post_init__, which plain setattr skips —
     # re-run it so a bad override fails at load time, not mid-training; on

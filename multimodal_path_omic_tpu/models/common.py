@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from typing import Any, Dict, NamedTuple, Optional, Sequence
+from typing import Any, Dict, NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -25,7 +25,9 @@ class SurvivalOutput(NamedTuple):
     attention: Dict[str, Optional[jnp.ndarray]]
 
 
-def survival_head(logits: jnp.ndarray) -> SurvivalOutput:
+def survival_head(
+    logits: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """logits -> (hazards, survs, Y) (reference: mcat.py:126-138).
 
     hazards = sigmoid(logits); survs = cumprod(1 - hazards); Y = softmax(logits).

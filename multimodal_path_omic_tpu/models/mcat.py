@@ -116,7 +116,6 @@ class MCAT(nn.Module):
             dtype=self.dtype,
         )
         trans = branch_tr(jnp.stack([h_coattn, g_bag]), None, deterministic)
-        path_trans, omic_trans = trans[0], trans[1]
 
         # Global attention pooling (mcat.py:105-115)
         branch_pool = _branch_pair(
@@ -130,11 +129,12 @@ class MCAT(nn.Module):
         h_path, a_path = pooled[0], scores[0]
         h_omic, a_omic = pooled[1], scores[1]
 
-        # Fusion (mcat.py:69-79, 119)
+        # Fusion (mcat.py:69-79, 119) — deterministic forwarded: bilinear
+        # fusion carries five dropout sites that must drop in training
         h = make_fusion(
             self.fusion, hidden=d2, output=d2, dtype=self.dtype,
             name="fusion_layer", bug_compat=self.bug_compat,
-        )(h_path, h_omic)
+        )(h_path, h_omic, deterministic=deterministic)
 
         # Survival head (mcat.py:126-138)
         logits = TorchLinear(self.n_classes, dtype=self.dtype, name="classifier")(h)

@@ -108,7 +108,6 @@ class NaCAGaT(nn.Module):
             dtype=self.dtype,
         )
         trans = branch_tr(jnp.stack([h_coattn, g_bag]), None, deterministic)
-        path_trans, omic_trans = trans[0], trans[1]
 
         branch_pool = _branch_pair(
             GatedMILPool,
@@ -121,10 +120,11 @@ class NaCAGaT(nn.Module):
         h_path, a_path = pooled[0], scores[0]
         h_omic, a_omic = pooled[1], scores[1]
 
+        # deterministic forwarded: bilinear fusion drops in training
         h = make_fusion(
             self.fusion, hidden=d2, output=d2, dtype=self.dtype,
             name="fusion_layer", bug_compat=self.bug_compat,
-        )(h_path, h_omic)
+        )(h_path, h_omic, deterministic=deterministic)
 
         logits = TorchLinear(self.n_classes, dtype=self.dtype, name="classifier")(h)
         hazards, survs, y = survival_head(logits)

@@ -28,7 +28,9 @@ class ConcatFusion(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, *x: jnp.ndarray):
+    def __call__(self, *x: jnp.ndarray, deterministic: bool = True):
+        # ``deterministic`` accepted (and ignored — no dropout here) so the
+        # models can forward train/eval mode to ANY fusion uniformly
         concat = jnp.concatenate(x, axis=-1)
         h = jax.nn.relu(TorchLinear(self.hidden_size, dtype=self.dtype, name="fc1")(concat))
         h = jax.nn.relu(TorchLinear(self.output_size, dtype=self.dtype, name="fc2")(h))
@@ -54,7 +56,9 @@ class GatedConcatFusion(nn.Module):
     bug_compat: bool = False
 
     @nn.compact
-    def __call__(self, *x: jnp.ndarray):
+    def __call__(self, *x: jnp.ndarray, deterministic: bool = True):
+        # ``deterministic`` accepted (and ignored — no dropout here), see
+        # ConcatFusion
         gated = []
         for i, item in enumerate(x):
             if self.bug_compat:

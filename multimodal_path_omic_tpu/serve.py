@@ -19,7 +19,6 @@ import numpy as np
 from multimodal_path_omic_tpu.config import Config
 from multimodal_path_omic_tpu.data.bags import bucket_for, pad_bag
 from multimodal_path_omic_tpu.data.pipeline import BucketBatcher, prefetch
-from multimodal_path_omic_tpu.train.loop import make_eval_step
 from multimodal_path_omic_tpu.train.trainer import Trainer
 
 
@@ -32,13 +31,11 @@ class Predictor:
 
     def __init__(self, trainer: Trainer):
         self._t = trainer
-        self.eval_step = make_eval_step(
-            trainer.model,
-            trainer.config.training.loss,
-            alpha=trainer.config.training.alpha,
-            ge_mode=trainer.ge_mode,
-            omic_sizes=tuple(trainer.omic_sizes),
-        )
+        # reuse the Trainer's program: same l1_lambda (a rebuilt step without
+        # it reported losses disagreeing with Trainer.validate for lambda>0)
+        # and no second per-bucket compile when one process validates AND
+        # predicts
+        self.eval_step = trainer.eval_step
 
     @classmethod
     def from_config(

@@ -78,7 +78,13 @@ class PredictHandler(BaseHTTPRequestHandler):
             elif self.path == "/predict_npz":
                 with np.load(io.BytesIO(raw)) as z:
                     wsi = np.asarray(z["wsi"], np.float32)
-                    keys = sorted(k for k in z.files if k.startswith("omic_"))
+                    # numeric sort: lexicographic would put omic_10 before
+                    # omic_2 and silently feed signatures to wrong encoders
+                    # (the fused omic stack pads to max width, no shape error)
+                    keys = sorted(
+                        (k for k in z.files if k.startswith("omic_")),
+                        key=lambda k: int(k.split("_")[1]),
+                    )
                     omics = [np.asarray(z[k], np.float32) for k in keys] or None
             elif self.path == "/predict_batch_npz":
                 with np.load(io.BytesIO(raw)) as z:
@@ -113,6 +119,11 @@ class PredictHandler(BaseHTTPRequestHandler):
             return
         try:
             out = self.predictor.predict_bag(wsi, omics=omics)
+        except ValueError as exc:
+            # client mistake (e.g. survival model without omics) — same
+            # 400 contract as the batch endpoint
+            self._reply(400, {"error": f"bad request: {exc}"})
+            return
         except Exception as exc:
             self._reply(500, {"error": f"inference failed: {exc}"})
             return

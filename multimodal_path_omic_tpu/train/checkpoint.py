@@ -71,11 +71,10 @@ def save_checkpoint(
     path = os.path.join(directory, name)
     try:
         ckptr = _get_checkpointer()
-        ckptr.save(os.path.abspath(path), payload)
-        if block:
-            ckptr.wait_until_finished()
-        return path
-    except Exception as exc:
+    except ImportError as exc:
+        # only a MISSING orbax degrades to the pickle fallback; write
+        # failures (destination exists, disk full) must stay loud — silently
+        # pickling on those masked the real error and could half-write
         print(
             f"WARNING: orbax checkpointing unavailable ({type(exc).__name__}); "
             f"writing PICKLED numpy fallback {path}.npy — not portable, do not "
@@ -83,6 +82,10 @@ def save_checkpoint(
         )
         np.save(path + ".npy", np.array([payload], dtype=object), allow_pickle=True)
         return path + ".npy"
+    ckptr.save(os.path.abspath(path), payload)
+    if block:
+        ckptr.wait_until_finished()
+    return path
 
 
 def restore_checkpoint(path: str, template: Optional[Dict[str, Any]] = None) -> Dict[str, Any]:

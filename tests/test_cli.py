@@ -151,6 +151,25 @@ def test_cli_convert_checkpoint_roundtrip(config_path, tmp_path, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "Converted checkpoint written to" in out
+    ck_path = out.strip().rsplit(" ", 1)[-1]
+    restored = Trainer(config_from_dict(cfg), verbose=False)
+    restored.restore(ck_path)
+    # torch payload said epoch 4 finished -> resume trains epoch 5 next
+    assert restored.starting_epoch == 5
+
+    # a raw state-dict payload WITHOUT an 'epoch' key must resume at epoch 0
+    # (the old starting_epoch-1-if-truthy expression saved 1 and SKIPPED
+    # epoch 0 on resume)
+    pt_bare = str(tmp_path / "ref_bare.pt")
+    torch.save({"model_state_dict": tmod.state_dict()}, pt_bare)
+    rc = cli.main(
+        ["convert-checkpoint", "--config", config_path, "--torch-checkpoint", pt_bare]
+    )
+    assert rc == 0
+    ck_bare = capsys.readouterr().out.strip().rsplit(" ", 1)[-1]
+    restored0 = Trainer(config_from_dict(cfg), verbose=False)
+    restored0.restore(ck_bare)
+    assert restored0.starting_epoch == 0
 
 
 def test_cli_predict_writes_csv(config_path, tmp_path):
@@ -221,3 +240,20 @@ def test_reference_yaml_configs_load_unchanged():
         cfg = load_config(ge)
         assert cfg.model.gene == "CCNE1"
         assert cfg.training.leave_one_out == "M013"
+
+
+def test_override_rejects_non_integral_float_for_int_field(config_path):
+    """--set training.epochs=19.9 must raise, not silently run 19 epochs;
+    integral floats (2.5e9 bytes) still coerce."""
+    import yaml as _yaml
+
+    from multimodal_path_omic_tpu.config import config_from_dict
+
+    from multimodal_path_omic_tpu.config import _apply_override
+
+    raw = _yaml.safe_load(open(config_path))
+    cfg = config_from_dict(raw)
+    with pytest.raises(ValueError, match="epochs"):
+        _apply_override(cfg, "training.epochs", 19.9)
+    _apply_override(cfg, "tpu.device_cache_budget_bytes", 2.5e9)
+    assert cfg.tpu.device_cache_budget_bytes == 2_500_000_000

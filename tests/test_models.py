@@ -235,3 +235,36 @@ def test_pre_gated_self_attention_on_seq_mesh_keeps_the_gate():
     )
     got, _ = ringed.apply(params, x, x, x, need_weights=False)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+def test_bilinear_fusion_dropout_engages_in_training():
+    """The models must forward `deterministic` into the fusion module:
+    BilinearFusion carries five dropout sites (reference fusion.py applies
+    nn.Dropout(0.25) in train mode) that silently ran in eval mode when the
+    flag was not forwarded. With every OTHER dropout site disabled
+    (dropout_rate=0), two different dropout rngs must still change the
+    output — proof the fusion's own dropout is live."""
+    from multimodal_path_omic_tpu.models import MCAT
+
+    model = MCAT(
+        n_signatures=2, model_size="small", dropout_rate=0.0, fusion="bilinear"
+    )
+    rng = np.random.default_rng(0)
+    wsi = jnp.array(rng.normal(size=(2, 16, 1024)), jnp.float32)
+    omics = [jnp.array(rng.normal(size=(2, 8)), jnp.float32) for _ in range(2)]
+    mask = jnp.ones((2, 16), bool)
+    params = model.init(jax.random.key(0), wsi, omics, mask, deterministic=True)
+
+    def run(drop_seed):
+        out = model.apply(
+            params, wsi, omics, mask, deterministic=False,
+            rngs={"dropout": jax.random.key(drop_seed)},
+        )
+        return np.asarray(out.y)
+
+    a, b = run(1), run(2)
+    assert not np.allclose(a, b), "fusion dropout is not active in training"
+    # and eval mode stays deterministic
+    det = model.apply(params, wsi, omics, mask, deterministic=True)
+    det2 = model.apply(params, wsi, omics, mask, deterministic=True)
+    np.testing.assert_array_equal(np.asarray(det.y), np.asarray(det2.y))

@@ -235,3 +235,41 @@ def test_ge_predict_npz_and_batch(ge_served):
             np.asarray(batch_out["y"][i]), np.asarray(single["y"][0]), atol=1e-5
         )
         np.testing.assert_allclose(np.sum(single["y"][0]), 1.0, rtol=1e-5)
+
+
+def test_predict_npz_sorts_omics_numerically(tmp_path):
+    """With 10+ signatures, lexicographic key order would feed omic_10 before
+    omic_2 (no shape error — the fused omic stack pads to max width), making
+    every prediction silently wrong. The handler must order numerically and
+    match a direct predict_bag call."""
+    csv, sig, patches = make_synthetic_cohort(
+        str(tmp_path), n_patients=6, bag_lengths=(48,), n_genes=44,
+        n_signatures=11, seed=9,
+    )
+    raw = synthetic_config_dict(csv, sig, patches)
+    raw["model"]["model_size"] = "small"
+    raw["tpu"] = {"bag_buckets": [64], "batch_size": 2, "use_pallas": False}
+    trainer = Trainer(config_from_dict(raw), verbose=False)
+    predictor = Predictor(trainer)
+    assert len(trainer.omic_sizes) == 11
+    server = make_server(predictor, port=0)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+    try:
+        rng = np.random.default_rng(10)
+        wsi = rng.normal(size=(48, 1024)).astype(np.float32)
+        omics = [
+            rng.normal(size=(s,)).astype(np.float32) for s in trainer.omic_sizes
+        ]
+        buf = io.BytesIO()
+        np.savez(buf, wsi=wsi, **{f"omic_{i}": o for i, o in enumerate(omics)})
+        status, body = _post(
+            base + "/predict_npz", buf.getvalue(), "application/octet-stream"
+        )
+        assert status == 200
+        direct = predictor.predict_bag(wsi, omics=omics)
+        np.testing.assert_allclose(
+            np.asarray(body["risk"]), np.asarray(direct["risk"]), atol=1e-5
+        )
+    finally:
+        server.shutdown()
