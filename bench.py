@@ -46,7 +46,7 @@ def main():
     import jax.numpy as jnp
 
     from multimodal_path_omic_tpu.models import MCAT
-    from multimodal_path_omic_tpu.train.loop import TrainState, make_train_step
+    from multimodal_path_omic_tpu.train.loop import TrainState
     from multimodal_path_omic_tpu.train.optim import make_optimizer
 
     rng = np.random.default_rng(0)
@@ -116,7 +116,7 @@ def main():
 
     # timed: best of several windows (the device may be time-shared; the best
     # window reflects the hardware, the others reflect contention)
-    n_calls = 16  # = 128 optimizer steps / window
+    n_calls = 16  # x BENCH_K steps each (512 at the default K=32)
     best = 0.0
     for _ in range(5):
         t0 = time.perf_counter()

@@ -109,11 +109,15 @@ def torch_arm(dataset, split_seed: int, epochs: int, lr: float, grad_acc: int,
 
     train_rows, val_rows = rows(train_ds), rows(val_ds)
     model = RefModel(omic_sizes=dataset.signature_sizes, model_size="small")
-    loss_fn = (
-        CrossEntropySurvivalAttnRegLoss()
-        if loss_name == "cesar"
-        else CrossEntropySurvivalLoss()
-    )
+    # mirror the REFERENCE's factory (mcat/main.py:272-280): 'ce' is plain
+    # CrossEntropyLoss on the softmaxed Y — mapping it to CES here would
+    # train different objectives in the two arms and fake a quality gap
+    if loss_name == "cesar":
+        loss_fn = CrossEntropySurvivalAttnRegLoss()
+    elif loss_name == "ce":
+        loss_fn = torch.nn.CrossEntropyLoss()
+    else:
+        loss_fn = CrossEntropySurvivalLoss()
     opt = torch.optim.Adam(model.parameters(), lr=lr, weight_decay=1e-5)
     rng = np.random.default_rng(split_seed)
 
@@ -130,6 +134,9 @@ def torch_arm(dataset, split_seed: int, epochs: int, lr: float, grad_acc: int,
                     hazards, survs, torch.tensor([[klass]]),
                     c=torch.tensor([[cens]]), attention=attn["coattn"],
                 )
+            elif loss_name == "ce":
+                # reference mcat/main.py:41-42: CE on the softmaxed Y
+                loss = loss_fn(y, torch.tensor([klass]).long())
             else:
                 loss = loss_fn(
                     hazards, survs, torch.tensor([[klass]]), c=torch.tensor([[cens]])
@@ -290,15 +297,19 @@ def main():
         cfg.model.gene = args.gene
         cfg.training.loss = "ce"  # the GE driver's only loss (main.py:32-35)
 
-        t0 = time.time()
-        torch_hist = torch_arm_ge(
-            cfg, args.gene, split_seed=args.seed, epochs=args.epochs,
-            lr=cfg.training.lr, grad_acc=cfg.training.grad_acc_step,
-        )
-        torch_secs = time.time() - t0
-        t0 = time.time()
-        jax_hist = jax_arm_ge(cfg, args.epochs)
-        jax_secs = time.time() - t0
+        torch_hist = jax_hist = [(float("nan"), float("nan"))]
+        torch_secs = jax_secs = float("nan")
+        if args.arm in ("both", "torch"):
+            t0 = time.time()
+            torch_hist = torch_arm_ge(
+                cfg, args.gene, split_seed=args.seed, epochs=args.epochs,
+                lr=cfg.training.lr, grad_acc=cfg.training.grad_acc_step,
+            )
+            torch_secs = time.time() - t0
+        if args.arm in ("both", "jax"):
+            t0 = time.time()
+            jax_hist = jax_arm_ge(cfg, args.epochs)
+            jax_secs = time.time() - t0
 
         k = max(1, args.epochs // 4)
         summary = {

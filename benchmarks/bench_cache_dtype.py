@@ -94,6 +94,10 @@ def main():
     _, s32 = window(cache_f32, s32)
     _, s8 = window(cache_i8, s8)
 
+    # Interleaving defends against time-share drift but pays the backend's
+    # program-switch cost in both arms (biases the ratio toward 1.0); the
+    # reported parity is a lower bound on the single-program behavior — see
+    # bench_nacagat.py for the same documented tradeoff.
     best32, best8 = np.inf, np.inf
     for _ in range(WINDOWS):
         ms, s32 = window(cache_f32, s32)

@@ -32,6 +32,13 @@ def build_cohort(out_dir: str, n_patients: int, seed: int = 0):
     csv = os.path.join(out_dir, "cohort.csv")
     if not os.path.exists(marker):
         os.makedirs(out_dir, exist_ok=True)
+        # the cohort files are SHARED per out_dir: drop every other marker so
+        # a later run with the old params regenerates instead of silently
+        # benchmarking this run's cohort
+        import glob as _glob
+
+        for old in _glob.glob(os.path.join(out_dir, ".cohort_*")):
+            os.unlink(old)
         csv, sig, patches = make_synthetic_cohort(
             out_dir,
             n_patients=n_patients,
@@ -62,6 +69,8 @@ def main():
     ap.add_argument("--cohort-dir", default="/tmp/bench_e2e_cohort")
     ap.add_argument("--validate", action="store_true", help="per-epoch validation")
     args = ap.parse_args()
+    if args.epochs < 1:
+        ap.error("--epochs must be >= 1")
 
     raw = build_cohort(args.cohort_dir, args.patients)
     raw["model"]["model_size"] = "medium"

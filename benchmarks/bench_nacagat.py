@@ -79,6 +79,11 @@ def bench(loss_name: str, m: int, batch_size: int, n_steps: int = 50,
         float(metrics.loss)  # hard sync (tunneled backends; see bench.py)
         arms[arm] = {"step": step, "state": state, "best": 0.0}
 
+    # Methodology tradeoff, documented: interleaved windows defend against
+    # time-share drift (sequential A/Bs on this chip swing +-70%) but pay the
+    # backend's program-switch/reload cost in BOTH arms each window, biasing
+    # the ratio toward 1.0 — the reported speedups are therefore LOWER bounds
+    # on the steady-state (single-program) gain.
     for _ in range(windows):
         for arm in ("xla", "pallas"):
             a = arms[arm]

@@ -53,13 +53,22 @@ def main():
     wd = args.workdir
     cohort_dir = os.path.join(wd, "cohort")
     t0 = time.time()
-    if not os.path.exists(os.path.join(cohort_dir, "cohort.csv")):
+    # marker carries the patient count: reusing an old cohort after a
+    # --patients change would train the old size while the summary reports
+    # the new one
+    marker = os.path.join(cohort_dir, f".cohort_{args.patients}")
+    if not os.path.exists(marker):
         print(f"[flagship] generating ragged cohort ({args.patients} patients, "
               f"bags {min(BAG_LENGTHS)}-{max(BAG_LENGTHS)} x 1024) ...")
+        import shutil
+
+        shutil.rmtree(cohort_dir, ignore_errors=True)
         make_synthetic_cohort(
             cohort_dir, n_patients=args.patients, bag_lengths=BAG_LENGTHS,
             n_genes=60, n_signatures=6, seed=0, signal_strength=2.0,
         )
+        with open(marker, "w") as f:
+            f.write("ok")
     gen_s = time.time() - t0
 
     csv = os.path.join(cohort_dir, "cohort.csv")
