@@ -58,13 +58,21 @@ class DeviceBagCache:
         import jax.numpy as jnp
 
         self.mesh = mesh
+        # multi-host: every process reads the (shared) cohort and contributes
+        # its addressable shards of the global cache arrays (put_global);
+        # bucket arrays are then assembled in ONE host concat + one global put
+        # per bucket (per-chunk global assembly would need eager concatenation
+        # of non-addressable arrays). Host staging is full-bucket there.
+        multi_process = jax.process_count() > 1
         if mesh is not None:
             from jax.sharding import NamedSharding
 
-            from multimodal_path_omic_tpu.parallel.mesh import cache_spec
+            from multimodal_path_omic_tpu.parallel.mesh import cache_spec, put_global
 
             def _put(x, key):
-                return jax.device_put(x, NamedSharding(mesh, cache_spec(key)))
+                return put_global(x, NamedSharding(mesh, cache_spec(key)))
+        elif multi_process:  # pragma: no cover - Trainer raises first
+            raise ValueError("multi-process DeviceBagCache requires a mesh")
         else:
 
             def _put(x, key):
@@ -133,17 +141,27 @@ class DeviceBagCache:
                     mask[j, :m] = True
                 if int8:
                     q, scale = quantize_bag_int8(wsi)
-                    parts_w.append(_put(q, "wsi"))
-                    parts_s.append(_put(scale, "wsi_scale"))
+                    parts_w.append(q if multi_process else _put(q, "wsi"))
+                    parts_s.append(
+                        scale if multi_process else _put(scale, "wsi_scale")
+                    )
                 elif bf16:
                     # under default matmul precision the MXU consumes bf16
                     # operands regardless — bf16 storage is the same math,
                     # half the HBM, and no giant on-device convert
-                    parts_w.append(_put(wsi.astype(jnp.bfloat16), "wsi"))
+                    w16 = wsi.astype(jnp.bfloat16)
+                    parts_w.append(w16 if multi_process else _put(w16, "wsi"))
                 else:
-                    parts_w.append(_put(wsi, "wsi"))
-                parts_m.append(_put(mask, "mask"))
+                    parts_w.append(wsi if multi_process else _put(wsi, "wsi"))
+                parts_m.append(mask if multi_process else _put(mask, "mask"))
             def _cat(parts, key):
+                if multi_process:
+                    # host concat + ONE global put (eager concatenation of
+                    # non-addressable global arrays is not allowed)
+                    return _put(
+                        parts[0] if len(parts) == 1 else np.concatenate(parts),
+                        key,
+                    )
                 if len(parts) == 1:
                     return parts[0]
                 # re-pin the layout: concatenate preserves shardings in

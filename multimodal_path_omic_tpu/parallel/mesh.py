@@ -66,6 +66,22 @@ def cache_spec(key: str) -> P:
     return P()  # label/omics/censorship tables: tiny, replicated
 
 
+def put_global(value: np.ndarray, sh: NamedSharding):
+    """device_put that also works across processes.
+
+    Multi-host device_put cannot target non-addressable devices; here every
+    process holds the FULL host value (e.g. the device-dataset cache, whose
+    cohort every host can read) and contributes just its addressable shards
+    (``jax.make_array_from_callback``). Single-process: plain device_put.
+    All processes must pass identical values — jax assembles the global array
+    trusting the per-process shard contributions agree.
+    """
+    value = np.asarray(value)
+    if jax.process_count() == 1:
+        return jax.device_put(value, sh)
+    return jax.make_array_from_callback(value.shape, sh, lambda idx: value[idx])
+
+
 def _put(value: np.ndarray, sh: NamedSharding, process_local: bool):
     if process_local:
         # multi-host: `value` is THIS process's slice of the global batch

@@ -365,13 +365,13 @@ class Trainer:
         # multi-step dispatch: K optimizer steps per device call (exact
         # single-step semantics; amortizes dispatch RTT). Mesh runs compose
         # (stacked batches keep a leading unsharded [K] axis, parallel/
-        # mesh.py::batch_spec); only multi-HOST runs keep K=1 (the per-process
-        # feeding contract is per-batch). 0 = auto.
+        # mesh.py::batch_spec). Multi-HOST runs group only on the CACHED feed
+        # (metas are global replicated arrays); host-fed groups stay
+        # per-batch there — the per-process slice contract (_host_k_cap).
+        # 0 = auto.
         spd = c.tpu.steps_per_dispatch
         self._spd_auto = spd <= 0
-        if self.n_processes > 1:
-            spd = 1
-        elif spd <= 0:
+        if spd <= 0:
             # auto: measured 1.5-2x over K=1 on tunneled backends at K=8
             # (round 2), and a further +34% at K=32 on the headline bench
             # (round 3: 41.9k -> 56.0k bags/sec; K=64 regressed on operand
@@ -406,16 +406,17 @@ class Trainer:
         # device-resident dataset cache: bags uploaded once, batches gathered
         # on device (data/device_cache.py). Engaged lazily on first epoch.
         # Mesh runs compose (the cache shards its patch axis over every mesh
-        # device — scale-out IS the fast path); only multi-host runs fall back
-        # to host feeding (per-process cache assembly not implemented).
+        # device — scale-out IS the fast path). Multi-host runs compose too:
+        # every process reads the shared cohort and contributes its
+        # addressable shards of the global cache arrays (mesh.py::put_global);
+        # only PARTIAL caching falls back to host feeding there (the mixed
+        # feed's host share would need per-process batch slicing).
         self.device_cache = None
         self.device_cache_val = None
         self._cached_eval = None
         self._cached_eval_multi = None
         self._cached_steps = None
-        self._want_device_cache = (
-            c.tpu.device_cache in ("auto", "on") and self.n_processes == 1
-        )
+        self._want_device_cache = c.tpu.device_cache in ("auto", "on")
         self._device_cache_forced = c.tpu.device_cache == "on"
         # partial caching: buckets that fit the budget are device-cached, the
         # rest host-feed (None = all cached buckets; set in _ensure_device_cache)
@@ -468,6 +469,15 @@ class Trainer:
         )
         only_buckets = None
         nbytes = sum(per_bucket.values())
+        if (
+            not self._device_cache_forced
+            and nbytes > budget
+            and self.n_processes > 1
+        ):
+            # partial caching's host-fed overflow share has no per-process
+            # slice contract; multi-host is full-cache or host-fed
+            self._want_device_cache = False
+            return False
         if not self._device_cache_forced and nbytes > budget:
             # greedy partial fit: cheapest bytes-per-bag buckets first (small
             # buckets hold the most bags per byte)
@@ -552,14 +562,29 @@ class Trainer:
     def _put_meta(self, meta):
         """Pin gather metas to the mesh (replicated): tiny arrays, but jit
         placement of uncommitted numpy next to mesh-sharded operands must not
-        be left to inference. No-op off-mesh (numpy commits to the default
-        device)."""
+        be left to inference. Multi-host: every process computes the same
+        seed-deterministic meta, so the replicated global array assembles
+        from identical per-process copies (put_global). No-op off-mesh (numpy
+        commits to the default device)."""
         if self.mesh is None:
             return meta
         from jax.sharding import NamedSharding, PartitionSpec as P
 
+        from multimodal_path_omic_tpu.parallel.mesh import put_global
+
         sh = NamedSharding(self.mesh, P())
-        return {k: jax.device_put(v, sh) for k, v in meta.items()}
+        return {k: put_global(v, sh) for k, v in meta.items()}
+
+    def _slice_host(self, x: np.ndarray) -> np.ndarray:
+        """This process's contiguous slice of a per-batch host array — the
+        same slicing BucketBatcher.host_slice applies to host-fed labels, so
+        cached-feed metric arrays concatenate back to global batch order under
+        _host_gather's process allgather. No-op single-process."""
+        if self.n_processes == 1:
+            return x
+        per = len(x) // self.n_processes
+        pid = jax.process_index()
+        return x[pid * per : (pid + 1) * per]
 
     def _bulk_fetch(self, tree):
         """Fetch a pytree of device arrays with ONE device transfer.
@@ -609,6 +634,12 @@ class Trainer:
         buffer dominates peak memory regardless of transfer_dtype."""
 
         def k_cap(b):
+            if self.n_processes > 1:
+                # host-fed multi-host batches are per-process SLICES
+                # (shard_batch process_local); stacking K of them is untested
+                # against that contract — grouping stays a cached-feed (and
+                # single-host) optimization
+                return 1
             if not self._spd_auto:
                 return K
             per = self.batch_size * int(b["bucket"]) * b["wsi"].shape[-1] * 4
@@ -724,10 +755,14 @@ class Trainer:
         t = None if self.ge_mode else ds.table
         for indices, bucket in plan:
             meta, real = build_meta(indices, self.batch_size, cache)
-            info = {"n_real": real, "weight": meta["weight"]}
+            # metric arrays carry THIS process's slice (multi-host), matching
+            # the host-fed label contract _host_gather reassembles
+            info = {"n_real": real, "weight": self._slice_host(meta["weight"])}
             if t is not None:
-                info["censorship"] = t.censorship[meta["row"]]
-                info["survival_months"] = t.survival_months[meta["row"]]
+                info["censorship"] = self._slice_host(t.censorship[meta["row"]])
+                info["survival_months"] = self._slice_host(
+                    t.survival_months[meta["row"]]
+                )
             yield bucket, meta, info
 
     def _staged_cached_train(self, K):
@@ -781,10 +816,17 @@ class Trainer:
                 metas, infos = [], []
                 for _, indices, _b in group:
                     meta, real = build_meta(indices, self.batch_size, self.device_cache)
-                    info = {"n_real": real, "weight": meta["weight"]}
+                    info = {
+                        "n_real": real,
+                        "weight": self._slice_host(meta["weight"]),
+                    }
                     if t is not None:
-                        info["censorship"] = t.censorship[meta["row"]]
-                        info["survival_months"] = t.survival_months[meta["row"]]
+                        info["censorship"] = self._slice_host(
+                            t.censorship[meta["row"]]
+                        )
+                        info["survival_months"] = self._slice_host(
+                            t.survival_months[meta["row"]]
+                        )
                     metas.append(meta)
                     infos.append(info)
                 if len(group) == 1:
@@ -987,14 +1029,21 @@ class Trainer:
                     meta, real = build_meta(
                         indices, self.batch_size, self.device_cache_val
                     )
-                    info = {"n_real": real, "weight": meta["weight"]}
+                    info = {
+                        "n_real": real,
+                        "weight": self._slice_host(meta["weight"]),
+                    }
                     if t is not None:
-                        info["censorship"] = t.censorship[meta["row"]]
-                        info["survival_months"] = t.survival_months[meta["row"]]
+                        info["censorship"] = self._slice_host(
+                            t.censorship[meta["row"]]
+                        )
+                        info["survival_months"] = self._slice_host(
+                            t.survival_months[meta["row"]]
+                        )
                     else:
-                        info["label"] = self.val_ds.table.gene_expr_class[
-                            meta["row"]
-                        ]
+                        info["label"] = self._slice_host(
+                            self.val_ds.table.gene_expr_class[meta["row"]]
+                        )
                     yield (True, bucket), meta, info
 
             for group in _grouped(_items(), key_fn=lambda x: x[0], K=K):

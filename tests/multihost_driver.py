@@ -6,7 +6,7 @@ cohort over a data=N*4 mesh, and prints one JSON result line. Each process
 feeds only its host slice of every batch (BucketBatcher.host_slice +
 make_array_from_process_local_data) and metrics are process-allgathered.
 
-Usage: python multihost_driver.py <process_id> <num_processes> <port> <cohort_dir> [seq_axis]
+Usage: python multihost_driver.py <process_id> <num_processes> <port> <cohort_dir> [seq_axis] [device_cache] [steps_per_dispatch]
 """
 
 import json
@@ -19,6 +19,8 @@ def main():
         int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3]), sys.argv[4]
     )
     seq_axis = int(sys.argv[5]) if len(sys.argv) > 5 else 1
+    device_cache = sys.argv[6] if len(sys.argv) > 6 else "off"
+    steps_per_dispatch = int(sys.argv[7]) if len(sys.argv) > 7 else 1
     os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ["XLA_FLAGS"] = (
         os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=4"
@@ -50,7 +52,8 @@ def main():
         "use_pallas": False,
         "data_axis": (nproc * 4) // seq_axis,
         "seq_axis": seq_axis,
-        "device_cache": "off",
+        "device_cache": device_cache,
+        "steps_per_dispatch": steps_per_dispatch,
     }
     cfg = config_from_dict(raw)
     cfg.model.checkpoint_epoch = 0
@@ -87,6 +90,7 @@ def main():
                 "train_c_index": round(float(out["train_c_index"]), 6),
                 "val_c_index": round(float(out["val_c_index"]), 6),
                 "ckpt_roundtrip_ok": bool(ckpt_ok),
+                "cache_engaged": trainer.device_cache is not None,
             }
         ),
         flush=True,

@@ -29,25 +29,15 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-@pytest.mark.parametrize("seq_axis", [1, 2])
-def test_two_process_training_matches_single_process(tmp_path, seq_axis):
-    """seq_axis=2: the patch axis shards ACROSS the process boundary — the
-    sequence-parallel co-attention collectives ride the cross-process (gloo)
-    transport, not just intra-process ICI emulation."""
-    work = str(tmp_path)
-    csv, sig, patches = make_synthetic_cohort(
-        work, n_patients=16, bag_lengths=(48, 80, 120), n_genes=36,
-        n_signatures=4, seed=0, signal_strength=2.0,
-    )
-    # the driver expects canonical names inside work
-    assert os.path.basename(csv) == "cohort.csv", csv
-    assert os.path.basename(sig) == "signatures.csv", sig
-
+def _run_two_process(work, seq_axis, device_cache="off", steps_per_dispatch=1):
     port = _free_port()
     env = {k: v for k, v in os.environ.items() if k != "JAX_PLATFORMS"}
     procs = [
         subprocess.Popen(
-            [sys.executable, DRIVER, str(pid), "2", str(port), work, str(seq_axis)],
+            [
+                sys.executable, DRIVER, str(pid), "2", str(port), work,
+                str(seq_axis), device_cache, str(steps_per_dispatch),
+            ],
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env,
         )
         for pid in range(2)
@@ -65,8 +55,24 @@ def test_two_process_training_matches_single_process(tmp_path, seq_axis):
                 pytest.skip(f"jax.distributed unavailable: {stderr[-400:]}")
             pytest.fail(f"driver failed:\n{stderr[-2000:]}")
         outs.append(json.loads(stdout.strip().splitlines()[-1]))
+    return sorted(outs, key=lambda o: o["pid"])
 
-    a, b = sorted(outs, key=lambda o: o["pid"])
+
+@pytest.mark.parametrize("seq_axis", [1, 2])
+def test_two_process_training_matches_single_process(tmp_path, seq_axis):
+    """seq_axis=2: the patch axis shards ACROSS the process boundary — the
+    sequence-parallel co-attention collectives ride the cross-process (gloo)
+    transport, not just intra-process ICI emulation."""
+    work = str(tmp_path)
+    csv, sig, patches = make_synthetic_cohort(
+        work, n_patients=16, bag_lengths=(48, 80, 120), n_genes=36,
+        n_signatures=4, seed=0, signal_strength=2.0,
+    )
+    # the driver expects canonical names inside work
+    assert os.path.basename(csv) == "cohort.csv", csv
+    assert os.path.basename(sig) == "signatures.csv", sig
+
+    a, b = _run_two_process(work, seq_axis)
     # both processes compute identical (allgathered) metrics
     for key in ("train_loss", "val_loss", "train_c_index", "val_c_index"):
         assert np.isclose(a[key], b[key], atol=1e-6), (key, a, b)
@@ -90,6 +96,49 @@ def test_two_process_training_matches_single_process(tmp_path, seq_axis):
     cfg.model.checkpoint_epoch = 0
     cfg.training.test_output_dir = os.path.join(work, "out_single")
     ref = Trainer(cfg, verbose=False).fit()
+    assert np.isclose(a["train_loss"], ref["train_loss"], atol=2e-4), (a, ref)
+    assert np.isclose(a["val_loss"], ref["val_loss"], atol=2e-4), (a, ref)
+    assert np.isclose(a["val_c_index"], ref["val_c_index"], atol=1e-6), (a, ref)
+
+
+def test_two_process_device_cache_matches_single_process(tmp_path):
+    """Multi-host DEVICE-CACHED fast path: both processes contribute their
+    addressable shards of the global cache arrays (mesh.py::put_global), train
+    with K=2 cached multi-step dispatch over a data=4 x seq=2 cross-process
+    mesh, and must agree with a single-process cached run on the same cohort
+    (fp reduction-order tolerance)."""
+    work = str(tmp_path)
+    csv, sig, patches = make_synthetic_cohort(
+        work, n_patients=16, bag_lengths=(48, 80, 120), n_genes=36,
+        n_signatures=4, seed=0, signal_strength=2.0,
+    )
+    a, b = _run_two_process(
+        work, seq_axis=2, device_cache="on", steps_per_dispatch=2
+    )
+    assert a["cache_engaged"] and b["cache_engaged"], (a, b)
+    for key in ("train_loss", "val_loss", "train_c_index", "val_c_index"):
+        assert np.isclose(a[key], b[key], atol=1e-6), (key, a, b)
+    assert a["ckpt_roundtrip_ok"] and b["ckpt_roundtrip_ok"], (a, b)
+
+    from multimodal_path_omic_tpu.config import config_from_dict
+    from multimodal_path_omic_tpu.data.synthetic import synthetic_config_dict
+    from multimodal_path_omic_tpu.train.trainer import Trainer
+
+    raw = synthetic_config_dict(csv, sig, patches)
+    raw["model"]["name"] = "MCAT"
+    raw["model"]["model_size"] = "small"
+    raw["training"].update({"loss": "ces", "epochs": 2, "lr": 1e-3, "seed": 0})
+    raw["tpu"] = {
+        "bag_buckets": [128], "batch_size": 8, "use_pallas": False,
+        "data_axis": 4, "seq_axis": 2, "device_cache": "on",
+        "steps_per_dispatch": 2,
+    }
+    cfg = config_from_dict(raw)
+    cfg.model.checkpoint_epoch = 0
+    cfg.training.test_output_dir = os.path.join(work, "out_single")
+    single = Trainer(cfg, verbose=False)
+    ref = single.fit()
+    assert single.device_cache is not None
     assert np.isclose(a["train_loss"], ref["train_loss"], atol=2e-4), (a, ref)
     assert np.isclose(a["val_loss"], ref["val_loss"], atol=2e-4), (a, ref)
     assert np.isclose(a["val_c_index"], ref["val_c_index"], atol=1e-6), (a, ref)
