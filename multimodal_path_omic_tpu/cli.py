@@ -125,6 +125,15 @@ def cmd_convert_checkpoint(args) -> int:
     return 0
 
 
+def cmd_convert_bags(args) -> int:
+    """Convert a reference bag store (.pt dir / .h5 file) to the fast .npy
+    store (data/bags.py::convert_bags)."""
+    from multimodal_path_omic_tpu.data.bags import convert_bags
+
+    n = convert_bags(args.src, args.dst, dtype=args.dtype)
+    return 0 if n else 1
+
+
 def main(argv: Optional[List[str]] = None) -> int:
     parser = argparse.ArgumentParser(prog="multimodal_path_omic_tpu")
     sub = parser.add_subparsers(dest="command", required=True)
@@ -169,6 +178,19 @@ def main(argv: Optional[List[str]] = None) -> int:
     common(p_conv)
     p_conv.add_argument("--out", help="(unused; checkpoint_dir from config)")
     p_conv.set_defaults(fn=cmd_convert_checkpoint)
+
+    p_bags = sub.add_parser(
+        "convert-bags",
+        help="reference .pt dir / .h5 file -> per-slide .npy store "
+        "(native-loader fast path)",
+    )
+    p_bags.add_argument("--src", required=True, help=".pt directory or .h5 file")
+    p_bags.add_argument("--dst", required=True, help="output .npy directory")
+    p_bags.add_argument(
+        "--dtype", default="float32", choices=("float32", "float16"),
+        help="float16 halves disk but bypasses the native loader (f32-only)",
+    )
+    p_bags.set_defaults(fn=cmd_convert_bags)
 
     args = parser.parse_args(argv)
     return args.fn(args)

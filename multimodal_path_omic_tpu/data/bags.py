@@ -113,6 +113,49 @@ def open_bag_store(
     return PtBagStore(patches_dir)
 
 
+def convert_bags(
+    src: str, dst: str, dtype: str = "float32", verbose: bool = True
+) -> int:
+    """Convert a reference-style bag store (a directory of per-slide ``.pt``
+    tensors, dataset.py:43-47, or one ``.h5`` file keyed by slide name,
+    dataset.py:48-55) into a directory of per-slide ``.npy`` arrays — the
+    fast-path store the native loader (native/bagloader.cc) and the mmap
+    pipeline consume. Returns the number of bags written.
+
+    ``dtype='float16'`` halves disk, but the native C++ loader parses only
+    little-endian float32 ``.npy`` — f16 stores take the (whole-cohort)
+    Python fallback path; training numerics are unaffected either way (bags
+    are cast to the feed dtype after load).
+    """
+    if dtype not in ("float32", "float16"):
+        raise ValueError(f"dtype must be float32 or float16, got {dtype!r}")
+    os.makedirs(dst, exist_ok=True)
+    if os.path.isfile(src):  # one HDF5 file of all slides
+        store = H5BagStore(src)
+        slide_ids = sorted(store._file.keys())
+    elif os.path.isdir(src):
+        store = PtBagStore(src)
+        slide_ids = sorted(
+            n[:-3] for n in os.listdir(src) if n.endswith(".pt")
+        )
+    else:
+        raise FileNotFoundError(src)
+    n = 0
+    for sid in slide_ids:
+        bag = np.ascontiguousarray(store.get(sid), dtype=dtype)
+        if bag.ndim != 2:
+            raise ValueError(
+                f"bag {sid!r} has shape {bag.shape}; expected [M, D]"
+            )
+        np.save(os.path.join(dst, slide_basename(sid) + ".npy"), bag)
+        n += 1
+        if verbose and n % 200 == 0:
+            print(f"  converted {n}/{len(slide_ids)} bags")
+    if verbose:
+        print(f"Converted {n} bags -> {dst} ({dtype})")
+    return n
+
+
 def bucket_for(length: int, buckets: Sequence[int] = DEFAULT_BUCKETS) -> int:
     """Smallest bucket >= length; beyond the largest bucket, round up to the
     next multiple of the largest (bounded compilation count, no truncation)."""

@@ -257,3 +257,45 @@ def test_override_rejects_non_integral_float_for_int_field(config_path):
         _apply_override(cfg, "training.epochs", 19.9)
     _apply_override(cfg, "tpu.device_cache_budget_bytes", 2.5e9)
     assert cfg.tpu.device_cache_budget_bytes == 2_500_000_000
+
+
+def test_cli_convert_bags_pt_dir_and_h5(tmp_path):
+    """convert-bags turns both reference stores (.pt dir, .h5 file) into the
+    fast .npy store with bit-identical f32 content; f16 stores round-trip
+    through NpyBagStore within half-precision tolerance."""
+    import h5py
+    import torch
+
+    from multimodal_path_omic_tpu.data.bags import NpyBagStore
+
+    rng = np.random.default_rng(0)
+    bags = {f"S{i:03d}.svs": rng.normal(size=(8 + i, 16)).astype(np.float32)
+            for i in range(3)}
+    pt_dir = tmp_path / "pt"
+    pt_dir.mkdir()
+    h5_path = tmp_path / "bags.h5"
+    with h5py.File(h5_path, "w") as f:
+        for sid, arr in bags.items():
+            torch.save(torch.from_numpy(arr), pt_dir / (sid[:-4] + ".pt"))
+            f.create_dataset(sid[:-4], data=arr)
+
+    out_pt = tmp_path / "npy_from_pt"
+    out_h5 = tmp_path / "npy_from_h5"
+    assert cli.main(["convert-bags", "--src", str(pt_dir), "--dst", str(out_pt)]) == 0
+    assert cli.main(["convert-bags", "--src", str(h5_path), "--dst", str(out_h5)]) == 0
+    for out in (out_pt, out_h5):
+        store = NpyBagStore(str(out))
+        for sid, arr in bags.items():
+            assert store.exists(sid)
+            np.testing.assert_array_equal(store.get(sid), arr)
+
+    out_f16 = tmp_path / "npy_f16"
+    assert cli.main([
+        "convert-bags", "--src", str(pt_dir), "--dst", str(out_f16),
+        "--dtype", "float16",
+    ]) == 0
+    store = NpyBagStore(str(out_f16))
+    for sid, arr in bags.items():
+        got = store.get(sid)
+        assert got.dtype == np.float32  # store casts to f32 on read
+        np.testing.assert_allclose(got, arr, rtol=2e-3, atol=2e-3)
