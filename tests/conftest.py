@@ -98,6 +98,16 @@ _SLOW_TESTS = {
     "test_nacagat_with_ring_mesh_matches_plain",
     # kernel dispatch-in-train-step checks
     "test_nacagat_ces_train_step_dispatches_pregated_kernel",
+    "test_nacagat_cesar_train_step_dispatches_kernel_via_ssq",
+    "test_nacagat_train_step_with_dropout_dispatches_kernel_on_tpu",
+    "test_nacagat_need_weights_dispatches_chunked_emission",
+    # e2e flows with faster siblings kept in the fast tier
+    # (test_cli_train / test_nacagat_small_bag_training_stays_on_xla /
+    #  test_mcat_fusions / test_resume_* cover the same areas)
+    "test_cli_convert_checkpoint_roundtrip",
+    "test_bilinear_fusion_dropout_engages_in_training",
+    "test_restored_trainer_lowers_identical_programs",
+    "test_bug_compat_resume_retrains_saved_epoch",
 }
 
 
