@@ -130,8 +130,8 @@ def cmd_convert_bags(args) -> int:
     store (data/bags.py::convert_bags)."""
     from multimodal_path_omic_tpu.data.bags import convert_bags
 
-    n = convert_bags(args.src, args.dst, dtype=args.dtype)
-    return 0 if n else 1
+    convert_bags(args.src, args.dst, dtype=args.dtype)  # raises on 0 bags
+    return 0
 
 
 def main(argv: Optional[List[str]] = None) -> int:

@@ -130,29 +130,53 @@ def convert_bags(
     if dtype not in ("float32", "float16"):
         raise ValueError(f"dtype must be float32 or float16, got {dtype!r}")
     os.makedirs(dst, exist_ok=True)
+    # enumerate raw store entries and read them DIRECTLY (keys/filenames may
+    # themselves end in '.svs', which the stores' accessors would strip);
+    # output stems get slide_basename so NpyBagStore finds them from CSV
+    # slide_ids either way
     if os.path.isfile(src):  # one HDF5 file of all slides
-        store = H5BagStore(src)
-        slide_ids = sorted(store._file.keys())
+        import h5py
+
+        with h5py.File(src, "r") as f:
+            keys = sorted(f.keys())
+            n = _write_npy_bags(
+                ((k, np.asarray(f[k], dtype=np.float32)) for k in keys),
+                dst, dtype, verbose, total=len(keys),
+            )
     elif os.path.isdir(src):
-        store = PtBagStore(src)
-        slide_ids = sorted(
-            n[:-3] for n in os.listdir(src) if n.endswith(".pt")
+        import torch
+
+        names = sorted(n for n in os.listdir(src) if n.endswith(".pt"))
+
+        def _load(name):
+            t = torch.load(
+                os.path.join(src, name), map_location="cpu", weights_only=False
+            )
+            return np.asarray(t.detach().numpy(), dtype=np.float32)
+
+        n = _write_npy_bags(
+            ((name[:-3], _load(name)) for name in names), dst, dtype, verbose,
+            total=len(names),
         )
     else:
         raise FileNotFoundError(src)
-    n = 0
-    for sid in slide_ids:
-        bag = np.ascontiguousarray(store.get(sid), dtype=dtype)
-        if bag.ndim != 2:
-            raise ValueError(
-                f"bag {sid!r} has shape {bag.shape}; expected [M, D]"
-            )
-        np.save(os.path.join(dst, slide_basename(sid) + ".npy"), bag)
-        n += 1
-        if verbose and n % 200 == 0:
-            print(f"  converted {n}/{len(slide_ids)} bags")
+    if n == 0:
+        raise ValueError(f"no bags found in {src!r} (.pt files or h5 keys)")
     if verbose:
         print(f"Converted {n} bags -> {dst} ({dtype})")
+    return n
+
+
+def _write_npy_bags(items, dst, dtype, verbose, total=None) -> int:
+    n = 0
+    for stem, bag in items:
+        bag = np.ascontiguousarray(bag, dtype=dtype)
+        if bag.ndim != 2:
+            raise ValueError(f"bag {stem!r} has shape {bag.shape}; expected [M, D]")
+        np.save(os.path.join(dst, slide_basename(stem) + ".npy"), bag)
+        n += 1
+        if verbose and n % 200 == 0:
+            print(f"  converted {n}{f'/{total}' if total else ''} bags")
     return n
 
 

@@ -59,10 +59,9 @@ class DeviceBagCache:
 
         self.mesh = mesh
         # multi-host: every process reads the (shared) cohort and contributes
-        # its addressable shards of the global cache arrays (put_global);
-        # bucket arrays are then assembled in ONE host concat + one global put
-        # per bucket (per-chunk global assembly would need eager concatenation
-        # of non-addressable arrays). Host staging is full-bucket there.
+        # its addressable shards of the global cache arrays (put_global) —
+        # one preallocated full-bucket host array in the store dtype, filled
+        # chunk-by-chunk, then a single global put per bucket array.
         multi_process = jax.process_count() > 1
         if mesh is not None:
             from jax.sharding import NamedSharding
@@ -119,7 +118,21 @@ class DeviceBagCache:
         for bucket in self.cached_buckets:
             rows = np.flatnonzero(self.bucket_of == bucket)
             self._position[rows] = np.arange(len(rows), dtype=np.int32)
-            # upload in chunks to bound host staging memory
+            # upload in chunks to bound host staging memory. Multi-process
+            # puts cannot go chunk-by-chunk (eager concatenation of
+            # non-addressable global arrays is not allowed), so there the
+            # chunks fill ONE preallocated full-bucket array in the STORE
+            # dtype — 1x peak host memory — and a single put_global follows.
+            if multi_process:
+                if int8:
+                    w_all = np.empty((len(rows), bucket, dim), np.int8)
+                    s_all = np.empty((len(rows), bucket), np.float32)
+                else:
+                    w_all = np.empty(
+                        (len(rows), bucket, dim),
+                        jnp.bfloat16 if bf16 else np.float32,
+                    )
+                m_all = np.zeros((len(rows), bucket), bool)
             parts_w, parts_m, parts_s = [], [], []
             for s in range(0, len(rows), upload_chunk):
                 chunk_rows = rows[s : s + upload_chunk]
@@ -139,29 +152,41 @@ class DeviceBagCache:
                         )
                     wsi[j, :m] = bag[:m]
                     mask[j, :m] = True
+                sl = slice(s, s + len(chunk_rows))
                 if int8:
                     q, scale = quantize_bag_int8(wsi)
-                    parts_w.append(q if multi_process else _put(q, "wsi"))
-                    parts_s.append(
-                        scale if multi_process else _put(scale, "wsi_scale")
-                    )
+                    if multi_process:
+                        w_all[sl], s_all[sl] = q, scale
+                    else:
+                        parts_w.append(_put(q, "wsi"))
+                        parts_s.append(_put(scale, "wsi_scale"))
                 elif bf16:
                     # under default matmul precision the MXU consumes bf16
                     # operands regardless — bf16 storage is the same math,
                     # half the HBM, and no giant on-device convert
-                    w16 = wsi.astype(jnp.bfloat16)
-                    parts_w.append(w16 if multi_process else _put(w16, "wsi"))
+                    if multi_process:
+                        w_all[sl] = wsi.astype(jnp.bfloat16)
+                    else:
+                        parts_w.append(_put(wsi.astype(jnp.bfloat16), "wsi"))
                 else:
-                    parts_w.append(wsi if multi_process else _put(wsi, "wsi"))
-                parts_m.append(mask if multi_process else _put(mask, "mask"))
-            def _cat(parts, key):
+                    if multi_process:
+                        w_all[sl] = wsi
+                    else:
+                        parts_w.append(_put(wsi, "wsi"))
                 if multi_process:
-                    # host concat + ONE global put (eager concatenation of
-                    # non-addressable global arrays is not allowed)
-                    return _put(
-                        parts[0] if len(parts) == 1 else np.concatenate(parts),
-                        key,
-                    )
+                    m_all[sl] = mask
+                else:
+                    parts_m.append(_put(mask, "mask"))
+            if multi_process:
+                cache = dict(
+                    wsi=_put(w_all, "wsi"), mask=_put(m_all, "mask"), **table
+                )
+                if int8:
+                    cache["wsi_scale"] = _put(s_all, "wsi_scale")
+                self.caches[bucket] = cache
+                continue
+
+            def _cat(parts, key):
                 if len(parts) == 1:
                     return parts[0]
                 # re-pin the layout: concatenate preserves shardings in

@@ -378,6 +378,17 @@ class Trainer:
             # staging). Host-fed paths stay byte-capped by _host_k_cap.
             spd = 32
         self.steps_per_dispatch = max(1, spd)
+        if (
+            self.n_processes > 1
+            and not self._spd_auto
+            and self.steps_per_dispatch > 1
+            and verbose
+        ):
+            print(
+                f"steps_per_dispatch={self.steps_per_dispatch}: multi-host "
+                "runs group only the device-CACHED feed; host-fed batches "
+                "dispatch per-batch (per-process slice contract)"
+            )
         self.multi_step = (
             make_multi_train_step(
                 self.model,
@@ -476,6 +487,12 @@ class Trainer:
         ):
             # partial caching's host-fed overflow share has no per-process
             # slice contract; multi-host is full-cache or host-fed
+            if self.verbose:
+                print(
+                    f"Device dataset cache: cohort ({nbytes / (1 << 20):.0f} "
+                    f"MiB) exceeds the budget ({budget / (1 << 20):.0f} MiB) "
+                    "— multi-host runs do not partial-cache; host feeding"
+                )
             self._want_device_cache = False
             return False
         if not self._device_cache_forced and nbytes > budget:
@@ -586,6 +603,22 @@ class Trainer:
         pid = jax.process_index()
         return x[pid * per : (pid + 1) * per]
 
+    def _batch_info(self, meta, real: int, table, ge_labels=None) -> Dict:
+        """Per-batch metric dict for a CACHED-feed batch. Arrays carry THIS
+        process's slice (multi-host), matching the host-fed label contract
+        _host_gather's allgather reassembles to global batch order.
+        ``ge_labels``: the GE-mode label array to slice instead of survival
+        labels (eval only — train GE metrics need no labels)."""
+        info = {"n_real": real, "weight": self._slice_host(meta["weight"])}
+        if table is not None:
+            info["censorship"] = self._slice_host(table.censorship[meta["row"]])
+            info["survival_months"] = self._slice_host(
+                table.survival_months[meta["row"]]
+            )
+        elif ge_labels is not None:
+            info["label"] = self._slice_host(ge_labels[meta["row"]])
+        return info
+
     def _bulk_fetch(self, tree):
         """Fetch a pytree of device arrays with ONE device transfer.
 
@@ -626,7 +659,9 @@ class Trainer:
         """Per-bucket dispatch-group size cap for HOST-FED stacked batches:
         K=8 at a 24576 bucket would stack a multi-GB host+device buffer, so
         large buckets fall back toward single steps. Auto mode only — an
-        explicit steps_per_dispatch is honored as configured.
+        explicit steps_per_dispatch is honored as configured, EXCEPT on
+        multi-host host-fed feeds, which always run per-batch (warned at
+        construction; the cached feed still groups).
 
         The cap is sized on the f32 HOST-staging bytes (4/elem), not the
         transfer dtype: stack_batches stages f32 on the host and quantization
@@ -755,15 +790,7 @@ class Trainer:
         t = None if self.ge_mode else ds.table
         for indices, bucket in plan:
             meta, real = build_meta(indices, self.batch_size, cache)
-            # metric arrays carry THIS process's slice (multi-host), matching
-            # the host-fed label contract _host_gather reassembles
-            info = {"n_real": real, "weight": self._slice_host(meta["weight"])}
-            if t is not None:
-                info["censorship"] = self._slice_host(t.censorship[meta["row"]])
-                info["survival_months"] = self._slice_host(
-                    t.survival_months[meta["row"]]
-                )
-            yield bucket, meta, info
+            yield bucket, meta, self._batch_info(meta, real, t)
 
     def _staged_cached_train(self, K):
         """Dispatch groups over the fully-cached cohort: (infos, call)."""
@@ -816,19 +843,8 @@ class Trainer:
                 metas, infos = [], []
                 for _, indices, _b in group:
                     meta, real = build_meta(indices, self.batch_size, self.device_cache)
-                    info = {
-                        "n_real": real,
-                        "weight": self._slice_host(meta["weight"]),
-                    }
-                    if t is not None:
-                        info["censorship"] = self._slice_host(
-                            t.censorship[meta["row"]]
-                        )
-                        info["survival_months"] = self._slice_host(
-                            t.survival_months[meta["row"]]
-                        )
                     metas.append(meta)
-                    infos.append(info)
+                    infos.append(self._batch_info(meta, real, t))
                 if len(group) == 1:
                     meta = self._put_meta(metas[0])
                     yield infos, (lambda st, c=cache, m=meta: single_c(st, c, m))
@@ -1029,21 +1045,12 @@ class Trainer:
                     meta, real = build_meta(
                         indices, self.batch_size, self.device_cache_val
                     )
-                    info = {
-                        "n_real": real,
-                        "weight": self._slice_host(meta["weight"]),
-                    }
-                    if t is not None:
-                        info["censorship"] = self._slice_host(
-                            t.censorship[meta["row"]]
-                        )
-                        info["survival_months"] = self._slice_host(
-                            t.survival_months[meta["row"]]
-                        )
-                    else:
-                        info["label"] = self._slice_host(
-                            self.val_ds.table.gene_expr_class[meta["row"]]
-                        )
+                    info = self._batch_info(
+                        meta, real, t,
+                        ge_labels=(
+                            self.val_ds.table.gene_expr_class if t is None else None
+                        ),
+                    )
                     yield (True, bucket), meta, info
 
             for group in _grouped(_items(), key_fn=lambda x: x[0], K=K):

@@ -263,8 +263,8 @@ def test_cli_convert_bags_pt_dir_and_h5(tmp_path):
     """convert-bags turns both reference stores (.pt dir, .h5 file) into the
     fast .npy store with bit-identical f32 content; f16 stores round-trip
     through NpyBagStore within half-precision tolerance."""
-    import h5py
-    import torch
+    h5py = pytest.importorskip("h5py")
+    torch = pytest.importorskip("torch")
 
     from multimodal_path_omic_tpu.data.bags import NpyBagStore
 
@@ -276,8 +276,11 @@ def test_cli_convert_bags_pt_dir_and_h5(tmp_path):
     h5_path = tmp_path / "bags.h5"
     with h5py.File(h5_path, "w") as f:
         for sid, arr in bags.items():
-            torch.save(torch.from_numpy(arr), pt_dir / (sid[:-4] + ".pt"))
-            f.create_dataset(sid[:-4], data=arr)
+            # keys/stems deliberately KEEP the '.svs' suffix (common in
+            # external feature-extraction exports): the converter must read
+            # the raw entry and strip the suffix only on the OUTPUT stem
+            torch.save(torch.from_numpy(arr), pt_dir / (sid + ".pt"))
+            f.create_dataset(sid, data=arr)
 
     out_pt = tmp_path / "npy_from_pt"
     out_h5 = tmp_path / "npy_from_h5"
