@@ -21,6 +21,7 @@ def main():
     seq_axis = int(sys.argv[5]) if len(sys.argv) > 5 else 1
     device_cache = sys.argv[6] if len(sys.argv) > 6 else "off"
     steps_per_dispatch = int(sys.argv[7]) if len(sys.argv) > 7 else 1
+    model = sys.argv[8] if len(sys.argv) > 8 else "mcat"
     os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ["XLA_FLAGS"] = (
         os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=4"
@@ -43,9 +44,15 @@ def main():
     sig = os.path.join(work, "signatures.csv")
     patches = os.path.join(work, "patches")
     raw = synthetic_config_dict(csv, sig, patches)
-    raw["model"]["name"] = "MCAT"
+    if model == "ge":  # GE-mode: WSI-only, 3-class CE on one gene's qcut
+        raw["model"]["name"] = "GeneExpr-NaCAGaT"
+        raw["model"]["gene"] = "G000"
+        loss = "ce"
+    else:
+        raw["model"]["name"] = "MCAT"
+        loss = "ces"
     raw["model"]["model_size"] = "small"
-    raw["training"].update({"loss": "ces", "epochs": 2, "lr": 1e-3, "seed": 0})
+    raw["training"].update({"loss": loss, "epochs": 2, "lr": 1e-3, "seed": 0})
     raw["tpu"] = {
         "bag_buckets": [128],
         "batch_size": 8,
@@ -81,20 +88,18 @@ def main():
         _np.allclose(_np.asarray(a), _np.asarray(b)) for a, b in zip(before, after)
     )
 
-    print(
-        json.dumps(
-            {
-                "pid": pid,
-                "train_loss": round(float(out["train_loss"]), 6),
-                "val_loss": round(float(out["val_loss"]), 6),
-                "train_c_index": round(float(out["train_c_index"]), 6),
-                "val_c_index": round(float(out["val_c_index"]), 6),
-                "ckpt_roundtrip_ok": bool(ckpt_ok),
-                "cache_engaged": trainer.device_cache is not None,
-            }
-        ),
-        flush=True,
-    )
+    res = {
+        "pid": pid,
+        "ckpt_roundtrip_ok": bool(ckpt_ok),
+        "cache_engaged": trainer.device_cache is not None,
+    }
+    # survival runs report c-index; GE runs report accuracy — emit what exists
+    for key in (
+        "train_loss", "val_loss", "train_c_index", "val_c_index", "val_accuracy"
+    ):
+        if key in out:
+            res[key] = round(float(out[key]), 6)
+    print(json.dumps(res), flush=True)
 
 
 if __name__ == "__main__":

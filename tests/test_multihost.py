@@ -29,14 +29,16 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def _run_two_process(work, seq_axis, device_cache="off", steps_per_dispatch=1):
+def _run_two_process(
+    work, seq_axis, device_cache="off", steps_per_dispatch=1, model="mcat"
+):
     port = _free_port()
     env = {k: v for k, v in os.environ.items() if k != "JAX_PLATFORMS"}
     procs = [
         subprocess.Popen(
             [
                 sys.executable, DRIVER, str(pid), "2", str(port), work,
-                str(seq_axis), device_cache, str(steps_per_dispatch),
+                str(seq_axis), device_cache, str(steps_per_dispatch), model,
             ],
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env,
         )
@@ -142,3 +144,46 @@ def test_two_process_device_cache_matches_single_process(tmp_path):
     assert np.isclose(a["train_loss"], ref["train_loss"], atol=2e-4), (a, ref)
     assert np.isclose(a["val_loss"], ref["val_loss"], atol=2e-4), (a, ref)
     assert np.isclose(a["val_c_index"], ref["val_c_index"], atol=1e-6), (a, ref)
+
+
+def test_two_process_ge_device_cache_matches_single_process(tmp_path):
+    """GE-mode multi-host cached path: WSI-only self-attention over the ring
+    (seq=2 crosses the process boundary), gene-expression labels sliced
+    per-process in the cached val feed (Trainer._batch_info ge_labels), K=2
+    cached dispatch. Must agree with the single-process cached GE run."""
+    work = str(tmp_path)
+    csv, sig, patches = make_synthetic_cohort(
+        work, n_patients=16, bag_lengths=(48, 80, 120), n_genes=36,
+        n_signatures=4, seed=0, signal_strength=2.0,
+    )
+    a, b = _run_two_process(
+        work, seq_axis=2, device_cache="on", steps_per_dispatch=2, model="ge"
+    )
+    assert a["cache_engaged"] and b["cache_engaged"], (a, b)
+    for key in ("train_loss", "val_loss", "val_accuracy"):
+        assert np.isclose(a[key], b[key], atol=1e-6), (key, a, b)
+    assert a["ckpt_roundtrip_ok"] and b["ckpt_roundtrip_ok"], (a, b)
+
+    from multimodal_path_omic_tpu.config import config_from_dict
+    from multimodal_path_omic_tpu.data.synthetic import synthetic_config_dict
+    from multimodal_path_omic_tpu.train.trainer import Trainer
+
+    raw = synthetic_config_dict(csv, sig, patches)
+    raw["model"]["name"] = "GeneExpr-NaCAGaT"
+    raw["model"]["gene"] = "G000"
+    raw["model"]["model_size"] = "small"
+    raw["training"].update({"loss": "ce", "epochs": 2, "lr": 1e-3, "seed": 0})
+    raw["tpu"] = {
+        "bag_buckets": [128], "batch_size": 8, "use_pallas": False,
+        "data_axis": 4, "seq_axis": 2, "device_cache": "on",
+        "steps_per_dispatch": 2,
+    }
+    cfg = config_from_dict(raw)
+    cfg.model.checkpoint_epoch = 0
+    cfg.training.test_output_dir = os.path.join(work, "out_single")
+    single = Trainer(cfg, verbose=False)
+    ref = single.fit()
+    assert single.device_cache is not None
+    assert np.isclose(a["train_loss"], ref["train_loss"], atol=2e-4), (a, ref)
+    assert np.isclose(a["val_loss"], ref["val_loss"], atol=2e-4), (a, ref)
+    assert np.isclose(a["val_accuracy"], ref["val_accuracy"], atol=1e-6), (a, ref)
