@@ -179,18 +179,20 @@ class TpuConfig:
     # Optimizer steps executed per device dispatch (lax.scan over stacked
     # same-bucket batches; EXACT single-step semantics). >1 amortizes
     # per-call host/dispatch latency — decisive on remote/tunneled backends
-    # where dispatch RTT exceeds device compute. Single-mesh only.
-    # 0 (default) = auto: 8 on a mesh-free single-process run, 1 otherwise.
-    # Groups only form from K consecutive same-bucket batches, so small
-    # cohorts simply keep taking the single-step path.
+    # where dispatch RTT exceeds device compute. Composes with meshes and
+    # (on the device-cached feed) with multi-host; host-FED multi-host
+    # batches always dispatch per-batch regardless of this knob.
+    # 0 (default) = auto: 32, with leftovers grouped down a (K, 8, 1)
+    # ladder and host-fed groups byte-capped per bucket.
     steps_per_dispatch: int = 0
     # Device-resident dataset cache (data/device_cache.py): upload every bag
     # once, gather training batches on device — steady-state epochs transfer
     # only KBs of indices. "auto" engages for whatever fits the budget below
     # (buckets beyond it host-feed: partial caching); "on" forces the full
-    # cohort; "off" disables. Composes with meshes: the cache shards its
-    # patch axis over every mesh device (single-process only; multi-host
-    # runs fall back to host feeding).
+    # cohort; "off" disables. Composes with meshes (the cache shards its
+    # patch axis over every mesh device) AND multi-host (each process
+    # contributes its addressable shards of the global cache arrays);
+    # multi-host does not partial-cache — over budget it host-feeds.
     device_cache: str = "auto"
     # PER-DEVICE cache budget: on an n-device mesh the cohort capacity is
     # n x this (the cache is sharded, not replicated).
