@@ -180,8 +180,8 @@ class TpuConfig:
     # same-bucket batches; EXACT single-step semantics). >1 amortizes
     # per-call host/dispatch latency — decisive on remote/tunneled backends
     # where dispatch RTT exceeds device compute. Composes with meshes and
-    # (on the device-cached feed) with multi-host; host-FED multi-host
-    # batches always dispatch per-batch regardless of this knob.
+    # multi-host (cached-feed metas are globally replicated; host-fed stacks
+    # assemble from per-process [K, local_B] slices).
     # 0 (default) = auto: 32, with leftovers grouped down a (K, 8, 1)
     # ladder and host-fed groups byte-capped per bucket.
     steps_per_dispatch: int = 0

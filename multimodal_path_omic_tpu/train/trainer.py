@@ -365,10 +365,9 @@ class Trainer:
         # multi-step dispatch: K optimizer steps per device call (exact
         # single-step semantics; amortizes dispatch RTT). Mesh runs compose
         # (stacked batches keep a leading unsharded [K] axis, parallel/
-        # mesh.py::batch_spec). Multi-HOST runs group only on the CACHED feed
-        # (metas are global replicated arrays); host-fed groups stay
-        # per-batch there — the per-process slice contract (_host_k_cap).
-        # 0 = auto.
+        # mesh.py::batch_spec), and so do multi-HOST runs: cached-feed metas
+        # are global replicated arrays, host-fed stacks assemble from each
+        # process's [K, local_B] slice (_host_k_cap). 0 = auto.
         spd = c.tpu.steps_per_dispatch
         self._spd_auto = spd <= 0
         if spd <= 0:
@@ -378,17 +377,6 @@ class Trainer:
             # staging). Host-fed paths stay byte-capped by _host_k_cap.
             spd = 32
         self.steps_per_dispatch = max(1, spd)
-        if (
-            self.n_processes > 1
-            and not self._spd_auto
-            and self.steps_per_dispatch > 1
-            and verbose
-        ):
-            print(
-                f"steps_per_dispatch={self.steps_per_dispatch}: multi-host "
-                "runs group only the device-CACHED feed; host-fed batches "
-                "dispatch per-batch (per-process slice contract)"
-            )
         self.multi_step = (
             make_multi_train_step(
                 self.model,
@@ -659,9 +647,11 @@ class Trainer:
         """Per-bucket dispatch-group size cap for HOST-FED stacked batches:
         K=8 at a 24576 bucket would stack a multi-GB host+device buffer, so
         large buckets fall back toward single steps. Auto mode only — an
-        explicit steps_per_dispatch is honored as configured, EXCEPT on
-        multi-host host-fed feeds, which always run per-batch (warned at
-        construction; the cached feed still groups).
+        explicit steps_per_dispatch is honored as configured. Multi-host
+        included: each process stacks its [K, local_B] slice and the global
+        [K, B] batch assembles from per-process shards (probe-verified
+        make_array_from_process_local_data semantics; equality-pinned in
+        tests/test_multihost.py). The byte cap sizes the LOCAL slice.
 
         The cap is sized on the f32 HOST-staging bytes (4/elem), not the
         transfer dtype: stack_batches stages f32 on the host and quantization
@@ -669,15 +659,11 @@ class Trainer:
         buffer dominates peak memory regardless of transfer_dtype."""
 
         def k_cap(b):
-            if self.n_processes > 1:
-                # host-fed multi-host batches are per-process SLICES
-                # (shard_batch process_local); stacking K of them is untested
-                # against that contract — grouping stays a cached-feed (and
-                # single-host) optimization
-                return 1
             if not self._spd_auto:
                 return K
-            per = self.batch_size * int(b["bucket"]) * b["wsi"].shape[-1] * 4
+            # local (per-process) batch rows are what this host stages
+            rows = self.batch_size // self.n_processes
+            per = rows * int(b["bucket"]) * b["wsi"].shape[-1] * 4
             return max(1, min(K, _SPD_STACK_BYTES // max(per, 1)))
 
         return k_cap

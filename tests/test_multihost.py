@@ -187,3 +187,42 @@ def test_two_process_ge_device_cache_matches_single_process(tmp_path):
     assert np.isclose(a["train_loss"], ref["train_loss"], atol=2e-4), (a, ref)
     assert np.isclose(a["val_loss"], ref["val_loss"], atol=2e-4), (a, ref)
     assert np.isclose(a["val_accuracy"], ref["val_accuracy"], atol=1e-6), (a, ref)
+
+
+def test_two_process_host_fed_grouped_dispatch_matches_single_process(tmp_path):
+    """HOST-FED multi-host K=2 dispatch: each process stacks its [K, local_B]
+    batch slice and the global [K, B] stack assembles from per-process shards
+    (shard_batch stacked+process_local). Must agree with a single-process
+    host-fed K=2 run on the same cohort."""
+    work = str(tmp_path)
+    csv, sig, patches = make_synthetic_cohort(
+        work, n_patients=16, bag_lengths=(48, 80, 120), n_genes=36,
+        n_signatures=4, seed=0, signal_strength=2.0,
+    )
+    a, b = _run_two_process(
+        work, seq_axis=2, device_cache="off", steps_per_dispatch=2
+    )
+    assert not a["cache_engaged"] and not b["cache_engaged"], (a, b)
+    for key in ("train_loss", "val_loss", "train_c_index", "val_c_index"):
+        assert np.isclose(a[key], b[key], atol=1e-6), (key, a, b)
+
+    from multimodal_path_omic_tpu.config import config_from_dict
+    from multimodal_path_omic_tpu.data.synthetic import synthetic_config_dict
+    from multimodal_path_omic_tpu.train.trainer import Trainer
+
+    raw = synthetic_config_dict(csv, sig, patches)
+    raw["model"]["name"] = "MCAT"
+    raw["model"]["model_size"] = "small"
+    raw["training"].update({"loss": "ces", "epochs": 2, "lr": 1e-3, "seed": 0})
+    raw["tpu"] = {
+        "bag_buckets": [128], "batch_size": 8, "use_pallas": False,
+        "data_axis": 4, "seq_axis": 2, "device_cache": "off",
+        "steps_per_dispatch": 2,
+    }
+    cfg = config_from_dict(raw)
+    cfg.model.checkpoint_epoch = 0
+    cfg.training.test_output_dir = os.path.join(work, "out_single")
+    ref = Trainer(cfg, verbose=False).fit()
+    assert np.isclose(a["train_loss"], ref["train_loss"], atol=2e-4), (a, ref)
+    assert np.isclose(a["val_loss"], ref["val_loss"], atol=2e-4), (a, ref)
+    assert np.isclose(a["val_c_index"], ref["val_c_index"], atol=1e-6), (a, ref)
