@@ -74,10 +74,6 @@ class BucketBatcher:
         # is assembled by jax.make_array_from_process_local_data
         # (parallel/mesh.py shard_batch process_local mode).
         self.host_slice = host_slice
-        if host_slice is not None and batch_size % host_slice[1] != 0:
-            raise ValueError(
-                f"batch_size {batch_size} not divisible by process count {host_slice[1]}"
-            )
         self._epoch = 0
         # Bag lengths probed once (cheap for npy/h5 backends; .pt requires a
         # load — cached).
@@ -254,6 +250,23 @@ class BucketBatcher:
                 return
         for indices, bucket in plan:
             yield self._make_batch(indices, bucket)
+
+    @property
+    def host_slice(self):
+        return self._host_slice
+
+    @host_slice.setter
+    def host_slice(self, value):
+        # Validates on EVERY assignment, not just the constructor: the
+        # Trainer sets this after construction (trainer.py), and a
+        # non-divisible batch_size would otherwise silently drop the
+        # remainder rows of every batch (_local_slice floor-divides).
+        if value is not None and self.batch_size % value[1] != 0:
+            raise ValueError(
+                f"batch_size {self.batch_size} not divisible by process "
+                f"count {value[1]}"
+            )
+        self._host_slice = value
 
     def _local_slice(self):
         """(start, stop) rows of each global batch this host materializes."""

@@ -542,6 +542,34 @@ def test_host_slices_reassemble_global_batches(tmp_path):
         assert b0["n_real"] == b_full["n_real"] == b1["n_real"]
 
 
+def test_host_slice_validates_on_late_assignment(tmp_path):
+    """The Trainer assigns host_slice AFTER construction; a batch_size not
+    divisible by the process count must raise there too, not silently drop
+    the remainder rows of every batch."""
+    import pytest
+
+    from multimodal_path_omic_tpu.data import BucketBatcher, MultimodalDataset
+    from multimodal_path_omic_tpu.data.pipeline import survival_extras
+    from multimodal_path_omic_tpu.data.synthetic import (
+        make_synthetic_cohort,
+        synthetic_config_dict,
+    )
+
+    csv, sig, patches = make_synthetic_cohort(str(tmp_path), n_patients=8, seed=3)
+    cfg = synthetic_config_dict(csv, sig, patches)
+    ds = MultimodalDataset(csv, cfg, use_signatures=True, verbose=False)
+    b = BucketBatcher(ds, survival_extras, 3, (512,), shuffle=False, seed=5)
+    with pytest.raises(ValueError, match="not divisible"):
+        b.host_slice = (0, 2)
+    with pytest.raises(ValueError, match="not divisible"):
+        BucketBatcher(
+            ds, survival_extras, 3, (512,), shuffle=False, seed=5,
+            host_slice=(0, 2),
+        )
+    b.host_slice = (0, 3)  # divisible: accepted
+    assert b.host_slice == (0, 3)
+
+
 def test_shard_batch_process_local_equals_device_put(setup):
     """Single-process: make_array_from_process_local_data must assemble the
     same global arrays as plain device_put (the multi-host feeding path)."""
