@@ -17,6 +17,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 import json
 import os
 import sys
+import threading
 import time
 
 import numpy as np
@@ -25,6 +26,34 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 TORCH_CPU_BAGS_PER_SEC = 40.54  # measured 2026-08-16, see BASELINE.md
 
+
+def _start_watchdog(seconds: float) -> threading.Timer:
+    """The tunneled dev TPU can go fully unresponsive for long stretches
+    (even a 1-matmul jit hangs). A hung benchmark leaves the caller with
+    nothing; an honest zero with an error field is strictly more useful.
+    The budget must cover a COLD compile of the K-step scan (multi-minute,
+    server-side) — override with BENCH_TIMEOUT if the cache is known-warm."""
+
+    def fire():
+        print(
+            json.dumps(
+                {
+                    "metric": "mcat_train_bags_per_sec",
+                    "value": 0.0,
+                    "unit": "bags/sec",
+                    "vs_baseline": 0.0,
+                    "error": f"TPU unresponsive: no result within {seconds:.0f}s",
+                }
+            ),
+            flush=True,
+        )
+        os._exit(17)
+
+    t = threading.Timer(seconds, fire)
+    t.daemon = True
+    t.start()
+    return t
+
 OMIC_SIZES = [100, 200, 300, 400, 500, 600]
 BATCH = 32
 BAG = 500
@@ -32,6 +61,7 @@ BUCKET = 512
 
 
 def main():
+    watchdog = _start_watchdog(float(os.environ.get("BENCH_TIMEOUT", "1200")))
     import jax
 
     jax.config.update("jax_default_prng_impl", "rbg")  # fast dropout keys
@@ -127,6 +157,7 @@ def main():
         best = max(best, n_calls * K * BATCH / dt)
     bags_per_sec = best
 
+    watchdog.cancel()
     print(
         json.dumps(
             {
