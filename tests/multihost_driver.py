@@ -6,12 +6,51 @@ cohort over a data=N*4 mesh, and prints one JSON result line. Each process
 feeds only its host slice of every batch (BucketBatcher.host_slice +
 make_array_from_process_local_data) and metrics are process-allgathered.
 
-Usage: python multihost_driver.py <process_id> <num_processes> <port> <cohort_dir> [seq_axis] [device_cache] [steps_per_dispatch]
+Usage: python multihost_driver.py <process_id> <num_processes> <port> <cohort_dir> \
+           [seq_axis] [device_cache] [steps_per_dispatch] [model(mcat|ge)]
 """
 
 import json
 import os
 import sys
+
+
+def build_raw_config(
+    csv,
+    sig,
+    patches,
+    *,
+    model="mcat",
+    seq_axis=1,
+    device_cache="off",
+    steps_per_dispatch=1,
+    total_devices=8,
+):
+    """The ONE config both the 2-process driver and the single-process
+    reference arms in tests/test_multihost.py train under — shared so the two
+    halves of every equality test cannot drift apart."""
+    from multimodal_path_omic_tpu.data.synthetic import synthetic_config_dict
+
+    raw = synthetic_config_dict(csv, sig, patches)
+    if model == "ge":  # GE-mode: WSI-only, 3-class CE on one gene's qcut
+        raw["model"]["name"] = "GeneExpr-NaCAGaT"
+        raw["model"]["gene"] = "G000"
+        loss = "ce"
+    else:
+        raw["model"]["name"] = "MCAT"
+        loss = "ces"
+    raw["model"]["model_size"] = "small"
+    raw["training"].update({"loss": loss, "epochs": 2, "lr": 1e-3, "seed": 0})
+    raw["tpu"] = {
+        "bag_buckets": [128],
+        "batch_size": 8,
+        "use_pallas": False,
+        "data_axis": total_devices // seq_axis,
+        "seq_axis": seq_axis,
+        "device_cache": device_cache,
+        "steps_per_dispatch": steps_per_dispatch,
+    }
+    return raw
 
 
 def main():
@@ -37,31 +76,21 @@ def main():
     assert jax.process_count() == nproc
 
     from multimodal_path_omic_tpu.config import config_from_dict
-    from multimodal_path_omic_tpu.data.synthetic import synthetic_config_dict
     from multimodal_path_omic_tpu.train.trainer import Trainer
 
     csv = os.path.join(work, "cohort.csv")
     sig = os.path.join(work, "signatures.csv")
     patches = os.path.join(work, "patches")
-    raw = synthetic_config_dict(csv, sig, patches)
-    if model == "ge":  # GE-mode: WSI-only, 3-class CE on one gene's qcut
-        raw["model"]["name"] = "GeneExpr-NaCAGaT"
-        raw["model"]["gene"] = "G000"
-        loss = "ce"
-    else:
-        raw["model"]["name"] = "MCAT"
-        loss = "ces"
-    raw["model"]["model_size"] = "small"
-    raw["training"].update({"loss": loss, "epochs": 2, "lr": 1e-3, "seed": 0})
-    raw["tpu"] = {
-        "bag_buckets": [128],
-        "batch_size": 8,
-        "use_pallas": False,
-        "data_axis": (nproc * 4) // seq_axis,
-        "seq_axis": seq_axis,
-        "device_cache": device_cache,
-        "steps_per_dispatch": steps_per_dispatch,
-    }
+    raw = build_raw_config(
+        csv,
+        sig,
+        patches,
+        model=model,
+        seq_axis=seq_axis,
+        device_cache=device_cache,
+        steps_per_dispatch=steps_per_dispatch,
+        total_devices=nproc * 4,
+    )
     cfg = config_from_dict(raw)
     cfg.model.checkpoint_epoch = 0
     cfg.model.checkpoint_dir = os.path.join(work, "ckpt")

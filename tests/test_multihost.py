@@ -21,6 +21,30 @@ from multimodal_path_omic_tpu.data.synthetic import make_synthetic_cohort
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 DRIVER = os.path.join(REPO, "tests", "multihost_driver.py")
+sys.path.insert(0, os.path.dirname(DRIVER))
+from multihost_driver import build_raw_config  # noqa: E402
+
+
+def _single_process_reference(
+    work, csv, sig, patches, *, model="mcat", seq_axis=1,
+    device_cache="off", steps_per_dispatch=1,
+):
+    """Train the single-process arm under the SAME config the 2-process
+    driver uses (multihost_driver.build_raw_config) — the two halves of each
+    equality test cannot drift apart."""
+    from multimodal_path_omic_tpu.config import config_from_dict
+    from multimodal_path_omic_tpu.train.trainer import Trainer
+
+    raw = build_raw_config(
+        csv, sig, patches, model=model, seq_axis=seq_axis,
+        device_cache=device_cache, steps_per_dispatch=steps_per_dispatch,
+        total_devices=8,
+    )
+    cfg = config_from_dict(raw)
+    cfg.model.checkpoint_epoch = 0
+    cfg.training.test_output_dir = os.path.join(work, "out_single")
+    trainer = Trainer(cfg, verbose=False)
+    return trainer, trainer.fit()
 
 
 def _free_port() -> int:
@@ -82,22 +106,9 @@ def test_two_process_training_matches_single_process(tmp_path, seq_axis):
     assert a["ckpt_roundtrip_ok"] and b["ckpt_roundtrip_ok"], (a, b)
 
     # single-process reference over the same 8-device mesh + cohort
-    from multimodal_path_omic_tpu.config import config_from_dict
-    from multimodal_path_omic_tpu.data.synthetic import synthetic_config_dict
-    from multimodal_path_omic_tpu.train.trainer import Trainer
-
-    raw = synthetic_config_dict(csv, sig, patches)
-    raw["model"]["name"] = "MCAT"
-    raw["model"]["model_size"] = "small"
-    raw["training"].update({"loss": "ces", "epochs": 2, "lr": 1e-3, "seed": 0})
-    raw["tpu"] = {
-        "bag_buckets": [128], "batch_size": 8, "use_pallas": False,
-        "data_axis": 8 // seq_axis, "seq_axis": seq_axis, "device_cache": "off",
-    }
-    cfg = config_from_dict(raw)
-    cfg.model.checkpoint_epoch = 0
-    cfg.training.test_output_dir = os.path.join(work, "out_single")
-    ref = Trainer(cfg, verbose=False).fit()
+    _, ref = _single_process_reference(
+        work, csv, sig, patches, seq_axis=seq_axis
+    )
     assert np.isclose(a["train_loss"], ref["train_loss"], atol=2e-4), (a, ref)
     assert np.isclose(a["val_loss"], ref["val_loss"], atol=2e-4), (a, ref)
     assert np.isclose(a["val_c_index"], ref["val_c_index"], atol=1e-6), (a, ref)
@@ -122,24 +133,10 @@ def test_two_process_device_cache_matches_single_process(tmp_path):
         assert np.isclose(a[key], b[key], atol=1e-6), (key, a, b)
     assert a["ckpt_roundtrip_ok"] and b["ckpt_roundtrip_ok"], (a, b)
 
-    from multimodal_path_omic_tpu.config import config_from_dict
-    from multimodal_path_omic_tpu.data.synthetic import synthetic_config_dict
-    from multimodal_path_omic_tpu.train.trainer import Trainer
-
-    raw = synthetic_config_dict(csv, sig, patches)
-    raw["model"]["name"] = "MCAT"
-    raw["model"]["model_size"] = "small"
-    raw["training"].update({"loss": "ces", "epochs": 2, "lr": 1e-3, "seed": 0})
-    raw["tpu"] = {
-        "bag_buckets": [128], "batch_size": 8, "use_pallas": False,
-        "data_axis": 4, "seq_axis": 2, "device_cache": "on",
-        "steps_per_dispatch": 2,
-    }
-    cfg = config_from_dict(raw)
-    cfg.model.checkpoint_epoch = 0
-    cfg.training.test_output_dir = os.path.join(work, "out_single")
-    single = Trainer(cfg, verbose=False)
-    ref = single.fit()
+    single, ref = _single_process_reference(
+        work, csv, sig, patches, seq_axis=2, device_cache="on",
+        steps_per_dispatch=2,
+    )
     assert single.device_cache is not None
     assert np.isclose(a["train_loss"], ref["train_loss"], atol=2e-4), (a, ref)
     assert np.isclose(a["val_loss"], ref["val_loss"], atol=2e-4), (a, ref)
@@ -164,25 +161,10 @@ def test_two_process_ge_device_cache_matches_single_process(tmp_path):
         assert np.isclose(a[key], b[key], atol=1e-6), (key, a, b)
     assert a["ckpt_roundtrip_ok"] and b["ckpt_roundtrip_ok"], (a, b)
 
-    from multimodal_path_omic_tpu.config import config_from_dict
-    from multimodal_path_omic_tpu.data.synthetic import synthetic_config_dict
-    from multimodal_path_omic_tpu.train.trainer import Trainer
-
-    raw = synthetic_config_dict(csv, sig, patches)
-    raw["model"]["name"] = "GeneExpr-NaCAGaT"
-    raw["model"]["gene"] = "G000"
-    raw["model"]["model_size"] = "small"
-    raw["training"].update({"loss": "ce", "epochs": 2, "lr": 1e-3, "seed": 0})
-    raw["tpu"] = {
-        "bag_buckets": [128], "batch_size": 8, "use_pallas": False,
-        "data_axis": 4, "seq_axis": 2, "device_cache": "on",
-        "steps_per_dispatch": 2,
-    }
-    cfg = config_from_dict(raw)
-    cfg.model.checkpoint_epoch = 0
-    cfg.training.test_output_dir = os.path.join(work, "out_single")
-    single = Trainer(cfg, verbose=False)
-    ref = single.fit()
+    single, ref = _single_process_reference(
+        work, csv, sig, patches, model="ge", seq_axis=2, device_cache="on",
+        steps_per_dispatch=2,
+    )
     assert single.device_cache is not None
     assert np.isclose(a["train_loss"], ref["train_loss"], atol=2e-4), (a, ref)
     assert np.isclose(a["val_loss"], ref["val_loss"], atol=2e-4), (a, ref)
@@ -205,24 +187,14 @@ def test_two_process_host_fed_grouped_dispatch_matches_single_process(tmp_path):
     assert not a["cache_engaged"] and not b["cache_engaged"], (a, b)
     for key in ("train_loss", "val_loss", "train_c_index", "val_c_index"):
         assert np.isclose(a[key], b[key], atol=1e-6), (key, a, b)
+    # distributed ckpt roundtrip after donated host-fed K>1 dispatch: state
+    # placement must survive the stacked-group path too
+    assert a["ckpt_roundtrip_ok"] and b["ckpt_roundtrip_ok"], (a, b)
 
-    from multimodal_path_omic_tpu.config import config_from_dict
-    from multimodal_path_omic_tpu.data.synthetic import synthetic_config_dict
-    from multimodal_path_omic_tpu.train.trainer import Trainer
-
-    raw = synthetic_config_dict(csv, sig, patches)
-    raw["model"]["name"] = "MCAT"
-    raw["model"]["model_size"] = "small"
-    raw["training"].update({"loss": "ces", "epochs": 2, "lr": 1e-3, "seed": 0})
-    raw["tpu"] = {
-        "bag_buckets": [128], "batch_size": 8, "use_pallas": False,
-        "data_axis": 4, "seq_axis": 2, "device_cache": "off",
-        "steps_per_dispatch": 2,
-    }
-    cfg = config_from_dict(raw)
-    cfg.model.checkpoint_epoch = 0
-    cfg.training.test_output_dir = os.path.join(work, "out_single")
-    ref = Trainer(cfg, verbose=False).fit()
+    _, ref = _single_process_reference(
+        work, csv, sig, patches, seq_axis=2, device_cache="off",
+        steps_per_dispatch=2,
+    )
     assert np.isclose(a["train_loss"], ref["train_loss"], atol=2e-4), (a, ref)
     assert np.isclose(a["val_loss"], ref["val_loss"], atol=2e-4), (a, ref)
     assert np.isclose(a["val_c_index"], ref["val_c_index"], atol=1e-6), (a, ref)

@@ -131,6 +131,41 @@ def test_grouped_dispatch_ladder():
     assert [len(g) for g in groups] == [4, 4, 4, 1]
 
 
+def test_host_k_cap_sizes_local_slice_on_multi_host():
+    """Auto-mode host-fed byte cap (_host_k_cap): on multi-host each process
+    stages only its [K, local_B] slice, so the cap is sized on LOCAL rows —
+    with 2 processes the same bucket admits 2x the group size of a
+    single-process run, and the cap depends only on cross-process-identical
+    values (batch_size, n_processes, bucket, feature dim), so every process
+    forms the same groups. Explicit steps_per_dispatch is honored as-is."""
+    from multimodal_path_omic_tpu.train.trainer import _SPD_STACK_BYTES
+
+    def fake(batch_size, n_processes, spd_auto):
+        t = object.__new__(Trainer)
+        t.batch_size = batch_size
+        t.n_processes = n_processes
+        t._spd_auto = spd_auto
+        return t
+
+    # per-row f32 staging bytes chosen so one GLOBAL batch is exactly half
+    # the budget: bucket * dim * 4 = _SPD_STACK_BYTES / 64 with B=32
+    dim = 1024
+    bucket = _SPD_STACK_BYTES // (64 * dim * 4)
+    batch = {"bucket": bucket, "wsi": np.zeros((1, 1, dim), np.float32)}
+
+    single = fake(32, 1, True)._host_k_cap(32)(batch)
+    double = fake(32, 2, True)._host_k_cap(32)(batch)
+    assert single == 2  # 1 GiB budget / 512 MiB global-batch staging
+    assert double == 4  # local slice is half the rows -> twice the depth
+    # both processes of a pair compute the SAME cap (group-formation sync)
+    assert fake(32, 2, True)._host_k_cap(32)(batch) == double
+    # explicit (non-auto) K passes through untouched, multi-host included
+    assert fake(32, 2, False)._host_k_cap(7)(batch) == 7
+    # tiny buckets saturate at K
+    small = {"bucket": 128, "wsi": np.zeros((1, 1, dim), np.float32)}
+    assert fake(32, 1, True)._host_k_cap(32)(small) == 32
+
+
 def test_restored_trainer_lowers_identical_programs(tmp_path):
     """A resumed run must HIT the compile caches, not silently recompile:
     checkpoint restores hand back uncommitted arrays, and feeding those to
