@@ -125,6 +125,35 @@ def cmd_convert_checkpoint(args) -> int:
     return 0
 
 
+def cmd_export_model(args) -> int:
+    """Export the trained model as a self-contained StableHLO bundle
+    (deploy.export_model): serving needs only the jax runtime + the bundle,
+    not this framework. The reference's only inference surface is the
+    in-process test() loop (reference: mcat/main.py:158-183)."""
+    from multimodal_path_omic_tpu.config import load_config
+    from multimodal_path_omic_tpu.deploy import export_model
+    from multimodal_path_omic_tpu.train.trainer import Trainer
+
+    cfg = load_config(args.config, _parse_overrides(args.set, args))
+    trainer = Trainer(cfg)
+    if args.checkpoint:
+        trainer.restore(args.checkpoint)
+    elif args.torch_checkpoint:
+        trainer.load_torch_checkpoint(args.torch_checkpoint)
+    manifest = export_model(
+        trainer,
+        args.out,
+        batch_sizes=tuple(int(x) for x in args.batch_sizes.split(",")),
+        platforms=tuple(args.platforms.split(",")),
+    )
+    print(
+        f"Exported {len(manifest['artifacts'])} programs "
+        f"({manifest['model']}, buckets {manifest['buckets']}, "
+        f"batch sizes {manifest['batch_sizes']}) to {args.out}"
+    )
+    return 0
+
+
 def cmd_convert_bags(args) -> int:
     """Convert a reference bag store (.pt dir / .h5 file) to the fast .npy
     store (data/bags.py::convert_bags)."""
@@ -178,6 +207,24 @@ def main(argv: Optional[List[str]] = None) -> int:
     common(p_conv)
     p_conv.add_argument("--out", help="(unused; checkpoint_dir from config)")
     p_conv.set_defaults(fn=cmd_convert_checkpoint)
+
+    p_exp = sub.add_parser(
+        "export-model",
+        help="trained model -> self-contained StableHLO bundle (jax.export); "
+        "serve with jax runtime only, no framework code",
+    )
+    common(p_exp)
+    p_exp.add_argument("--checkpoint", help="framework checkpoint to restore")
+    p_exp.add_argument("--out", required=True, help="output bundle directory")
+    p_exp.add_argument(
+        "--batch-sizes", default="1",
+        help="comma-separated batch sizes to export programs for (e.g. 1,8)",
+    )
+    p_exp.add_argument(
+        "--platforms", default="cpu,tpu",
+        help="lowering targets baked into each artifact",
+    )
+    p_exp.set_defaults(fn=cmd_export_model)
 
     p_bags = sub.add_parser(
         "convert-bags",

@@ -1,0 +1,228 @@
+"""Ahead-of-time model export for deployment (jax.export / StableHLO).
+
+The reference has NO deployment surface: its only inference path is the
+in-process leave-one-out ``test()`` loop (reference: mcat/main.py:158-183),
+which needs the full torch module zoo + checkpoint machinery in the serving
+process. TPU-natively, a trained model IS a compiled XLA program —
+``jax.export`` serializes the lowered StableHLO with the trained parameters
+baked in as constants, so a consumer scores bags with ZERO framework code:
+no flax models, no config system, no checkpoint restore — just the jax
+runtime and this bundle.
+
+Bundle layout (one directory):
+
+    manifest.json                  model / bucket / omics metadata
+    b{bucket}_n{batch}.jaxexport   serialized forward program per
+                                   (bucket, batch_size) pair
+
+Artifacts are exported for BOTH ``cpu`` and ``tpu`` by default: the same
+bundle validates on a CPU host and serves on chips (cross-platform lowering
+is ahead-of-time; no TPU is needed to export). Programs take
+``(wsi [N, bucket, D] f32, mask [N, bucket] bool, *omics [N, s_i] f32)`` and
+return ``{"hazards", "survs", "y", "risk"}`` (survival) or ``{"y"}`` (GE) —
+the same output contract as serve.Predictor.
+
+CLI: ``python -m multimodal_path_omic_tpu.cli export-model --config cfg.yaml
+--checkpoint ck --out bundle_dir``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, Optional, Sequence, Tuple
+
+import numpy as np
+
+_MANIFEST = "manifest.json"
+_FORMAT_VERSION = 1
+
+
+def _infer_fn(model, params, ge_mode: bool):
+    """Deterministic forward with the trained params closed over (baked into
+    the exported program as constants — the bundle is self-contained)."""
+    import jax.numpy as jnp
+
+    if ge_mode:
+
+        def fn(wsi, mask):
+            y, _ = model.apply(
+                {"params": params}, wsi, mask, deterministic=True
+            )
+            return {"y": y}
+
+        return fn
+
+    def fn(wsi, mask, *omics):
+        out = model.apply(
+            {"params": params}, wsi, list(omics), mask, deterministic=True
+        )
+        # risk = -sum(survs): the reference's risk score (mcat/main.py:148)
+        return {
+            "hazards": out.hazards,
+            "survs": out.survs,
+            "y": out.y,
+            "risk": -jnp.sum(out.survs, axis=1),
+        }
+
+    return fn
+
+
+def export_model(
+    trainer,
+    out_dir: str,
+    *,
+    buckets: Optional[Sequence[int]] = None,
+    batch_sizes: Sequence[int] = (1,),
+    platforms: Sequence[str] = ("cpu", "tpu"),
+) -> Dict:
+    """Export the trainer's (trained) model as a self-contained bundle.
+
+    One artifact per (bucket, batch_size): fixed shapes are what XLA compiles
+    anyway (the dataset path buckets bags identically), and enumerating them
+    here means the serving side never traces or retraces Python.
+    """
+    import jax
+    from jax import export as jexport
+
+    model = trainer.model.clone(use_pallas=False, ring_mesh=None)
+    # de-shard / materialize params on host so exported constants never carry
+    # mesh placement from a distributed training run
+    params = jax.tree_util.tree_map(np.asarray, trainer.state.params)
+    dim = int(params["H"]["fc"]["kernel"].shape[0])  # WSIEncoder input width
+    buckets = tuple(int(b) for b in (buckets or trainer.buckets))
+    batch_sizes = tuple(int(n) for n in batch_sizes)
+    ge_mode = bool(trainer.ge_mode)
+    omic_sizes = () if ge_mode else tuple(int(s) for s in trainer.omic_sizes)
+
+    fn = _infer_fn(model, params, ge_mode)
+    os.makedirs(out_dir, exist_ok=True)
+    artifacts: Dict[str, str] = {}
+    for bucket in buckets:
+        for n in batch_sizes:
+            args = (
+                jax.ShapeDtypeStruct((n, bucket, dim), np.float32),
+                jax.ShapeDtypeStruct((n, bucket), bool),
+            ) + tuple(
+                jax.ShapeDtypeStruct((n, s), np.float32) for s in omic_sizes
+            )
+            exp = jexport.export(jax.jit(fn), platforms=tuple(platforms))(*args)
+            name = f"b{bucket}_n{n}.jaxexport"
+            with open(os.path.join(out_dir, name), "wb") as f:
+                f.write(exp.serialize())
+            artifacts[f"{bucket}:{n}"] = name
+
+    manifest = {
+        "format_version": _FORMAT_VERSION,
+        "model": type(trainer.model).__name__,
+        "ge_mode": ge_mode,
+        "dim": dim,
+        "omic_sizes": list(omic_sizes),
+        "buckets": list(buckets),
+        "batch_sizes": list(batch_sizes),
+        "platforms": list(platforms),
+        "outputs": ["y"] if ge_mode else ["hazards", "survs", "y", "risk"],
+        "artifacts": artifacts,
+    }
+    with open(os.path.join(out_dir, _MANIFEST), "w") as f:
+        json.dump(manifest, f, indent=1)
+    return manifest
+
+
+class ExportedModel:
+    """Scores bags from an exported bundle — no model code, no checkpoint.
+
+    Deserialized programs are cached per (bucket, batch_size); padding and
+    bucket selection mirror serve.Predictor so predictions are identical to
+    the in-framework path (equality-pinned in tests/test_deploy.py).
+    """
+
+    def __init__(self, bundle_dir: str):
+        with open(os.path.join(bundle_dir, _MANIFEST)) as f:
+            self.manifest = json.load(f)
+        if self.manifest.get("format_version") != _FORMAT_VERSION:
+            raise ValueError(
+                f"unsupported bundle format {self.manifest.get('format_version')!r}"
+            )
+        self._dir = bundle_dir
+        self._programs: Dict[Tuple[int, int], object] = {}
+
+    # ------------------------------------------------------------------ utils
+    def _program(self, bucket: int, n: int):
+        key = (bucket, n)
+        if key not in self._programs:
+            from jax import export as jexport
+
+            name = self.manifest["artifacts"].get(f"{bucket}:{n}")
+            if name is None:
+                raise ValueError(
+                    f"bundle has no program for bucket={bucket} batch={n}; "
+                    f"available: {sorted(self.manifest['artifacts'])}"
+                )
+            with open(os.path.join(self._dir, name), "rb") as f:
+                self._programs[key] = jexport.deserialize(bytearray(f.read()))
+        return self._programs[key]
+
+    def _bucket_for(self, m: int) -> int:
+        fits = [b for b in self.manifest["buckets"] if b >= m]
+        if not fits:
+            raise ValueError(
+                f"bag of {m} patches exceeds largest exported bucket "
+                f"{max(self.manifest['buckets'])}"
+            )
+        return min(fits)
+
+    # ---------------------------------------------------------------- scoring
+    def predict_bag(self, bag, omics=None) -> Dict[str, np.ndarray]:
+        """Score one bag [M, D] (+ per-signature omics list for survival
+        models); returns de-batched output arrays."""
+        out = self.predict_bags([bag], None if omics is None else [omics])
+        return {k: v[0] for k, v in out.items()}
+
+    def predict_bags(self, bags, omics=None) -> Dict[str, np.ndarray]:
+        """Score a list of bags, grouped into the bundle's fixed-shape
+        (bucket, batch_size) programs; outputs are row-aligned with input."""
+        man = self.manifest
+        n_bags = len(bags)
+        if n_bags == 0:
+            return {}
+        if not man["ge_mode"] and (omics is None or len(omics) != n_bags):
+            raise ValueError("survival bundles need one omics list per bag")
+        dim = man["dim"]
+        sizes = sorted(man["batch_sizes"])
+        by_bucket: Dict[int, list] = {}
+        for i, bag in enumerate(bags):
+            by_bucket.setdefault(self._bucket_for(len(bag)), []).append(i)
+        slots: Dict[str, list] = {k: [None] * n_bags for k in man["outputs"]}
+        for bucket, idxs in sorted(by_bucket.items()):
+            c0 = 0
+            while c0 < len(idxs):
+                left = len(idxs) - c0
+                # smallest exported batch size that covers the remainder
+                # (falls back to the largest, chunking)
+                n = next((s for s in sizes if s >= left), sizes[-1])
+                chunk = idxs[c0 : c0 + n]
+                c0 += len(chunk)
+                wsi = np.zeros((n, bucket, dim), np.float32)
+                mask = np.zeros((n, bucket), bool)
+                for row, i in enumerate(chunk):
+                    bag = np.asarray(bags[i], np.float32)
+                    wsi[row, : len(bag)] = bag
+                    mask[row, : len(bag)] = True
+                args = [wsi, mask]
+                if not man["ge_mode"]:
+                    for j, s in enumerate(man["omic_sizes"]):
+                        col = np.zeros((n, s), np.float32)
+                        for row, i in enumerate(chunk):
+                            col[row] = np.asarray(omics[i][j], np.float32)
+                        args.append(col)
+                res = self._program(bucket, n).call(*args)
+                for k in man["outputs"]:
+                    v = np.asarray(res[k])
+                    for row, i in enumerate(chunk):
+                        slots[k][i] = v[row]
+        return {k: np.stack(v) for k, v in slots.items()}
+
+
+def load_exported(bundle_dir: str) -> ExportedModel:
+    return ExportedModel(bundle_dir)

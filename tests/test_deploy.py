@@ -1,0 +1,142 @@
+"""AOT deployment bundles (multimodal_path_omic_tpu/deploy.py).
+
+An exported bundle must reproduce the in-framework Predictor exactly — same
+bucketing, padding, and outputs — while needing zero framework code to score
+(jax.export deserialization + .call only). The reference has no deployment
+surface at all (its inference is the in-process test() loop,
+reference: mcat/main.py:158-183).
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from multimodal_path_omic_tpu.config import config_from_dict
+from multimodal_path_omic_tpu.data.synthetic import (
+    make_synthetic_cohort,
+    synthetic_config_dict,
+)
+from multimodal_path_omic_tpu.deploy import ExportedModel, export_model, load_exported
+from multimodal_path_omic_tpu.serve import Predictor
+from multimodal_path_omic_tpu.train.trainer import Trainer
+
+
+def _trainer(tmp, *, model="MCAT", loss="ces", **model_kw):
+    csv, sig, patches = make_synthetic_cohort(
+        str(tmp), n_patients=12, bag_lengths=(48, 80, 120), n_genes=36,
+        n_signatures=4, seed=0, signal_strength=2.0,
+    )
+    raw = synthetic_config_dict(csv, sig, patches)
+    raw["model"]["name"] = model
+    raw["model"]["model_size"] = "small"
+    raw["model"].update(model_kw)
+    raw["training"].update({"loss": loss, "epochs": 1, "lr": 1e-3})
+    raw["tpu"] = {"bag_buckets": [64, 128], "batch_size": 4, "use_pallas": False}
+    cfg = config_from_dict(raw)
+    cfg.model.checkpoint_dir = os.path.join(str(tmp), "ckpt")
+    cfg.training.test_output_dir = os.path.join(str(tmp), "out")
+    return Trainer(cfg, verbose=False)
+
+
+def _survival_inputs(trainer, lengths, seed=7):
+    rng = np.random.default_rng(seed)
+    dim = 1024
+    bags = [rng.normal(size=(m, dim)).astype(np.float32) for m in lengths]
+    omics = [
+        [rng.normal(size=(s,)).astype(np.float32) for s in trainer.omic_sizes]
+        for _ in lengths
+    ]
+    return bags, omics
+
+
+def test_exported_bundle_matches_predictor_mcat(tmp_path):
+    t = _trainer(tmp_path / "c")
+    bundle = str(tmp_path / "bundle")
+    manifest = export_model(
+        t, bundle, batch_sizes=(1,), platforms=("cpu",)
+    )
+    assert set(manifest["artifacts"]) == {"64:1", "128:1"}
+    assert manifest["outputs"] == ["hazards", "survs", "y", "risk"]
+    # manifest round-trips through disk
+    assert json.load(open(os.path.join(bundle, "manifest.json"))) == manifest
+
+    exported = load_exported(bundle)
+    predictor = Predictor(t)
+    bags, omics = _survival_inputs(t, [48, 100])
+    for bag, om in zip(bags, omics):
+        a = exported.predict_bag(bag, om)
+        b = predictor.predict_bag(bag, om)  # keeps the leading batch-1 dim
+        for k in ("hazards", "survs", "y", "risk"):
+            np.testing.assert_allclose(
+                np.asarray(a[k]), np.asarray(b[k])[0], atol=1e-5, err_msg=k
+            )
+
+
+def test_exported_bundle_matches_predictor_ge(tmp_path):
+    t = _trainer(tmp_path / "c", model="GeneExpr-NaCAGaT", loss="ce", gene="G000")
+    bundle = str(tmp_path / "bundle")
+    manifest = export_model(t, bundle, batch_sizes=(1,), platforms=("cpu",))
+    assert manifest["ge_mode"] and manifest["outputs"] == ["y"]
+    assert manifest["omic_sizes"] == []
+
+    exported = load_exported(bundle)
+    predictor = Predictor(t)
+    rng = np.random.default_rng(3)
+    bag = rng.normal(size=(90, 1024)).astype(np.float32)
+    a = exported.predict_bag(bag)
+    b = predictor.predict_bag(bag)  # keeps the leading batch-1 dim
+    np.testing.assert_allclose(np.asarray(a["y"]), np.asarray(b["y"])[0], atol=1e-5)
+
+
+def test_exported_batch_rows_align_with_request(tmp_path):
+    """Mixed bucket sizes + remainder chunking through the (bucket, n)
+    program grid: outputs must be row-aligned with the request order and
+    identical to per-bag calls."""
+    t = _trainer(tmp_path / "c")
+    bundle = str(tmp_path / "bundle")
+    export_model(t, bundle, batch_sizes=(1, 2), platforms=("cpu",))
+    exported = ExportedModel(bundle)
+    # 5 bags over two buckets: chunks of 2 + a remainder 1 per bucket
+    bags, omics = _survival_inputs(t, [48, 100, 60, 120, 30])
+    batched = exported.predict_bags(bags, omics)
+    assert batched["risk"].shape == (5,)
+    for i, (bag, om) in enumerate(zip(bags, omics)):
+        single = exported.predict_bag(bag, om)
+        for k in ("hazards", "survs", "y", "risk"):
+            np.testing.assert_allclose(
+                batched[k][i], single[k], atol=1e-5, err_msg=f"{k}[{i}]"
+            )
+
+
+def test_exported_bundle_errors(tmp_path):
+    t = _trainer(tmp_path / "c")
+    bundle = str(tmp_path / "bundle")
+    export_model(t, bundle, batch_sizes=(1,), platforms=("cpu",))
+    exported = ExportedModel(bundle)
+    bags, omics = _survival_inputs(t, [300])  # beyond the largest bucket
+    with pytest.raises(ValueError, match="exceeds largest exported bucket"):
+        exported.predict_bags(bags, omics)
+    with pytest.raises(ValueError, match="one omics list per bag"):
+        exported.predict_bags([np.zeros((4, 1024), np.float32)], None)
+    with pytest.raises(ValueError, match="unsupported bundle format"):
+        man = json.load(open(os.path.join(bundle, "manifest.json")))
+        man["format_version"] = 99
+        json.dump(man, open(os.path.join(bundle, "manifest.json"), "w"))
+        ExportedModel(bundle)
+
+
+def test_export_targets_tpu_platform_from_cpu_host(tmp_path):
+    """Cross-platform AOT lowering: the default bundle carries a tpu target
+    baked from this CPU-only host, and still executes on cpu."""
+    t = _trainer(tmp_path / "c")
+    bundle = str(tmp_path / "bundle")
+    manifest = export_model(
+        t, bundle, buckets=(64,), batch_sizes=(1,)
+    )  # default platforms=("cpu", "tpu")
+    assert manifest["platforms"] == ["cpu", "tpu"]
+    exported = ExportedModel(bundle)
+    bags, omics = _survival_inputs(t, [40])
+    out = exported.predict_bags(bags, omics)
+    assert np.isfinite(out["risk"]).all()
