@@ -7,6 +7,9 @@ jitted-per-bucket inference):
 
     python -m multimodal_path_omic_tpu.server --config cfg.yaml \
         --checkpoint <ckpt> --port 8008
+    # or from an AOT bundle (cli export-model) — jax runtime only, no
+    # config/checkpoint/model code in the serving process:
+    python -m multimodal_path_omic_tpu.server --bundle bundle/ --port 8008
 
 Endpoints:
 
@@ -148,26 +151,78 @@ def make_server(predictor, port: int = 0, host: str = "127.0.0.1") -> HTTPServer
     return HTTPServer((host, port), handler)
 
 
+class _BundlePredictor:
+    """Adapts deploy.ExportedModel to the handler's Predictor contract
+    (predict_bag keeps a leading batch-1 dim, like serve.Predictor)."""
+
+    def __init__(self, exported):
+        self._m = exported
+
+    def predict_bag(self, bag, omics=None):
+        out = self._m.predict_bag(bag, omics)
+        return {k: np.asarray(v)[None] for k, v in out.items()}
+
+    def predict_bags(self, bags, omics=None):
+        return self._m.predict_bags(bags, omics)
+
+
+def make_bundle_server(
+    bundle_dir: str, port: int = 0, host: str = "127.0.0.1"
+) -> HTTPServer:
+    """Serve an AOT deployment bundle (deploy.export_model): same endpoints
+    and wire contract as make_server, but the process needs only the jax
+    runtime + the bundle — no config, checkpoint, or model code."""
+    from multimodal_path_omic_tpu.deploy import load_exported
+
+    exported = load_exported(bundle_dir)
+    man = exported.manifest
+    handler = type(
+        "BoundBundleHandler",
+        (PredictHandler,),
+        {
+            "predictor": _BundlePredictor(exported),
+            "info": {
+                "model": man["model"],
+                "omic_sizes": list(man["omic_sizes"]),
+                "bundle": bundle_dir,
+                "buckets": list(man["buckets"]),
+                "batch_sizes": list(man["batch_sizes"]),
+            },
+        },
+    )
+    return HTTPServer((host, port), handler)
+
+
 def main(argv: Optional[list] = None) -> int:
     import argparse
 
     ap = argparse.ArgumentParser(prog="multimodal_path_omic_tpu.server")
-    ap.add_argument("--config", required=True)
+    ap.add_argument("--config", help="YAML config (with --checkpoint)")
     ap.add_argument("--checkpoint")
     ap.add_argument("--torch-checkpoint")
+    ap.add_argument(
+        "--bundle",
+        help="AOT deployment bundle directory (cli export-model); serves "
+        "without config/checkpoint/model code",
+    )
     ap.add_argument("--port", type=int, default=8008)
     ap.add_argument("--host", default="127.0.0.1")
     args = ap.parse_args(argv)
 
-    from multimodal_path_omic_tpu.config import load_config
-    from multimodal_path_omic_tpu.serve import Predictor
+    if bool(args.bundle) == bool(args.config):
+        ap.error("exactly one of --config or --bundle is required")
+    if args.bundle:
+        server = make_bundle_server(args.bundle, port=args.port, host=args.host)
+    else:
+        from multimodal_path_omic_tpu.config import load_config
+        from multimodal_path_omic_tpu.serve import Predictor
 
-    predictor = Predictor.from_config(
-        load_config(args.config),
-        checkpoint=args.checkpoint,
-        torch_checkpoint=args.torch_checkpoint,
-    )
-    server = make_server(predictor, port=args.port, host=args.host)
+        predictor = Predictor.from_config(
+            load_config(args.config),
+            checkpoint=args.checkpoint,
+            torch_checkpoint=args.torch_checkpoint,
+        )
+        server = make_server(predictor, port=args.port, host=args.host)
     print(f"serving on http://{args.host}:{server.server_address[1]}")
     server.serve_forever()
     return 0

@@ -127,6 +127,67 @@ def test_exported_bundle_errors(tmp_path):
         ExportedModel(bundle)
 
 
+def test_bundle_http_server_matches_predictor(tmp_path):
+    """server.make_bundle_server: the same HTTP wire contract as the
+    config+checkpoint server, backed only by the bundle."""
+    import io
+    import json as _json
+    import threading
+    import urllib.request
+
+    from multimodal_path_omic_tpu.server import make_bundle_server
+
+    t = _trainer(tmp_path / "c")
+    bundle = str(tmp_path / "bundle")
+    export_model(t, bundle, batch_sizes=(1, 2), platforms=("cpu",))
+    server = make_bundle_server(bundle, port=0)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+    try:
+        with urllib.request.urlopen(base + "/healthz", timeout=30) as resp:
+            health = _json.loads(resp.read())
+        assert health["status"] == "ok" and health["bundle"] == bundle
+        assert health["batch_sizes"] == [1, 2]
+
+        bags, omics = _survival_inputs(t, [48, 100])
+        predictor = Predictor(t)
+
+        # JSON single-bag endpoint
+        body = _json.dumps(
+            {"wsi": bags[0].tolist(), "omics": [o.tolist() for o in omics[0]]}
+        ).encode()
+        req = urllib.request.Request(
+            base + "/predict", data=body,
+            headers={"Content-Type": "application/json"}, method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=120) as resp:
+            out = _json.loads(resp.read())
+        want = predictor.predict_bag(bags[0], omics[0])
+        np.testing.assert_allclose(
+            np.asarray(out["risk"]), np.asarray(want["risk"]), atol=1e-5
+        )
+
+        # npz batch endpoint
+        buf = io.BytesIO()
+        arrays = {f"wsi_{i}": b for i, b in enumerate(bags)}
+        for i, om in enumerate(omics):
+            for j, o in enumerate(om):
+                arrays[f"omic_{i}_{j}"] = o
+        np.savez(buf, **arrays)
+        req = urllib.request.Request(
+            base + "/predict_batch_npz", data=buf.getvalue(),
+            headers={"Content-Type": "application/octet-stream"}, method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=120) as resp:
+            out = _json.loads(resp.read())
+        want = predictor.predict_bags(bags, omics)
+        np.testing.assert_allclose(
+            np.asarray(out["risk"]), np.asarray(want["risk"]), atol=1e-5
+        )
+    finally:
+        server.shutdown()
+
+
 def test_export_targets_tpu_platform_from_cpu_host(tmp_path):
     """Cross-platform AOT lowering: the default bundle carries a tpu target
     baked from this CPU-only host, and still executes on cpu."""
