@@ -108,6 +108,9 @@ _SLOW_TESTS = {
     "test_bilinear_fusion_dropout_engages_in_training",
     "test_restored_trainer_lowers_identical_programs",
     "test_bug_compat_resume_retrains_saved_epoch",
+    # AOT bundle e2e (MCAT parity + GE + errors stay in the fast tier)
+    "test_exported_batch_rows_align_with_request",
+    "test_bundle_http_server_matches_predictor",
 }
 
 
