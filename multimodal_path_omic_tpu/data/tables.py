@@ -24,7 +24,7 @@ Deliberate fixes over the reference (SURVEY.md §7.1 "fidelity caveats"):
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 import pandas as pd
