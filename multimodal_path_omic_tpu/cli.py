@@ -140,11 +140,21 @@ def cmd_export_model(args) -> int:
         trainer.restore(args.checkpoint)
     elif args.torch_checkpoint:
         trainer.load_torch_checkpoint(args.torch_checkpoint)
+    elif not args.allow_untrained:
+        # unlike validate/predict (read-only diagnostics), this mints a
+        # deployment artifact — a bundle of random init weights looks valid
+        # and serves garbage
+        raise SystemExit(
+            "export-model without --checkpoint/--torch-checkpoint would "
+            "bundle RANDOM weights; pass --allow-untrained if that is "
+            "really what you want"
+        )
     manifest = export_model(
         trainer,
         args.out,
         batch_sizes=tuple(int(x) for x in args.batch_sizes.split(",")),
         platforms=tuple(args.platforms.split(",")),
+        max_bag=args.max_bag,
     )
     print(
         f"Exported {len(manifest['artifacts'])} programs "
@@ -223,6 +233,15 @@ def main(argv: Optional[List[str]] = None) -> int:
     p_exp.add_argument(
         "--platforms", default="cpu,tpu",
         help="lowering targets baked into each artifact",
+    )
+    p_exp.add_argument(
+        "--max-bag", type=int, default=None,
+        help="largest expected bag; exports the rounded-up buckets the "
+        "dataset path would jit on the fly (AOT bundles cannot)",
+    )
+    p_exp.add_argument(
+        "--allow-untrained", action="store_true",
+        help="export without a checkpoint (random init weights)",
     )
     p_exp.set_defaults(fn=cmd_export_model)
 

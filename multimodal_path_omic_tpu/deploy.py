@@ -75,15 +75,26 @@ def export_model(
     buckets: Optional[Sequence[int]] = None,
     batch_sizes: Sequence[int] = (1,),
     platforms: Sequence[str] = ("cpu", "tpu"),
+    max_bag: Optional[int] = None,
 ) -> Dict:
     """Export the trainer's (trained) model as a self-contained bundle.
 
     One artifact per (bucket, batch_size): fixed shapes are what XLA compiles
     anyway (the dataset path buckets bags identically), and enumerating them
     here means the serving side never traces or retraces Python.
+
+    ``max_bag``: the in-framework path handles bags beyond the largest
+    configured bucket by rounding up to a multiple of it and jitting on the
+    fly (data/bags.py::bucket_for); an AOT bundle cannot compile at serving
+    time, so pass the largest bag you expect and the rounded-up buckets are
+    exported here. Programs consume raw f32 bags — the bundle path is exact
+    vs a default-feed Predictor; tpu.transfer_dtype=int8 configs quantize
+    host-side and will differ within quantization error.
     """
     import jax
     from jax import export as jexport
+
+    from multimodal_path_omic_tpu.data.bags import bucket_for
 
     model = trainer.model.clone(use_pallas=False, ring_mesh=None)
     # de-shard / materialize params on host so exported constants never carry
@@ -91,6 +102,10 @@ def export_model(
     params = jax.tree_util.tree_map(np.asarray, trainer.state.params)
     dim = int(params["H"]["fc"]["kernel"].shape[0])  # WSIEncoder input width
     buckets = tuple(int(b) for b in (buckets or trainer.buckets))
+    if max_bag is not None and max_bag > buckets[-1]:
+        largest = buckets[-1]
+        extra = range(2 * largest, bucket_for(int(max_bag), buckets) + 1, largest)
+        buckets = buckets + tuple(extra)
     batch_sizes = tuple(int(n) for n in batch_sizes)
     ge_mode = bool(trainer.ge_mode)
     omic_sizes = () if ge_mode else tuple(int(s) for s in trainer.omic_sizes)
@@ -115,6 +130,7 @@ def export_model(
     manifest = {
         "format_version": _FORMAT_VERSION,
         "model": type(trainer.model).__name__,
+        "n_params": int(trainer.n_params),
         "ge_mode": ge_mode,
         "dim": dim,
         "omic_sizes": list(omic_sizes),
@@ -133,8 +149,13 @@ class ExportedModel:
     """Scores bags from an exported bundle — no model code, no checkpoint.
 
     Deserialized programs are cached per (bucket, batch_size); padding and
-    bucket selection mirror serve.Predictor so predictions are identical to
-    the in-framework path (equality-pinned in tests/test_deploy.py).
+    bucket selection reuse the in-framework primitives (data/bags.py), so
+    predictions are identical to a default-feed serve.Predictor
+    (equality-pinned in tests/test_deploy.py). Two documented deltas: bags
+    beyond the exported bucket grid raise instead of jitting a new shape
+    (AOT — see export_model's ``max_bag``), and ``tpu.transfer_dtype=int8``
+    configs quantize host-side so the framework path differs within
+    quantization error (the bundle always consumes raw f32).
     """
 
     def __init__(self, bundle_dir: str):
@@ -164,13 +185,19 @@ class ExportedModel:
         return self._programs[key]
 
     def _bucket_for(self, m: int) -> int:
-        fits = [b for b in self.manifest["buckets"] if b >= m]
-        if not fits:
+        # same selection as the in-framework path (data/bags.py::bucket_for);
+        # but an AOT bundle cannot jit a new shape at serving time, so a bag
+        # beyond the exported grid is an explicit error with the remedy
+        from multimodal_path_omic_tpu.data.bags import bucket_for
+
+        bucket = bucket_for(m, sorted(self.manifest["buckets"]))
+        if bucket not in self.manifest["buckets"]:
             raise ValueError(
-                f"bag of {m} patches exceeds largest exported bucket "
-                f"{max(self.manifest['buckets'])}"
+                f"bag of {m} patches needs bucket {bucket}, which this bundle "
+                f"does not carry (buckets: {sorted(self.manifest['buckets'])});"
+                " re-export with export-model --max-bag"
             )
-        return min(fits)
+        return bucket
 
     # ---------------------------------------------------------------- scoring
     def predict_bag(self, bag, omics=None) -> Dict[str, np.ndarray]:
@@ -182,6 +209,8 @@ class ExportedModel:
     def predict_bags(self, bags, omics=None) -> Dict[str, np.ndarray]:
         """Score a list of bags, grouped into the bundle's fixed-shape
         (bucket, batch_size) programs; outputs are row-aligned with input."""
+        from multimodal_path_omic_tpu.data.bags import pad_bag
+
         man = self.manifest
         n_bags = len(bags)
         if n_bags == 0:
@@ -206,9 +235,10 @@ class ExportedModel:
                 wsi = np.zeros((n, bucket, dim), np.float32)
                 mask = np.zeros((n, bucket), bool)
                 for row, i in enumerate(chunk):
-                    bag = np.asarray(bags[i], np.float32)
-                    wsi[row, : len(bag)] = bag
-                    mask[row, : len(bag)] = True
+                    # the SAME padding the in-framework path applies
+                    wsi[row], mask[row] = pad_bag(
+                        np.asarray(bags[i], np.float32), bucket
+                    )
                 args = [wsi, mask]
                 if not man["ge_mode"]:
                     for j, s in enumerate(man["omic_sizes"]):

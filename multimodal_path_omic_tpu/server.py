@@ -182,7 +182,10 @@ def make_bundle_server(
         {
             "predictor": _BundlePredictor(exported),
             "info": {
+                # same healthz contract as make_server (model/n_params/
+                # omic_sizes), plus the bundle provenance
                 "model": man["model"],
+                "n_params": man.get("n_params"),
                 "omic_sizes": list(man["omic_sizes"]),
                 "bundle": bundle_dir,
                 "buckets": list(man["buckets"]),
@@ -211,6 +214,11 @@ def main(argv: Optional[list] = None) -> int:
 
     if bool(args.bundle) == bool(args.config):
         ap.error("exactly one of --config or --bundle is required")
+    if args.bundle and (args.checkpoint or args.torch_checkpoint):
+        # silently serving stale bundle weights while the operator believes
+        # the checkpoint loaded would be a wrong-model deployment
+        ap.error("--bundle carries its own weights; drop --checkpoint/"
+                 "--torch-checkpoint (or serve via --config)")
     if args.bundle:
         server = make_bundle_server(args.bundle, port=args.port, host=args.host)
     else:

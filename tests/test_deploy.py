@@ -115,8 +115,8 @@ def test_exported_bundle_errors(tmp_path):
     bundle = str(tmp_path / "bundle")
     export_model(t, bundle, batch_sizes=(1,), platforms=("cpu",))
     exported = ExportedModel(bundle)
-    bags, omics = _survival_inputs(t, [300])  # beyond the largest bucket
-    with pytest.raises(ValueError, match="exceeds largest exported bucket"):
+    bags, omics = _survival_inputs(t, [300])  # beyond the exported grid
+    with pytest.raises(ValueError, match="re-export with export-model --max-bag"):
         exported.predict_bags(bags, omics)
     with pytest.raises(ValueError, match="one omics list per bag"):
         exported.predict_bags([np.zeros((4, 1024), np.float32)], None)
@@ -148,6 +148,8 @@ def test_bundle_http_server_matches_predictor(tmp_path):
             health = _json.loads(resp.read())
         assert health["status"] == "ok" and health["bundle"] == bundle
         assert health["batch_sizes"] == [1, 2]
+        # same healthz contract as the config server (n_params included)
+        assert health["n_params"] == t.n_params
 
         bags, omics = _survival_inputs(t, [48, 100])
         predictor = Predictor(t)
@@ -186,6 +188,56 @@ def test_bundle_http_server_matches_predictor(tmp_path):
         )
     finally:
         server.shutdown()
+
+
+def test_max_bag_exports_rounded_up_buckets(tmp_path):
+    """The dataset path handles oversize bags by rounding up to a multiple of
+    the largest bucket and jitting on the fly; an AOT bundle must carry those
+    programs ahead of time (export_model max_bag) — and then match the
+    Predictor on the same oversize bag."""
+    t = _trainer(tmp_path / "c")
+    bundle = str(tmp_path / "bundle")
+    manifest = export_model(
+        t, bundle, batch_sizes=(1,), platforms=("cpu",), max_bag=300
+    )
+    # grid [64, 128] + multiples of 128 up to bucket_for(300) = 384
+    assert manifest["buckets"] == [64, 128, 256, 384]
+    exported = ExportedModel(bundle)
+    predictor = Predictor(t)
+    bags, omics = _survival_inputs(t, [300])
+    a = exported.predict_bag(bags[0], omics[0])
+    b = predictor.predict_bag(bags[0], omics[0])
+    np.testing.assert_allclose(
+        np.asarray(a["risk"]), np.asarray(b["risk"])[0], atol=1e-5
+    )
+
+
+def test_cli_export_model_refuses_untrained(tmp_path):
+    """export-model mints a deployment artifact; without a checkpoint it must
+    refuse rather than bundle random weights (override: --allow-untrained)."""
+    import yaml
+
+    from multimodal_path_omic_tpu.cli import main as cli_main
+    from multimodal_path_omic_tpu.data.synthetic import synthetic_config_dict
+
+    csv, sig, patches = make_synthetic_cohort(
+        str(tmp_path), n_patients=8, bag_lengths=(48,), n_genes=24,
+        n_signatures=3, seed=0,
+    )
+    raw = synthetic_config_dict(csv, sig, patches)
+    raw["model"]["model_size"] = "small"
+    raw["tpu"] = {"bag_buckets": [64], "batch_size": 4, "use_pallas": False}
+    cfg_path = str(tmp_path / "config.yaml")
+    yaml.safe_dump(raw, open(cfg_path, "w"))
+    out = str(tmp_path / "bundle")
+    with pytest.raises(SystemExit, match="RANDOM weights"):
+        cli_main(["export-model", "--config", cfg_path, "--out", out])
+    assert not os.path.exists(os.path.join(out, "manifest.json"))
+    assert cli_main(
+        ["export-model", "--config", cfg_path, "--out", out,
+         "--allow-untrained", "--platforms", "cpu"]
+    ) == 0
+    assert os.path.exists(os.path.join(out, "manifest.json"))
 
 
 def test_export_targets_tpu_platform_from_cpu_host(tmp_path):
