@@ -58,7 +58,29 @@ def main(workdir: str = "demo_workdir") -> None:
     attn_files = [
         f for f in os.listdir(raw["training"]["test_output_dir"]) if f.startswith("ATTN_")
     ]
-    print(f"== done. predictions: {preds}; attention maps: {attn_files}")
+
+    print("== AOT deployment bundle (jax.export) + framework-free scoring")
+    bundle = os.path.join(workdir, "bundle")
+    cli.main([
+        "export-model", "--config", config_path, "--checkpoint", ckpt,
+        "--out", bundle, "--platforms", "cpu",
+    ])
+    import numpy as np
+
+    from multimodal_path_omic_tpu.deploy import load_exported
+
+    exported = load_exported(bundle)
+    rng = np.random.default_rng(0)
+    bag = rng.normal(size=(300, 1024)).astype(np.float32)
+    omics = [
+        rng.normal(size=(s,)).astype(np.float32)
+        for s in exported.manifest["omic_sizes"]
+    ]
+    out = exported.predict_bag(bag, omics)
+    print(f"   bundle risk for a fresh 300-patch bag: {float(out['risk']):.4f}")
+
+    print(f"== done. predictions: {preds}; attention maps: {attn_files}; "
+          f"bundle: {bundle}")
 
 
 if __name__ == "__main__":

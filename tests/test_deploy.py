@@ -51,8 +51,16 @@ def _survival_inputs(trainer, lengths, seed=7):
     return bags, omics
 
 
-def test_exported_bundle_matches_predictor_mcat(tmp_path):
-    t = _trainer(tmp_path / "c")
+@pytest.mark.parametrize(
+    "model,loss",
+    [
+        ("MCAT", "ces"),
+        # NaCAGaT exports the pre-gate + CAG graph (~12 s compile on 1 CPU)
+        pytest.param("NaCAGaT", "cesar", marks=pytest.mark.slow),
+    ],
+)
+def test_exported_bundle_matches_predictor_survival(tmp_path, model, loss):
+    t = _trainer(tmp_path / "c", model=model, loss=loss)
     bundle = str(tmp_path / "bundle")
     manifest = export_model(
         t, bundle, batch_sizes=(1,), platforms=("cpu",)
