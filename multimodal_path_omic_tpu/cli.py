@@ -155,6 +155,7 @@ def cmd_export_model(args) -> int:
         batch_sizes=tuple(int(x) for x in args.batch_sizes.split(",")),
         platforms=tuple(args.platforms.split(",")),
         max_bag=args.max_bag,
+        weights_dtype=args.weights_dtype,
     )
     print(
         f"Exported {len(manifest['artifacts'])} programs "
@@ -242,6 +243,10 @@ def main(argv: Optional[List[str]] = None) -> int:
     p_exp.add_argument(
         "--allow-untrained", action="store_true",
         help="export without a checkpoint (random init weights)",
+    )
+    p_exp.add_argument(
+        "--weights-dtype", default="float32", choices=("float32", "bfloat16"),
+        help="bfloat16 halves artifact bytes (storage cast; compute stays f32)",
     )
     p_exp.set_defaults(fn=cmd_export_model)
 

@@ -40,14 +40,24 @@ _FORMAT_VERSION = 1
 
 def _infer_fn(model, params, ge_mode: bool):
     """Deterministic forward with the trained params closed over (baked into
-    the exported program as constants — the bundle is self-contained)."""
+    the exported program as constants — the bundle is self-contained).
+
+    bf16-stored params upcast to f32 INSIDE the traced fn: the artifact then
+    carries bf16 constants (half the bytes) while every matmul/activation
+    still computes in f32 — a storage cast, not a compute cast."""
+    import jax
     import jax.numpy as jnp
+
+    def _params32():
+        return jax.tree_util.tree_map(
+            lambda x: jnp.asarray(x).astype(jnp.float32), params
+        )
 
     if ge_mode:
 
         def fn(wsi, mask):
             y, _ = model.apply(
-                {"params": params}, wsi, mask, deterministic=True
+                {"params": _params32()}, wsi, mask, deterministic=True
             )
             return {"y": y}
 
@@ -55,7 +65,7 @@ def _infer_fn(model, params, ge_mode: bool):
 
     def fn(wsi, mask, *omics):
         out = model.apply(
-            {"params": params}, wsi, list(omics), mask, deterministic=True
+            {"params": _params32()}, wsi, list(omics), mask, deterministic=True
         )
         # risk = -sum(survs): the reference's risk score (mcat/main.py:148)
         return {
@@ -76,6 +86,7 @@ def export_model(
     batch_sizes: Sequence[int] = (1,),
     platforms: Sequence[str] = ("cpu", "tpu"),
     max_bag: Optional[int] = None,
+    weights_dtype: str = "float32",
 ) -> Dict:
     """Export the trainer's (trained) model as a self-contained bundle.
 
@@ -90,17 +101,32 @@ def export_model(
     exported here. Programs consume raw f32 bags — the bundle path is exact
     vs a default-feed Predictor; tpu.transfer_dtype=int8 configs quantize
     host-side and will differ within quantization error.
+
+    ``weights_dtype``: "bfloat16" stores the baked weight constants in bf16
+    (~half the artifact bytes per program) and upcasts to f32 inside the
+    program — compute stays f32; outputs differ from the f32 bundle only by
+    bf16 weight rounding (tolerance-pinned in tests/test_deploy.py).
     """
     import jax
     from jax import export as jexport
 
     from multimodal_path_omic_tpu.data.bags import bucket_for
 
+    if weights_dtype not in ("float32", "bfloat16"):
+        raise ValueError(
+            f'weights_dtype must be "float32" or "bfloat16", got {weights_dtype!r}'
+        )
     model = trainer.model.clone(use_pallas=False, ring_mesh=None)
     # de-shard / materialize params on host so exported constants never carry
     # mesh placement from a distributed training run
     params = jax.tree_util.tree_map(np.asarray, trainer.state.params)
     dim = int(params["H"]["fc"]["kernel"].shape[0])  # WSIEncoder input width
+    if weights_dtype == "bfloat16":
+        import jax.numpy as jnp
+
+        params = jax.tree_util.tree_map(
+            lambda x: np.asarray(jnp.asarray(x).astype(jnp.bfloat16)), params
+        )
     buckets = tuple(int(b) for b in (buckets or trainer.buckets))
     if max_bag is not None and max_bag > buckets[-1]:
         largest = buckets[-1]
@@ -131,6 +157,7 @@ def export_model(
         "format_version": _FORMAT_VERSION,
         "model": type(trainer.model).__name__,
         "n_params": int(trainer.n_params),
+        "weights_dtype": weights_dtype,
         "ge_mode": ge_mode,
         "dim": dim,
         "omic_sizes": list(omic_sizes),

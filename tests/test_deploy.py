@@ -248,6 +248,30 @@ def test_cli_export_model_refuses_untrained(tmp_path):
     assert os.path.exists(os.path.join(out, "manifest.json"))
 
 
+def test_bf16_weight_bundle_halves_bytes_within_tolerance(tmp_path):
+    """weights_dtype=bfloat16: a storage cast (upcast to f32 inside the
+    program), so artifacts shrink ~2x and outputs differ from the f32 bundle
+    only by bf16 weight rounding."""
+    t = _trainer(tmp_path / "c")
+    b32, b16 = str(tmp_path / "b32"), str(tmp_path / "b16")
+    export_model(t, b32, buckets=(64,), batch_sizes=(1,), platforms=("cpu",))
+    man16 = export_model(
+        t, b16, buckets=(64,), batch_sizes=(1,), platforms=("cpu",),
+        weights_dtype="bfloat16",
+    )
+    assert man16["weights_dtype"] == "bfloat16"
+    s32 = os.path.getsize(os.path.join(b32, "b64_n1.jaxexport"))
+    s16 = os.path.getsize(os.path.join(b16, "b64_n1.jaxexport"))
+    assert s16 < 0.65 * s32, (s16, s32)  # ~half, plus shared scaffolding
+    bags, omics = _survival_inputs(t, [40])
+    a = ExportedModel(b32).predict_bag(bags[0], omics[0])
+    b = ExportedModel(b16).predict_bag(bags[0], omics[0])
+    np.testing.assert_allclose(a["risk"], b["risk"], rtol=0.02, atol=0.02)
+    np.testing.assert_allclose(a["survs"], b["survs"], rtol=0.05, atol=0.02)
+    with pytest.raises(ValueError, match="weights_dtype"):
+        export_model(t, str(tmp_path / "bad"), weights_dtype="int4")
+
+
 def test_export_targets_tpu_platform_from_cpu_host(tmp_path):
     """Cross-platform AOT lowering: the default bundle carries a tpu target
     baked from this CPU-only host, and still executes on cpu."""
