@@ -51,6 +51,12 @@ def main():
         help="send N bags per request through /predict_batch_npz instead of "
         "one bag per /predict_npz request; reports per-BAG p50/p95",
     )
+    ap.add_argument(
+        "--bundle", action="store_true",
+        help="serve from an AOT deployment bundle (deploy.export_model + "
+        "server --bundle) instead of the config+Predictor path — measures "
+        "the framework-free serving process and its cold start",
+    )
     args = ap.parse_args()
     sizes = [int(s) for s in args.sizes.split(",")]
 
@@ -79,7 +85,22 @@ def main():
     predictor = Predictor.from_config(cfg)
     omic_sizes = list(predictor._t.omic_sizes)
 
-    server = make_server(predictor, port=0)
+    if args.bundle:
+        from multimodal_path_omic_tpu.deploy import export_model
+        from multimodal_path_omic_tpu.server import make_bundle_server
+
+        bundle_dir = os.path.join(wd, "bundle")
+        t_exp = time.perf_counter()
+        export_model(
+            predictor._t,
+            bundle_dir,
+            batch_sizes=(max(1, args.batch),),
+            max_bag=max(sizes),
+        )
+        print(json.dumps({"bundle_export_s": round(time.perf_counter() - t_exp, 2)}))
+        server = make_bundle_server(bundle_dir, port=0)
+    else:
+        server = make_server(predictor, port=0)
     port = server.server_address[1]
     threading.Thread(target=server.serve_forever, daemon=True).start()
 
@@ -150,7 +171,15 @@ def main():
         rows.append(row)
         print(json.dumps(rows[-1]))
     server.shutdown()
-    print(json.dumps({"metric": "serving_http_roundtrip", "rows": rows}))
+    print(
+        json.dumps(
+            {
+                "metric": "serving_http_roundtrip",
+                "serving": "bundle" if args.bundle else "config",
+                "rows": rows,
+            }
+        )
+    )
 
 
 if __name__ == "__main__":
