@@ -153,3 +153,39 @@ def test_kernel_no_dropout_matches_xla_on_tpu():
     )
     got = coattention(q, k, v, mask, pre_gate=True, interpret=False)
     np.testing.assert_allclose(np.asarray(got), np.asarray(out[:, 0]), atol=3e-5)
+
+
+def test_exported_bundle_runs_on_tpu(tmp_path_factory):
+    """The cpu+tpu cross-platform AOT bundle (deploy.export_model) must
+    execute on the real chip and match the in-framework Predictor there."""
+    from multimodal_path_omic_tpu.config import config_from_dict
+    from multimodal_path_omic_tpu.data.synthetic import (
+        make_synthetic_cohort,
+        synthetic_config_dict,
+    )
+    from multimodal_path_omic_tpu.deploy import ExportedModel, export_model
+    from multimodal_path_omic_tpu.serve import Predictor
+    from multimodal_path_omic_tpu.train.trainer import Trainer
+
+    tmp = tmp_path_factory.mktemp("bundle_tpu")
+    csv, sig, patches = make_synthetic_cohort(
+        str(tmp), n_patients=8, bag_lengths=(48, 80), n_genes=24,
+        n_signatures=3, seed=0,
+    )
+    raw = synthetic_config_dict(csv, sig, patches)
+    raw["model"]["model_size"] = "small"
+    raw["tpu"] = {"bag_buckets": [128], "batch_size": 4, "use_pallas": False}
+    t = Trainer(config_from_dict(raw), verbose=False)
+    bundle = str(tmp / "bundle")
+    export_model(t, bundle, batch_sizes=(1,))  # default platforms cpu+tpu
+
+    rng = np.random.default_rng(5)
+    bag = rng.normal(size=(90, 1024)).astype(np.float32)
+    omics = [
+        rng.normal(size=(s,)).astype(np.float32) for s in t.omic_sizes
+    ]
+    a = ExportedModel(bundle).predict_bag(bag, omics)
+    b = Predictor(t).predict_bag(bag, omics)
+    np.testing.assert_allclose(
+        np.asarray(a["risk"]), np.asarray(b["risk"])[0], atol=5e-5
+    )
