@@ -29,16 +29,19 @@ Endpoints:
   per batch_size bags instead of one per bag; response arrays are
   row-aligned with the request order.
 
-Requests are served one at a time (the device is the bottleneck, and
-jit-per-bucket means the first request of a new bucket pays a compile);
-front with a batching proxy for high QPS — or use the batch endpoint.
+Connections are handled on threads (payload read + npz parse + JSON
+serialization overlap device compute); INFERENCE itself is serialized by a
+lock — the device is the bottleneck, and jit-per-bucket means the first
+request of a new bucket pays a compile. Front with a batching proxy for high
+QPS — or use the batch endpoint.
 """
 
 from __future__ import annotations
 
 import io
 import json
-from http.server import BaseHTTPRequestHandler, HTTPServer
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Any, Dict, Optional
 
 import numpy as np
@@ -47,6 +50,10 @@ import numpy as np
 class PredictHandler(BaseHTTPRequestHandler):
     predictor = None  # injected by make_server
     info: Dict[str, Any] = {}
+    # one device, one program stream: requests parse concurrently but score
+    # one at a time (class attribute — shared by every handler instance of a
+    # bound subclass; each make_*server call binds a fresh lock)
+    infer_lock = threading.Lock()
 
     # quieter logs
     def log_message(self, fmt, *args):  # pragma: no cover
@@ -105,7 +112,8 @@ class PredictHandler(BaseHTTPRequestHandler):
                             for i in range(n_bags)
                         ]
                 try:
-                    out = self.predictor.predict_bags(bags, omics=omics_b)
+                    with self.infer_lock:
+                        out = self.predictor.predict_bags(bags, omics=omics_b)
                 except ValueError as exc:
                     self._reply(400, {"error": f"bad request: {exc}"})
                     return
@@ -121,7 +129,8 @@ class PredictHandler(BaseHTTPRequestHandler):
             self._reply(400, {"error": f"bad request: {exc}"})
             return
         try:
-            out = self.predictor.predict_bag(wsi, omics=omics)
+            with self.infer_lock:
+                out = self.predictor.predict_bag(wsi, omics=omics)
         except ValueError as exc:
             # client mistake (e.g. survival model without omics) — same
             # 400 contract as the batch endpoint
@@ -133,14 +142,19 @@ class PredictHandler(BaseHTTPRequestHandler):
         self._reply(200, {k: np.asarray(v).tolist() for k, v in out.items()})
 
 
-def make_server(predictor, port: int = 0, host: str = "127.0.0.1") -> HTTPServer:
-    """Build (not start) an HTTPServer bound to ``host:port`` (0 = ephemeral)."""
+def make_server(
+    predictor, port: int = 0, host: str = "127.0.0.1"
+) -> ThreadingHTTPServer:
+    """Build (not start) a threaded HTTP server bound to ``host:port``
+    (0 = ephemeral); connections parse on threads, inference serializes on
+    the handler's infer_lock."""
     t = predictor._t
     handler = type(
         "BoundPredictHandler",
         (PredictHandler,),
         {
             "predictor": predictor,
+            "infer_lock": threading.Lock(),
             "info": {
                 "model": t.config.model.name,
                 "n_params": t.n_params,
@@ -148,7 +162,7 @@ def make_server(predictor, port: int = 0, host: str = "127.0.0.1") -> HTTPServer
             },
         },
     )
-    return HTTPServer((host, port), handler)
+    return ThreadingHTTPServer((host, port), handler)
 
 
 class _BundlePredictor:
@@ -168,7 +182,7 @@ class _BundlePredictor:
 
 def make_bundle_server(
     bundle_dir: str, port: int = 0, host: str = "127.0.0.1"
-) -> HTTPServer:
+) -> ThreadingHTTPServer:
     """Serve an AOT deployment bundle (deploy.export_model): same endpoints
     and wire contract as make_server, but the process needs only the jax
     runtime + the bundle — no config, checkpoint, or model code."""
@@ -181,6 +195,7 @@ def make_bundle_server(
         (PredictHandler,),
         {
             "predictor": _BundlePredictor(exported),
+            "infer_lock": threading.Lock(),
             "info": {
                 # same healthz contract as make_server (model/n_params/
                 # omic_sizes), plus the bundle provenance
@@ -193,7 +208,7 @@ def make_bundle_server(
             },
         },
     )
-    return HTTPServer((host, port), handler)
+    return ThreadingHTTPServer((host, port), handler)
 
 
 def main(argv: Optional[list] = None) -> int:

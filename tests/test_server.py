@@ -273,3 +273,37 @@ def test_predict_npz_sorts_omics_numerically(tmp_path):
         )
     finally:
         server.shutdown()
+
+
+def test_concurrent_requests_all_correct(served):
+    """ThreadingHTTPServer: concurrent clients parse in parallel, inference
+    serializes on infer_lock — every response must match the serial answer."""
+    import concurrent.futures
+
+    base, trainer = served
+    rng = np.random.default_rng(11)
+    reqs = []
+    for i in range(8):
+        wsi = rng.normal(size=(40 + i, 1024)).astype(np.float32)
+        omics = [
+            rng.normal(size=(s,)).astype(np.float32) for s in trainer.omic_sizes
+        ]
+        buf = io.BytesIO()
+        np.savez(buf, wsi=wsi, **{f"omic_{j}": o for j, o in enumerate(omics)})
+        reqs.append((buf.getvalue(), wsi, omics))
+
+    from multimodal_path_omic_tpu.serve import Predictor
+
+    predictor = Predictor(trainer)
+    want = [predictor.predict_bag(w, omics=o)["risk"] for _, w, o in reqs]
+
+    def call(payload):
+        return _post(base + "/predict_npz", payload, "application/octet-stream")
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=8) as pool:
+        got = list(pool.map(call, [p for p, _, _ in reqs]))
+    for (status, body), w in zip(got, want):
+        assert status == 200, body
+        np.testing.assert_allclose(
+            np.asarray(body["risk"]), np.asarray(w), atol=1e-5
+        )
