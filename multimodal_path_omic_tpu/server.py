@@ -48,6 +48,10 @@ import numpy as np
 
 
 class PredictHandler(BaseHTTPRequestHandler):
+    # HTTP/1.1: persistent connections (every _reply sends Content-Length,
+    # which keep-alive requires) — clients reusing a connection skip the
+    # per-request TCP handshake
+    protocol_version = "HTTP/1.1"
     predictor = None  # injected by make_server
     info: Dict[str, Any] = {}
     # one device, one program stream: requests parse concurrently but score

@@ -307,3 +307,37 @@ def test_concurrent_requests_all_correct(served):
         np.testing.assert_allclose(
             np.asarray(body["risk"]), np.asarray(w), atol=1e-5
         )
+
+
+def test_http11_keepalive_reuses_connection(served):
+    """protocol_version HTTP/1.1: two requests ride one persistent
+    connection (every reply carries Content-Length)."""
+    import http.client
+
+    base, trainer = served
+    host, port = base.replace("http://", "").split(":")
+    conn = http.client.HTTPConnection(host, int(port), timeout=60)
+    try:
+        for _ in range(2):
+            conn.request("GET", "/healthz")
+            resp = conn.getresponse()
+            assert resp.version == 11
+            body = json.loads(resp.read())  # must drain to reuse the socket
+            assert body["status"] == "ok"
+        # a POST over the same connection still works
+        rng = np.random.default_rng(12)
+        wsi = rng.normal(size=(30, 1024)).astype(np.float32)
+        omics = [
+            rng.normal(size=(s,)).astype(np.float32) for s in trainer.omic_sizes
+        ]
+        buf = io.BytesIO()
+        np.savez(buf, wsi=wsi, **{f"omic_{j}": o for j, o in enumerate(omics)})
+        conn.request(
+            "POST", "/predict_npz", body=buf.getvalue(),
+            headers={"Content-Type": "application/octet-stream"},
+        )
+        resp = conn.getresponse()
+        assert resp.status == 200
+        assert "risk" in json.loads(resp.read())
+    finally:
+        conn.close()
