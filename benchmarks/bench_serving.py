@@ -52,6 +52,11 @@ def main():
         "one bag per /predict_npz request; reports per-BAG p50/p95",
     )
     ap.add_argument(
+        "--concurrency", type=int, default=1,
+        help="N client threads issuing requests at once (the threaded server "
+        "overlaps payload parse with device compute; 1 = serial latency)",
+    )
+    ap.add_argument(
         "--bundle", action="store_true",
         help="serve from an AOT deployment bundle (deploy.export_model + "
         "server --bundle) instead of the config+Predictor path — measures "
@@ -154,7 +159,19 @@ def main():
         # first_request_s reports the REQUEST's wall time (the cold-start a
         # client actually sees), not the per-bag figure roundtrip() returns
         first = roundtrip() * per_bag  # compile iff this bucket is fresh
-        lat = sorted(roundtrip() for _ in range(args.n))
+        rps = None
+        if args.concurrency > 1:
+            # aggregate throughput under concurrent clients: wall time for
+            # n requests issued from N threads (parse overlaps compute);
+            # per-request latencies rise (queueing) — rps is the headline
+            import concurrent.futures
+
+            t0 = time.perf_counter()
+            with concurrent.futures.ThreadPoolExecutor(args.concurrency) as pool:
+                lat = sorted(pool.map(lambda _: roundtrip(), range(args.n)))
+            rps = args.n * per_bag / (time.perf_counter() - t0)
+        else:
+            lat = sorted(roundtrip() for _ in range(args.n))
         import math
 
         p95_i = min(len(lat) - 1, math.ceil(0.95 * len(lat)) - 1)
@@ -166,6 +183,9 @@ def main():
         }
         if args.batch:
             row["bags_per_request"] = args.batch  # latencies are per BAG
+        if rps is not None:
+            row["concurrency"] = args.concurrency
+            row["bags_per_sec"] = round(rps, 1)
         if is_compile:
             row["first_request_s"] = round(first, 2)
         rows.append(row)

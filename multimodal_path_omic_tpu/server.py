@@ -229,7 +229,19 @@ def main(argv: Optional[list] = None) -> int:
     )
     ap.add_argument("--port", type=int, default=8008)
     ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument(
+        "--compilation-cache-dir",
+        help="persistent XLA compile cache for this serving process (the "
+        "config path reads tpu.compilation_cache_dir; bundles have no "
+        "config, so restarts re-pay per-bucket compiles without this)",
+    )
     args = ap.parse_args(argv)
+
+    if args.compilation_cache_dir:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", args.compilation_cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     if bool(args.bundle) == bool(args.config):
         ap.error("exactly one of --config or --bundle is required")
