@@ -125,6 +125,24 @@ def cmd_convert_checkpoint(args) -> int:
     return 0
 
 
+def cmd_cv(args) -> int:
+    """Patient-level k-fold cross-validation (train/cv.py): the reference
+    evaluates one seeded split per run; the MCAT literature reports
+    cross-validated c-index."""
+    from multimodal_path_omic_tpu.config import load_config
+    from multimodal_path_omic_tpu.train.cv import cross_validate, save_results
+
+    cfg = load_config(args.config, _parse_overrides(args.set, args))
+    folds = (
+        [int(x) for x in args.fold_indices.split(",")]
+        if args.fold_indices
+        else None
+    )
+    result = cross_validate(cfg, k=args.folds, fold_indices=folds)
+    save_results(result, args.out)
+    return 0
+
+
 def cmd_export_model(args) -> int:
     """Export the trained model as a self-contained StableHLO bundle
     (deploy.export_model): serving needs only the jax runtime + the bundle,
@@ -218,6 +236,19 @@ def main(argv: Optional[List[str]] = None) -> int:
     common(p_conv)
     p_conv.add_argument("--out", help="(unused; checkpoint_dir from config)")
     p_conv.set_defaults(fn=cmd_convert_checkpoint)
+
+    p_cv = sub.add_parser(
+        "cv", help="patient-level k-fold cross-validation (mean±std metric)"
+    )
+    common(p_cv)
+    p_cv.add_argument("--folds", type=int, default=5)
+    p_cv.add_argument("--out", help="write per-fold + aggregate results JSON")
+    p_cv.add_argument(
+        "--fold-indices",
+        help="comma list: run only these folds (one per SLURM array task); "
+        "the fold split is still computed over all --folds",
+    )
+    p_cv.set_defaults(fn=cmd_cv)
 
     p_exp = sub.add_parser(
         "export-model",

@@ -101,6 +101,33 @@ def patient_level_split(
     return np.where(in_train)[0], np.where(in_val)[0], test_rows
 
 
+def patient_kfold(
+    patients: np.ndarray, k: int, *, seed: Optional[int] = 0
+) -> List[Tuple[np.ndarray, np.ndarray]]:
+    """Seeded patient-level k-fold row splits (beyond the reference, which
+    only does one train/val split — the MCAT literature evaluates with
+    patient-level cross-validation). Returns k (train_rows, val_rows) pairs:
+    fold i validates on fold-i patients' rows and trains on the rest; no
+    patient appears on both sides of any fold; every row validates exactly
+    once across the k folds."""
+    if k < 2:
+        raise ValueError(f"k-fold needs k >= 2, got {k}")
+    unique_patients = pd.unique(patients)
+    if k > len(unique_patients):
+        raise ValueError(
+            f"k={k} folds but only {len(unique_patients)} unique patients"
+        )
+    rng = np.random.default_rng(seed)
+    unique_patients = unique_patients[rng.permutation(len(unique_patients))]
+    folds = np.array_split(unique_patients, k)
+    out = []
+    for fold in folds:
+        val_patients = set(fold)
+        in_val = np.array([p in val_patients for p in patients])
+        out.append((np.where(~in_val)[0], np.where(in_val)[0]))
+    return out
+
+
 @dataclass
 class MultimodalTable:
     """Parsed clinical table + omics arrays for the survival models."""

@@ -161,7 +161,10 @@ def _is_ge(model_name: str) -> bool:
 
 
 class Trainer:
-    def __init__(self, config: Config, verbose: bool = True):
+    def __init__(self, config: Config, verbose: bool = True, split_rows=None):
+        """``split_rows``: optional (train_rows, val_rows) row-index arrays
+        overriding the config's seeded train/val split — the cross-validation
+        driver (train/cv.py) feeds patient-level folds through this."""
         self.config = config
         self.verbose = verbose
         c = config
@@ -207,16 +210,36 @@ class Trainer:
             )
             self.extras_fn = survival_extras
             self.omic_sizes = self.dataset.signature_sizes
-        if verbose:
-            ts = int(c.training.train_size * 100)
-            print(f"Using {ts}% train, {100 - ts}% validation")
-        self.train_ds, self.val_ds, self.test_ds = self.dataset.split(
-            c.training.train_size,
-            test=self.leave_one_out,
-            patient=c.training.leave_one_out or "",
-            seed=c.training.seed,
-            bug_compat=c.training.bug_compat,
-        )
+        if split_rows is not None:
+            if self.leave_one_out:
+                raise ValueError(
+                    "split_rows and training.leave_one_out are mutually "
+                    "exclusive — leave-one-out defines its own split"
+                )
+            tr_rows, va_rows = (np.asarray(r) for r in split_rows)
+            self.train_ds = self.dataset._with_table(
+                self.dataset.table.subset(tr_rows)
+            )
+            self.val_ds = self.dataset._with_table(
+                self.dataset.table.subset(va_rows)
+            )
+            self.test_ds = None
+            if verbose:
+                print(
+                    f"Using caller-provided split: {len(tr_rows)} train rows, "
+                    f"{len(va_rows)} validation rows"
+                )
+        else:
+            if verbose:
+                ts = int(c.training.train_size * 100)
+                print(f"Using {ts}% train, {100 - ts}% validation")
+            self.train_ds, self.val_ds, self.test_ds = self.dataset.split(
+                c.training.train_size,
+                test=self.leave_one_out,
+                patient=c.training.leave_one_out or "",
+                seed=c.training.seed,
+                bug_compat=c.training.bug_compat,
+            )
         if verbose:
             print(
                 f"Samples in train: {len(self.train_ds)}, "

@@ -1050,3 +1050,58 @@ def test_partial_device_cache_matches_full(tmp_path):
     np.testing.assert_allclose(p_part, p_full, atol=1e-7)
     assert abs(out_part["train_loss"] - out_full["train_loss"]) < 1e-7
     assert abs(out_part["val_loss"] - out_full["val_loss"]) < 1e-7
+
+
+def test_patient_kfold_properties():
+    """Folds are patient-level, disjoint, and cover every row exactly once
+    on the validation side across folds."""
+    from multimodal_path_omic_tpu.data.tables import patient_kfold
+
+    rng = np.random.default_rng(0)
+    # ragged: some patients have several slides
+    patients = np.repeat([f"P{i:03d}" for i in range(11)], rng.integers(1, 4, 11))
+    folds = patient_kfold(patients, 4, seed=3)
+    assert len(folds) == 4
+    seen_val = []
+    for tr, va in folds:
+        assert len(set(tr) & set(va)) == 0
+        assert len(tr) + len(va) == len(patients)
+        # patient-level: no patient straddles the split
+        assert not (set(patients[tr]) & set(patients[va]))
+        seen_val.extend(va.tolist())
+    assert sorted(seen_val) == list(range(len(patients)))
+    # deterministic under the same seed; different under another
+    folds2 = patient_kfold(patients, 4, seed=3)
+    np.testing.assert_array_equal(folds[0][1], folds2[0][1])
+    with pytest.raises(ValueError, match="k >= 2"):
+        patient_kfold(patients, 1)
+    with pytest.raises(ValueError, match="unique patients"):
+        patient_kfold(patients, 99)
+
+
+def test_cross_validation_e2e(tmp_path):
+    """2-fold CV on the tiny cohort: per-fold rows + aggregate, and the
+    folds genuinely train (finite losses, plausible metric)."""
+    from multimodal_path_omic_tpu.train.cv import cross_validate, save_results
+
+    cfg = _make_cfg(tmp_path, epochs=2, n_patients=12)
+    res = cross_validate(cfg, k=2, verbose=False)
+    assert res["metric"] == "val_c_index" and res["k"] == 2
+    assert len(res["folds"]) == 2
+    for row in res["folds"]:
+        assert np.isfinite(row["train_loss"]) and np.isfinite(row["val_loss"])
+        assert 0.0 <= row["val_c_index"] <= 1.0
+    assert res["mean"] == pytest.approx(
+        np.mean([r["val_c_index"] for r in res["folds"]])
+    )
+    out = os.path.join(str(tmp_path), "cv.json")
+    save_results(res, out)
+    import json
+
+    assert json.load(open(out))["k"] == 2
+    # --fold-indices subsets the run but keeps the same split
+    res1 = cross_validate(cfg, k=2, verbose=False, fold_indices=[1])
+    assert len(res1["folds"]) == 1
+    assert res1["folds"][0]["val_c_index"] == pytest.approx(
+        res["folds"][1]["val_c_index"]
+    )
