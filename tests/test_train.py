@@ -1105,3 +1105,17 @@ def test_cross_validation_e2e(tmp_path):
     assert res1["folds"][0]["val_c_index"] == pytest.approx(
         res["folds"][1]["val_c_index"]
     )
+
+
+@pytest.mark.slow
+def test_cross_validation_ge_mode(tmp_path):
+    """GE-mode CV aggregates val_accuracy (no c-index in GE runs)."""
+    from multimodal_path_omic_tpu.train.cv import cross_validate
+
+    cfg = _make_cfg(
+        tmp_path, model="GeneExpr-NaCAGaT", loss="ce", epochs=1,
+        n_patients=12, model_kw={"gene": "G000"},
+    )
+    res = cross_validate(cfg, k=2, verbose=False)
+    assert res["metric"] == "val_accuracy"
+    assert all(0.0 <= r["val_accuracy"] <= 1.0 for r in res["folds"])
