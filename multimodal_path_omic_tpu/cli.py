@@ -143,6 +143,25 @@ def cmd_cv(args) -> int:
     return 0
 
 
+def cmd_sweep(args) -> int:
+    """Hyperparameter grid sweep (train/sweep.py): the cartesian product of
+    --grid axes, each a full training run; rows ranked best-first."""
+    import json
+
+    from multimodal_path_omic_tpu.train.sweep import run_sweep
+
+    result = run_sweep(
+        args.config,
+        args.grid or [],
+        base_overrides=_parse_overrides(args.set, args),
+        metric=args.metric,
+    )
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(result, f, indent=1)
+    return 0
+
+
 def cmd_export_model(args) -> int:
     """Export the trained model as a self-contained StableHLO bundle
     (deploy.export_model): serving needs only the jax runtime + the bundle,
@@ -236,6 +255,21 @@ def main(argv: Optional[List[str]] = None) -> int:
     common(p_conv)
     p_conv.add_argument("--out", help="(unused; checkpoint_dir from config)")
     p_conv.set_defaults(fn=cmd_convert_checkpoint)
+
+    p_sweep = sub.add_parser(
+        "sweep",
+        help="grid sweep: train the cartesian product of --grid axes, rank "
+        "by the run's quality metric",
+    )
+    common(p_sweep)
+    p_sweep.add_argument(
+        "--grid", action="append", metavar="KEY=V1,V2,...",
+        help="dotted-config axis, e.g. training.lr=1e-4,2e-4 (repeatable; "
+        "axes combine as a cartesian product)",
+    )
+    p_sweep.add_argument("--metric", help="rank key (default: val_c_index / val_accuracy)")
+    p_sweep.add_argument("--out", help="write ranked results JSON")
+    p_sweep.set_defaults(fn=cmd_sweep)
 
     p_cv = sub.add_parser(
         "cv", help="patient-level k-fold cross-validation (mean±std metric)"

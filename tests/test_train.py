@@ -1119,3 +1119,53 @@ def test_cross_validation_ge_mode(tmp_path):
     res = cross_validate(cfg, k=2, verbose=False)
     assert res["metric"] == "val_accuracy"
     assert all(0.0 <= r["val_accuracy"] <= 1.0 for r in res["folds"])
+
+
+def test_parse_grid_cartesian_and_yaml_values():
+    from multimodal_path_omic_tpu.train.sweep import parse_grid
+
+    pts = parse_grid(["training.lr=1e-4,2e-4", "model.fusion=concat,bilinear"])
+    assert len(pts) == 4
+    # YAML 1.1 keeps "1e-4" a string (like --set); the typed config layer
+    # coerces it onto the float field at load_config time (_apply_override)
+    assert {"training.lr": "1e-4", "model.fusion": "concat"} in pts
+    pts = parse_grid(["training.lr=0.001,0.0001"])
+    assert all(isinstance(p["training.lr"], float) for p in pts)
+    # YAML-bool pitfall: on/off stay strings (same guard as --set)
+    pts = parse_grid(["tpu.device_cache=on,off"])
+    assert [p["tpu.device_cache"] for p in pts] == ["on", "off"]
+    with pytest.raises(ValueError, match="key=v1,v2"):
+        parse_grid(["nonsense"])
+
+
+@pytest.mark.slow
+def test_sweep_e2e_ranks_points(tmp_path):
+    import yaml as _yaml
+
+    from multimodal_path_omic_tpu.train.sweep import run_sweep
+    from multimodal_path_omic_tpu.data.synthetic import (
+        synthetic_config_dict as _scd,
+    )
+
+    csv, sig, patches = make_synthetic_cohort(
+        str(tmp_path), n_patients=12, bag_lengths=(48, 80), n_genes=36,
+        n_signatures=4, seed=0, signal_strength=2.0,
+    )
+    raw = _scd(csv, sig, patches)
+    raw["model"]["model_size"] = "small"
+    raw["training"].update({"epochs": 1, "lr": 1e-3})
+    raw["tpu"] = {"bag_buckets": [128], "batch_size": 8, "use_pallas": False}
+    cfg_path = os.path.join(str(tmp_path), "config.yaml")
+    _yaml.safe_dump(raw, open(cfg_path, "w"))
+
+    res = run_sweep(
+        cfg_path, ["training.lr=1e-3,1e-4"], verbose=False,
+        base_overrides={"training.epochs": 1},
+    )
+    assert res["metric"] == "val_c_index"
+    assert len(res["rows"]) == 2
+    # ranked best-first and the best row is the max
+    vals = [r["val_c_index"] for r in res["rows"]]
+    assert vals == sorted(vals, reverse=True)
+    assert res["best"]["val_c_index"] == vals[0]
+    assert set(res["rows"][0]["point"]) == {"training.lr"}
