@@ -23,21 +23,16 @@ from typing import Any, Dict, List, Optional
 
 
 def _parse_overrides(pairs: List[str], args=None) -> Dict[str, Any]:
-    import yaml
+    from multimodal_path_omic_tpu.config import parse_cli_scalar
 
     overrides: Dict[str, Any] = {}
     for pair in pairs or []:
         if "=" not in pair:
             raise SystemExit(f"--set expects key=value, got {pair!r}")
         key, value = pair.split("=", 1)
-        parsed = yaml.safe_load(value)
-        # YAML 1.1 coerces on/off/yes/no to booleans, which silently corrupts
-        # string-valued settings (--set tpu.device_cache=on became the string
-        # "True"). Only true/false spellings mean booleans here; the typed
-        # config coerces strings onto bool fields as needed (_apply_override).
-        if isinstance(parsed, bool) and value.strip().lower() not in ("true", "false"):
-            parsed = value.strip()
-        overrides[key] = parsed
+        # YAML-scalar parsing incl. the on/off-stays-a-string guard — shared
+        # with --grid (train/sweep.py) so the two cannot drift apart
+        overrides[key] = parse_cli_scalar(value)
     if args is not None and getattr(args, "bug_compat", False):
         overrides["training.bug_compat"] = True
     return overrides

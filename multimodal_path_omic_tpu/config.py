@@ -244,6 +244,18 @@ class Config:
     tpu: TpuConfig = field(default_factory=TpuConfig)
 
 
+def parse_cli_scalar(raw: str) -> Any:
+    """YAML-parse one CLI-provided value (``--set``/``--grid``) with the
+    on/off guard: YAML 1.1 coerces on/off/yes/no to booleans, which silently
+    corrupts string-valued settings (``--set tpu.device_cache=on`` became the
+    string "True"). Only true/false spellings mean booleans here; the typed
+    config coerces strings onto bool fields as needed (_apply_override)."""
+    parsed = yaml.safe_load(raw)
+    if isinstance(parsed, bool) and raw.strip().lower() not in ("true", "false"):
+        parsed = raw.strip()
+    return parsed
+
+
 def _build(cls, raw: Dict[str, Any]):
     """Construct a dataclass from a raw dict, ignoring unknown keys and mapping
     the YAML key ``lambda`` to ``lambda_``."""

@@ -52,6 +52,10 @@ class PredictHandler(BaseHTTPRequestHandler):
     # which keep-alive requires) — clients reusing a connection skip the
     # per-request TCP handshake
     protocol_version = "HTTP/1.1"
+    # reap idle persistent connections: thread-per-connection + keep-alive
+    # would otherwise let every idle client pin a thread forever (a socket
+    # timeout mid-request closes the connection via handle_one_request)
+    timeout = 120
     predictor = None  # injected by make_server
     info: Dict[str, Any] = {}
     # one device, one program stream: requests parse concurrently but score
@@ -68,6 +72,9 @@ class PredictHandler(BaseHTTPRequestHandler):
         self.send_response(code)
         self.send_header("Content-Type", "application/json")
         self.send_header("Content-Length", str(len(body)))
+        if self.close_connection:
+            # tell the client too (set BEFORE _reply, e.g. chunked rejection)
+            self.send_header("Connection", "close")
         self.end_headers()
         self.wfile.write(body)
 
@@ -78,6 +85,12 @@ class PredictHandler(BaseHTTPRequestHandler):
             self._reply(404, {"error": "unknown path"})
 
     def do_POST(self):
+        if self.headers.get("Transfer-Encoding", "").lower() == "chunked":
+            # not decoded here; without closing, the unread chunked body
+            # would be parsed as the NEXT request on the keep-alive socket
+            self.close_connection = True
+            self._reply(411, {"error": "chunked bodies unsupported; send Content-Length"})
+            return
         n = int(self.headers.get("Content-Length", 0))
         raw = self.rfile.read(n)
         try:

@@ -30,18 +30,42 @@ def cross_validate(
     ``fold_indices``: optional subset of folds to run (e.g. one fold per
     SLURM array task); the fold SPLIT is always computed over all k.
     """
-    from multimodal_path_omic_tpu.data.tables import patient_kfold
-    from multimodal_path_omic_tpu.train.trainer import Trainer
+    import copy
+    import os
 
-    # probe dataset once for the patient column; each fold's Trainer re-opens
-    # it (cheap CSV parse) so per-fold state is fully independent
-    probe = Trainer(config, verbose=False)
-    patients = probe.dataset.table.patients
-    metric_key = "val_accuracy" if probe.ge_mode else "val_c_index"
-    del probe
+    from multimodal_path_omic_tpu.data.dataset import (
+        GeneExprDataset,
+        MultimodalDataset,
+    )
+    from multimodal_path_omic_tpu.data.tables import patient_kfold
+    from multimodal_path_omic_tpu.train.trainer import Trainer, _is_ge
+
+    # read the patient column through the SAME dataset class each fold's
+    # Trainer builds (row filters + missing-bag drops must match, or fold row
+    # indices would point at different rows) — but without a full Trainer:
+    # a probe Trainer would pay model/optimizer init and leak its
+    # MetricLogger (an unfinished wandb run)
+    ge_mode = _is_ge(config.model.name)
+    if ge_mode:
+        ds = GeneExprDataset(
+            config.dataset.file, config, gene=config.model.gene, verbose=False
+        )
+    else:
+        ds = MultimodalDataset(
+            config.dataset.file, config, use_signatures=True, verbose=False
+        )
+    patients = ds.table.patients
+    metric_key = "val_accuracy" if ge_mode else "val_c_index"
+    del ds
 
     folds = patient_kfold(patients, k, seed=config.training.seed)
-    run = range(k) if fold_indices is None else list(fold_indices)
+    run = list(range(k)) if fold_indices is None else list(fold_indices)
+    if not run:
+        raise ValueError("fold_indices is empty — nothing to run")
+    bad = [i for i in run if not 0 <= i < k]
+    if bad:
+        # folds[-1] would silently train an aliased fold under the wrong id
+        raise ValueError(f"fold_indices {bad} out of range for k={k}")
     rows = []
     for i in run:
         tr_rows, va_rows = folds[i]
@@ -50,7 +74,14 @@ def cross_validate(
                 f"=== fold {i + 1}/{k}: {len(tr_rows)} train / "
                 f"{len(va_rows)} val rows"
             )
-        trainer = Trainer(config, verbose=False, split_rows=(tr_rows, va_rows))
+        fold_cfg = copy.deepcopy(config)
+        if fold_cfg.model.checkpoint_dir:
+            # per-fold checkpoint namespace: folds otherwise collide on the
+            # minute-resolution checkpoint filename and carry no fold identity
+            fold_cfg.model.checkpoint_dir = os.path.join(
+                fold_cfg.model.checkpoint_dir, f"fold{i}"
+            )
+        trainer = Trainer(fold_cfg, verbose=False, split_rows=(tr_rows, va_rows))
         out = trainer.fit()
         row = {"fold": i, **{m: float(v) for m, v in out.items()}}
         rows.append(row)

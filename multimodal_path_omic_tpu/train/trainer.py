@@ -217,11 +217,16 @@ class Trainer:
                     "exclusive — leave-one-out defines its own split"
                 )
             tr_rows, va_rows = (np.asarray(r) for r in split_rows)
+            # --bug-compat must reach the subsets here too (the normal path
+            # passes it through table.split), or a CV A/B run would mix
+            # bug-compat model behavior with fixed data alignment
+            mis_kw = "misalign_labels" if self.ge_mode else "misalign_signatures"
+            subset_kw = {mis_kw: c.training.bug_compat}
             self.train_ds = self.dataset._with_table(
-                self.dataset.table.subset(tr_rows)
+                self.dataset.table.subset(tr_rows, **subset_kw)
             )
             self.val_ds = self.dataset._with_table(
-                self.dataset.table.subset(va_rows)
+                self.dataset.table.subset(va_rows, **subset_kw)
             )
             self.test_ds = None
             if verbose:

@@ -111,6 +111,9 @@ _SLOW_TESTS = {
     # AOT bundle e2e (MCAT parity + GE + errors stay in the fast tier)
     "test_exported_batch_rows_align_with_request",
     "test_bundle_http_server_matches_predictor",
+    # CV e2e (fold properties + split_rows plumbing stay fast)
+    "test_cross_validation_e2e",
+    "test_cv_validates_fold_indices_and_namespaces_checkpoints",
 }
 
 

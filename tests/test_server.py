@@ -341,3 +341,26 @@ def test_http11_keepalive_reuses_connection(served):
         assert "risk" in json.loads(resp.read())
     finally:
         conn.close()
+
+
+def test_chunked_transfer_encoding_rejected_and_closed(served):
+    """HTTP/1.1 servers must not ignore chunked bodies: the handler rejects
+    with 411 and CLOSES the connection (unread chunked bytes would otherwise
+    be parsed as the next request on the keep-alive socket)."""
+    import http.client
+
+    base, _ = served
+    host, port = base.replace("http://", "").split(":")
+    conn = http.client.HTTPConnection(host, int(port), timeout=60)
+    try:
+        conn.putrequest("POST", "/predict_npz")
+        conn.putheader("Transfer-Encoding", "chunked")
+        conn.endheaders()
+        # one chunk the server never reads
+        conn.send(b"5\r\nhello\r\n0\r\n\r\n")
+        resp = conn.getresponse()
+        assert resp.status == 411
+        assert json.loads(resp.read())["error"].startswith("chunked")
+        assert resp.will_close  # Connection: close — socket not reusable
+    finally:
+        conn.close()

@@ -1169,3 +1169,58 @@ def test_sweep_e2e_ranks_points(tmp_path):
     assert vals == sorted(vals, reverse=True)
     assert res["best"]["val_c_index"] == vals[0]
     assert set(res["rows"][0]["point"]) == {"training.lr"}
+
+    # loss-like metrics rank ASCENDING: the best point is the lowest loss
+    res_loss = run_sweep(
+        cfg_path, ["training.lr=1e-3,1e-4"], verbose=False, metric="val_loss",
+        base_overrides={"training.epochs": 1},
+    )
+    assert res_loss["lower_is_better"] is True
+    lvals = [r["val_loss"] for r in res_loss["rows"]]
+    assert lvals == sorted(lvals)
+    assert res_loss["best"]["val_loss"] == lvals[0]
+
+    # an unknown metric aborts after the FIRST run, not the whole grid
+    with pytest.raises(ValueError, match="not in run results"):
+        run_sweep(
+            cfg_path, ["training.lr=1e-3,1e-4"], verbose=False,
+            metric="val_cindex", base_overrides={"training.epochs": 1},
+        )
+
+
+def test_cv_validates_fold_indices_and_namespaces_checkpoints(tmp_path):
+    from multimodal_path_omic_tpu.train.cv import cross_validate
+
+    cfg = _make_cfg(tmp_path, epochs=1, n_patients=12)
+    with pytest.raises(ValueError, match="out of range"):
+        cross_validate(cfg, k=2, verbose=False, fold_indices=[-1])
+    with pytest.raises(ValueError, match="out of range"):
+        cross_validate(cfg, k=2, verbose=False, fold_indices=[2])
+    with pytest.raises(ValueError, match="empty"):
+        cross_validate(cfg, k=2, verbose=False, fold_indices=[])
+    # per-fold checkpoint namespace: folds must not collide on one dir
+    # (the save condition skips epoch 0, so train 2 epochs and save at 2)
+    cfg.training.epochs = 2
+    cfg.model.checkpoint_epoch = 2
+    cross_validate(cfg, k=2, verbose=False)
+    subdirs = sorted(os.listdir(cfg.model.checkpoint_dir))
+    assert subdirs == ["fold0", "fold1"], subdirs
+    assert os.listdir(os.path.join(cfg.model.checkpoint_dir, "fold0"))
+
+
+def test_split_rows_honors_bug_compat(tmp_path):
+    """--bug-compat must reach the split_rows subsets (CV A/B runs would
+    otherwise mix bug-compat model behavior with FIXED data alignment)."""
+    cfg = _make_cfg(tmp_path, epochs=1, n_patients=12)
+    cfg.training.bug_compat = True
+    t = Trainer(cfg, verbose=False, split_rows=(np.arange(6), np.arange(6, 12)))
+    ref = t.dataset.table.subset(np.arange(6, 12), misalign_signatures=True)
+    name = ref.signature_names[0]
+    np.testing.assert_array_equal(
+        t.val_ds.table.signature_data[name], ref.signature_data[name]
+    )
+    # and the misaligned subset really differs from the aligned one here
+    aligned = t.dataset.table.subset(np.arange(6, 12))
+    assert not np.array_equal(
+        aligned.signature_data[name], ref.signature_data[name]
+    )
