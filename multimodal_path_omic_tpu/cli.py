@@ -138,6 +138,17 @@ def cmd_cv(args) -> int:
     return 0
 
 
+def cmd_check_data(args) -> int:
+    """Cohort preflight (data/check.py): validate CSV schema, labels,
+    signature coverage, and the bag store before spending device time."""
+    from multimodal_path_omic_tpu.config import load_config
+    from multimodal_path_omic_tpu.data.check import check_data
+
+    cfg = load_config(args.config, _parse_overrides(args.set, args))
+    report = check_data(cfg)
+    return 1 if report["fatal"] else 0
+
+
 def cmd_sweep(args) -> int:
     """Hyperparameter grid sweep (train/sweep.py): the cartesian product of
     --grid axes, each a full training run; rows ranked best-first."""
@@ -250,6 +261,14 @@ def main(argv: Optional[List[str]] = None) -> int:
     common(p_conv)
     p_conv.add_argument("--out", help="(unused; checkpoint_dir from config)")
     p_conv.set_defaults(fn=cmd_convert_checkpoint)
+
+    p_chk = sub.add_parser(
+        "check-data",
+        help="cohort preflight: CSV schema, labels, signature coverage, bag "
+        "store consistency (exit 1 on fatal issues)",
+    )
+    common(p_chk)
+    p_chk.set_defaults(fn=cmd_check_data)
 
     p_sweep = sub.add_parser(
         "sweep",

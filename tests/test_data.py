@@ -436,3 +436,66 @@ def test_unparseable_npy_falls_back_to_python_path(tmp_path):
         assert batcher._native is None  # fallback engaged
     batches = list(batcher.batches())
     assert sum(int(b["weight"].sum()) for b in batches) == len(ds)
+
+
+def test_check_data_clean_and_corrupted(tmp_path):
+    """Preflight checker (data/check.py): clean cohort passes; a deleted bag
+    warns; a wrong-dim bag and an all-censored cohort are fatal."""
+    import os
+
+    import pandas as pd
+
+    from multimodal_path_omic_tpu.config import config_from_dict
+    from multimodal_path_omic_tpu.data.check import check_data
+    from multimodal_path_omic_tpu.data.synthetic import (
+        make_synthetic_cohort,
+        synthetic_config_dict,
+    )
+
+    csv, sig, patches = make_synthetic_cohort(
+        str(tmp_path), n_patients=8, bag_lengths=(48, 80), n_genes=24,
+        n_signatures=3, seed=0,
+    )
+    raw = synthetic_config_dict(csv, sig, patches)
+    raw["tpu"] = {"bag_buckets": [64], "batch_size": 4}
+    cfg = config_from_dict(raw)
+
+    rep = check_data(cfg, verbose=False)
+    assert not rep["fatal"] and not rep["issues"]
+    assert rep["rows"] == 8 and rep["bags_missing"] == 0
+    assert rep["bag_dim"] == 1024
+    # bags of 80 exceed the only bucket (64): warned, not fatal
+    assert any("exceed the largest bucket" in w for w in rep["warnings"])
+    assert all(v["present"] > 0 for v in rep["signatures"].values())
+
+    # delete one bag -> missing warning, still not fatal (rows drop at load)
+    from multimodal_path_omic_tpu.data.bags import slide_basename
+
+    sid = pd.read_csv(csv)["slide_id"].iloc[0]
+    bag_path = os.path.join(patches, f"{slide_basename(sid)}.npy")
+    bag = np.load(bag_path)
+    os.remove(bag_path)
+    rep = check_data(cfg, verbose=False)
+    assert rep["bags_missing"] == 1 and not rep["fatal"]
+
+    # wrong-dim bag -> fatal (mixed widths cannot feed one model)
+    np.save(bag_path, np.zeros((10, 512), np.float32))
+    rep = check_data(cfg, verbose=False)
+    assert rep["fatal"] and any("inconsistent" in i for i in rep["issues"])
+    np.save(bag_path, bag)
+
+    # all-censored cohort -> fatal (no comparable pairs, no event terms)
+    df = pd.read_csv(csv)
+    df["censorship"] = 1.0
+    df.to_csv(csv, index=False)
+    rep = check_data(cfg, verbose=False)
+    assert rep["fatal"] and any("censored" in i for i in rep["issues"])
+
+    # GE mode: a target gene without a _rnaseq column is fatal
+    raw["model"]["name"] = "GeneExpr-NaCAGaT"
+    raw["model"]["gene"] = "NOSUCH"
+    rep = check_data(config_from_dict(raw), verbose=False)
+    assert rep["fatal"] and any("NOSUCH_rnaseq" in i for i in rep["issues"])
+    raw["model"]["gene"] = "G000"
+    rep = check_data(config_from_dict(raw), verbose=False)
+    assert not any("_rnaseq" in i for i in rep["issues"])
