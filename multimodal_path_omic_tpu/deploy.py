@@ -226,6 +226,25 @@ class ExportedModel:
             )
         return bucket
 
+    # ----------------------------------------------------------------- warmup
+    def warmup(self, verbose: bool = False) -> list:
+        """Deserialize + execute every (bucket, batch_size) program once with
+        zeros, so the first real request doesn't pay the compile."""
+        man = self.manifest
+        warmed = []
+        for key in sorted(man["artifacts"]):
+            bucket, n = (int(x) for x in key.split(":"))
+            args = [
+                np.zeros((n, bucket, man["dim"]), np.float32),
+                np.zeros((n, bucket), bool),
+            ] + [np.zeros((n, s), np.float32) for s in man["omic_sizes"]]
+            res = self._program(bucket, n).call(*args)
+            np.asarray(res["y"])  # block until compile+run completes
+            warmed.append((bucket, n))
+            if verbose:
+                print(f"warmed bucket {bucket} batch {n}")
+        return warmed
+
     # ---------------------------------------------------------------- scoring
     def predict_bag(self, bag, omics=None) -> Dict[str, np.ndarray]:
         """Score one bag [M, D] (+ per-signature omics list for survival

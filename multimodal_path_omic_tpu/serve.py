@@ -52,6 +52,38 @@ class Predictor:
             trainer.load_torch_checkpoint(torch_checkpoint)
         return cls(trainer)
 
+    # ------------------------------------------------------------------ warmup
+    def warmup(self, buckets=None, verbose: bool = False) -> list:
+        """Pre-compile the per-bucket eval programs with dummy batches so the
+        FIRST real request doesn't pay the jit compile (seconds to minutes
+        per bucket on cold caches — see bench_serving first_request_s).
+        Returns the warmed bucket list."""
+        t = self._t
+        dim = int(t.state.params["H"]["fc"]["kernel"].shape[0])
+        warmed = []
+        for bucket in sorted(set(buckets or t.buckets)):
+            # jit caches per SHAPE: predict_bag runs B=1, predict_bags runs
+            # B=batch_size — warm both programs
+            for n in sorted({1, t.batch_size}):
+                batch: Dict[str, Any] = {
+                    "wsi": np.zeros((n, bucket, dim), np.float32),
+                    "mask": np.zeros((n, bucket), bool),
+                    "label": np.zeros((n,), np.int32),
+                    "weight": np.zeros((n,), np.float32),
+                }
+                if not t.ge_mode:
+                    batch["omics"] = [
+                        np.zeros((n, s), np.float32) for s in t.omic_sizes
+                    ]
+                    batch["censorship"] = np.zeros((n,), np.float32)
+                    batch["survival_months"] = np.zeros((n,), np.float32)
+                res = self.eval_step(t.state.params, t._device_batch(batch))
+                np.asarray(res["y"])  # block until the compile+run completes
+                warmed.append((bucket, n))
+            if verbose:
+                print(f"warmed bucket {bucket}")
+        return warmed
+
     # ------------------------------------------------------------------ single
     def predict_bag(self, bag: np.ndarray, omics=None) -> Dict[str, np.ndarray]:
         """Score one bag [M, 1024] (+ omics signature list for survival models).

@@ -243,6 +243,11 @@ def main(argv: Optional[list] = None) -> int:
     ap.add_argument("--port", type=int, default=8008)
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument(
+        "--warmup", action="store_true",
+        help="pre-compile every bucket program before accepting traffic "
+        "(first requests otherwise pay seconds-to-minutes of jit compile)",
+    )
+    ap.add_argument(
         "--compilation-cache-dir",
         help="persistent XLA compile cache for this serving process (the "
         "config path reads tpu.compilation_cache_dir; bundles have no "
@@ -265,6 +270,8 @@ def main(argv: Optional[list] = None) -> int:
                  "--torch-checkpoint (or serve via --config)")
     if args.bundle:
         server = make_bundle_server(args.bundle, port=args.port, host=args.host)
+        if args.warmup:
+            server.RequestHandlerClass.predictor._m.warmup(verbose=True)
     else:
         from multimodal_path_omic_tpu.config import load_config
         from multimodal_path_omic_tpu.serve import Predictor
@@ -274,6 +281,8 @@ def main(argv: Optional[list] = None) -> int:
             checkpoint=args.checkpoint,
             torch_checkpoint=args.torch_checkpoint,
         )
+        if args.warmup:
+            predictor.warmup(verbose=True)
         server = make_server(predictor, port=args.port, host=args.host)
     print(f"serving on http://{args.host}:{server.server_address[1]}")
     server.serve_forever()

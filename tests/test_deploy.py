@@ -285,3 +285,15 @@ def test_export_targets_tpu_platform_from_cpu_host(tmp_path):
     bags, omics = _survival_inputs(t, [40])
     out = exported.predict_bags(bags, omics)
     assert np.isfinite(out["risk"]).all()
+
+
+def test_exported_warmup_runs_every_program(tmp_path):
+    t = _trainer(tmp_path / "c")
+    bundle = str(tmp_path / "bundle")
+    export_model(t, bundle, batch_sizes=(1, 2), platforms=("cpu",))
+    exported = ExportedModel(bundle)
+    warmed = exported.warmup()
+    assert sorted(warmed) == [(64, 1), (64, 2), (128, 1), (128, 2)]
+    bags, omics = _survival_inputs(t, [40])
+    out = exported.predict_bags(bags, omics)
+    assert np.isfinite(out["risk"]).all()

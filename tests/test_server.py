@@ -364,3 +364,18 @@ def test_chunked_transfer_encoding_rejected_and_closed(served):
         assert resp.will_close  # Connection: close — socket not reusable
     finally:
         conn.close()
+
+
+def test_predictor_warmup_compiles_both_batch_shapes(served):
+    """warmup() runs every (bucket, {1, batch_size}) eval program once; a
+    subsequent predict_bag matches the normal path (dummy batches must not
+    poison any state)."""
+    base, trainer = served
+    predictor = Predictor(trainer)
+    warmed = predictor.warmup()
+    assert (128, 1) in warmed and (128, trainer.batch_size) in warmed
+    rng = np.random.default_rng(13)
+    wsi = rng.normal(size=(50, 1024)).astype(np.float32)
+    omics = [rng.normal(size=(s,)).astype(np.float32) for s in trainer.omic_sizes]
+    out = predictor.predict_bag(wsi, omics=omics)
+    assert np.isfinite(np.asarray(out["risk"])).all()
