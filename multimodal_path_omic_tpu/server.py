@@ -14,6 +14,8 @@ jitted-per-bucket inference):
 Endpoints:
 
 * ``GET /healthz`` — ``{"status": "ok", "model": ..., "n_params": ...}``
+* ``GET /metrics`` — Prometheus text format: request counts by endpoint and
+  status class, inference-latency sum/count (per endpoint), payload bytes.
 * ``POST /predict`` — body: JSON ``{"wsi": [[...]], "omics": [[...], ...]}``
   (wsi [M, D] patch embeddings; omics = per-signature vectors for survival
   models, omitted for GE). Response: hazards/survs/risk/y (survival) or
@@ -41,10 +43,57 @@ from __future__ import annotations
 import io
 import json
 import threading
+import time
+from collections import defaultdict
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Any, Dict, Optional
 
 import numpy as np
+
+
+class ServerMetrics:
+    """Thread-safe counters exposed at GET /metrics (Prometheus text format).
+
+    One instance per bound server (like infer_lock): request counts by
+    (endpoint, status class), inference seconds sum/count per endpoint, and
+    received payload bytes.
+    """
+
+    def __init__(self):
+        self._lock = threading.Lock()
+        self.requests = defaultdict(int)  # (endpoint, "2xx"/"4xx"/"5xx")
+        self.infer_seconds = defaultdict(float)  # endpoint -> total secs
+        self.infer_count = defaultdict(int)
+        self.bytes_in = 0
+
+    def observe(self, endpoint: str, code: int, infer_s: float, n_bytes: int):
+        with self._lock:
+            self.requests[(endpoint, f"{code // 100}xx")] += 1
+            self.bytes_in += n_bytes
+            if infer_s > 0:
+                self.infer_seconds[endpoint] += infer_s
+                self.infer_count[endpoint] += 1
+
+    def render(self) -> str:
+        with self._lock:
+            lines = [
+                "# TYPE mpot_requests_total counter",
+            ]
+            for (ep, cls), n in sorted(self.requests.items()):
+                lines.append(
+                    f'mpot_requests_total{{endpoint="{ep}",status="{cls}"}} {n}'
+                )
+            lines.append("# TYPE mpot_inference_seconds_total counter")
+            for ep, s in sorted(self.infer_seconds.items()):
+                lines.append(
+                    f'mpot_inference_seconds_total{{endpoint="{ep}"}} {s:.6f}'
+                )
+            lines.append("# TYPE mpot_inference_count_total counter")
+            for ep, n in sorted(self.infer_count.items()):
+                lines.append(f'mpot_inference_count_total{{endpoint="{ep}"}} {n}')
+            lines.append("# TYPE mpot_request_bytes_total counter")
+            lines.append(f"mpot_request_bytes_total {self.bytes_in}")
+        return "\n".join(lines) + "\n"
 
 
 class PredictHandler(BaseHTTPRequestHandler):
@@ -62,12 +111,14 @@ class PredictHandler(BaseHTTPRequestHandler):
     # one at a time (class attribute — shared by every handler instance of a
     # bound subclass; each make_*server call binds a fresh lock)
     infer_lock = threading.Lock()
+    metrics = ServerMetrics()
 
     # quieter logs
     def log_message(self, fmt, *args):  # pragma: no cover
         pass
 
     def _reply(self, code: int, payload: Dict[str, Any]) -> None:
+        self._last_code = code
         body = json.dumps(payload).encode()
         self.send_response(code)
         self.send_header("Content-Type", "application/json")
@@ -81,10 +132,26 @@ class PredictHandler(BaseHTTPRequestHandler):
     def do_GET(self):
         if self.path == "/healthz":
             self._reply(200, {"status": "ok", **self.info})
+        elif self.path == "/metrics":
+            body = self.metrics.render().encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "text/plain; version=0.0.4")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
         else:
             self._reply(404, {"error": "unknown path"})
 
     def do_POST(self):
+        self._infer_seconds = 0.0
+        n_bytes = int(self.headers.get("Content-Length") or 0)
+        self._handle_post()
+        self.metrics.observe(
+            self.path, getattr(self, "_last_code", 500),
+            self._infer_seconds, n_bytes,
+        )
+
+    def _handle_post(self):
         if self.headers.get("Transfer-Encoding", "").lower() == "chunked":
             # not decoded here; without closing, the unread chunked body
             # would be parsed as the NEXT request on the keep-alive socket
@@ -130,7 +197,9 @@ class PredictHandler(BaseHTTPRequestHandler):
                         ]
                 try:
                     with self.infer_lock:
+                        t0 = time.perf_counter()
                         out = self.predictor.predict_bags(bags, omics=omics_b)
+                        self._infer_seconds = time.perf_counter() - t0
                 except ValueError as exc:
                     self._reply(400, {"error": f"bad request: {exc}"})
                     return
@@ -147,7 +216,9 @@ class PredictHandler(BaseHTTPRequestHandler):
             return
         try:
             with self.infer_lock:
+                t0 = time.perf_counter()
                 out = self.predictor.predict_bag(wsi, omics=omics)
+                self._infer_seconds = time.perf_counter() - t0
         except ValueError as exc:
             # client mistake (e.g. survival model without omics) — same
             # 400 contract as the batch endpoint
@@ -172,6 +243,7 @@ def make_server(
         {
             "predictor": predictor,
             "infer_lock": threading.Lock(),
+            "metrics": ServerMetrics(),
             "info": {
                 "model": t.config.model.name,
                 "n_params": t.n_params,
@@ -213,6 +285,7 @@ def make_bundle_server(
         {
             "predictor": _BundlePredictor(exported),
             "infer_lock": threading.Lock(),
+            "metrics": ServerMetrics(),
             "info": {
                 # same healthz contract as make_server (model/n_params/
                 # omic_sizes), plus the bundle provenance

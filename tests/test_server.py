@@ -379,3 +379,38 @@ def test_predictor_warmup_compiles_both_batch_shapes(served):
     omics = [rng.normal(size=(s,)).astype(np.float32) for s in trainer.omic_sizes]
     out = predictor.predict_bag(wsi, omics=omics)
     assert np.isfinite(np.asarray(out["risk"])).all()
+
+
+def test_metrics_endpoint_counts_requests(served):
+    """GET /metrics (Prometheus text): request counters by endpoint/status,
+    inference seconds, and payload bytes all advance."""
+    base, trainer = served
+    rng = np.random.default_rng(14)
+    wsi = rng.normal(size=(20, 1024)).astype(np.float32)
+    omics = [rng.normal(size=(s,)).astype(np.float32) for s in trainer.omic_sizes]
+    buf = io.BytesIO()
+    np.savez(buf, wsi=wsi, **{f"omic_{i}": o for i, o in enumerate(omics)})
+    payload = buf.getvalue()
+    status, _ = _post(base + "/predict_npz", payload, "application/octet-stream")
+    assert status == 200
+    # a client mistake lands in the 4xx bucket
+    try:
+        _post(base + "/predict", json.dumps({"wsi": [[1.0]]}).encode())
+    except Exception:
+        pass  # urllib raises on 4xx; the server still counted it
+
+    with urllib.request.urlopen(base + "/metrics", timeout=30) as resp:
+        assert resp.headers["Content-Type"].startswith("text/plain")
+        text = resp.read().decode()
+    assert '# TYPE mpot_requests_total counter' in text
+
+    def value(line_prefix):
+        for line in text.splitlines():
+            if line.startswith(line_prefix):
+                return float(line.rsplit(" ", 1)[1])
+        return 0.0
+
+    assert value('mpot_requests_total{endpoint="/predict_npz",status="2xx"}') >= 1
+    assert value('mpot_inference_seconds_total{endpoint="/predict_npz"}') > 0
+    assert value('mpot_inference_count_total{endpoint="/predict_npz"}') >= 1
+    assert value("mpot_request_bytes_total") >= len(payload)
