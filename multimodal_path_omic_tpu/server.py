@@ -358,7 +358,21 @@ def main(argv: Optional[list] = None) -> int:
             predictor.warmup(verbose=True)
         server = make_server(predictor, port=args.port, host=args.host)
     print(f"serving on http://{args.host}:{server.server_address[1]}")
-    server.serve_forever()
+    # graceful shutdown: SIGTERM (the normal orchestrator stop signal) drains
+    # the accept loop instead of killing mid-response. shutdown() must run on
+    # ANOTHER thread — the handler runs on the serve_forever thread, and
+    # shutdown() blocks until serve_forever exits (deadlock otherwise).
+    import signal
+
+    def _stop(*_):
+        threading.Thread(target=server.shutdown, daemon=True).start()
+
+    signal.signal(signal.SIGTERM, _stop)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    print("server stopped")
     return 0
 
 
