@@ -83,7 +83,9 @@ class GENaCAGaT(nn.Module):
         )(h_attn, mask, deterministic=deterministic)
 
         h_path, a_path = GatedMILPool(
-            dim=d2, dropout_rate=self.dropout_rate, dtype=self.dtype, name="path_pool"
+            dim=d2, dropout_rate=self.dropout_rate, dtype=self.dtype,
+            use_pallas=self.use_pallas, ring_mesh=self.ring_mesh,
+            name="path_pool",
         )(path_trans, mask, deterministic=deterministic)
 
         logits = TorchLinear(self.n_classes, dtype=self.dtype, name="classifier")(h_path)

@@ -7,7 +7,7 @@ the masked MIL pooling, the SNN omic encoders, and the WSI patch encoder.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Any, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -64,11 +64,19 @@ class GatedMILPool(nn.Module):
 
     Input x: [B, L, D], mask: [B, L] or None. Returns (pooled [B, D],
     attention scores A^T [B, 1, L]).
+
+    ``use_pallas``: deterministic eval/serving over LARGE pools (the GE
+    model pools the full patch axis) dispatches the fused streaming kernel
+    (ops/milpool.py) — one pass, no [B, L, H] branch intermediates in HBM.
+    Training and mesh runs stay on XLA (no backward-dropout kernel needed;
+    pallas under GSPMD would silently replicate sharded operands).
     """
 
     dim: int
     dropout_rate: float = 0.25
     dtype: Optional[jnp.dtype] = None
+    use_pallas: bool = False
+    ring_mesh: Any = None
 
     @nn.compact
     def __call__(
@@ -77,16 +85,46 @@ class GatedMILPool(nn.Module):
         mask: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        scores, h = AttentionNetGated(
+        from multimodal_path_omic_tpu.ops import milpool
+
+        head = AttentionNetGated(
             hidden_dim=self.dim,
             n_classes=1,
             dropout_rate=self.dropout_rate,
             dtype=self.dtype,
             name="attention_head",
-        )(x, deterministic=deterministic)
-        a = jnp.swapaxes(scores, -1, -2)  # [B, 1, L]
-        weights = masked_softmax(a, None if mask is None else mask[:, None, :])
-        pooled = jnp.einsum("bol,bld->bod", weights, h)[:, 0, :]  # [B, D]
+        )
+        kernel_ok = (
+            self.use_pallas
+            and self.ring_mesh is None
+            and deterministic
+            and not self.is_initializing()
+            and milpool.milpool_eligible(x.shape[1], x.shape[2], self.dim)
+            and (jax.devices()[0].platform == "tpu" or milpool._FORCE_KERNEL)
+        )
+        if kernel_ok:
+            v = head.variables["params"]  # created by the init-time XLA path
+            milpool.DISPATCH_COUNTS["kernel"] += 1
+            pooled, s = milpool.fused_gated_mil_pool(
+                x,
+                mask,
+                v["attention_a"]["kernel"],
+                v["attention_a"]["bias"],
+                v["attention_b"]["kernel"],
+                v["attention_b"]["bias"],
+                v["attention_c"]["kernel"],
+                v["attention_c"]["bias"],
+            )
+            a = s[:, None, :].astype(x.dtype)  # [B, 1, L] raw scores
+            pooled = pooled.astype(x.dtype)
+        else:
+            milpool.DISPATCH_COUNTS["xla"] += 1
+            scores, h = head(x, deterministic=deterministic)
+            a = jnp.swapaxes(scores, -1, -2)  # [B, 1, L]
+            weights = masked_softmax(
+                a, None if mask is None else mask[:, None, :]
+            )
+            pooled = jnp.einsum("bol,bld->bod", weights, h)[:, 0, :]  # [B, D]
         pooled = TorchLinear(self.dim, dtype=self.dtype, name="rho")(pooled)
         pooled = jax.nn.relu(pooled)
         pooled = FastDropout(self.dropout_rate)(pooled, deterministic=deterministic)

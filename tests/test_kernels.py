@@ -335,3 +335,91 @@ def test_chunked_weights_emission_matches_xla():
     np.testing.assert_allclose(
         np.asarray(w2), np.asarray(ref_w)[:, 0], atol=1e-5
     )
+
+
+# ---------------------------------------------------------------------------
+# Fused masked gated-MIL pooling (ops/milpool.py, interpret mode)
+# ---------------------------------------------------------------------------
+
+
+def _milpool_inputs(b=2, m=1024, d=128, h=128, seed=0):
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.normal(size=(b, m, d)), jnp.float32)
+    mask = jnp.asarray(rng.random((b, m)) > 0.3)
+    w = lambda *s: jnp.asarray(rng.normal(size=s, scale=0.1), jnp.float32)
+    return x, mask, w(d, h), w(h), w(d, h), w(h), w(h, 1), w(1)
+
+
+def _milpool_ref(x, mask, wa, ba, wb, bb, wc, bc):
+    from multimodal_path_omic_tpu.ops.layers import masked_softmax
+
+    a = jnp.tanh(x @ wa + ba)
+    g = jax.nn.sigmoid(x @ wb + bb)
+    s = ((a * g) @ wc + bc)[..., 0]
+    weights = masked_softmax(
+        s[:, None, :], None if mask is None else mask[:, None, :]
+    )
+    return jnp.einsum("bol,bld->bod", weights, x)[:, 0], s
+
+
+@pytest.mark.parametrize("block_m", [256, 512])
+def test_milpool_kernel_matches_xla(block_m):
+    from multimodal_path_omic_tpu.ops.milpool import fused_gated_mil_pool
+
+    args = _milpool_inputs()
+    pooled, scores = fused_gated_mil_pool(*args, block_m=block_m)
+    rp, rs = _milpool_ref(*args)
+    np.testing.assert_allclose(np.asarray(scores), np.asarray(rs), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(pooled), np.asarray(rp), atol=2e-5)
+
+
+def test_milpool_kernel_edge_masks():
+    from multimodal_path_omic_tpu.ops.milpool import fused_gated_mil_pool
+
+    x, mask, *w = _milpool_inputs()
+    # all-padded row: uniform over the finite fill, never NaN (matches
+    # masked_softmax); no-mask call matches all-True
+    mask0 = mask.at[0].set(False)
+    p, _ = fused_gated_mil_pool(x, mask0, *w)
+    rp, _ = _milpool_ref(x, mask0, *w)
+    np.testing.assert_allclose(np.asarray(p), np.asarray(rp), atol=2e-5)
+    p1, s1 = fused_gated_mil_pool(x, None, *w)
+    rp1, _ = _milpool_ref(x, jnp.ones(mask.shape, bool), *w)
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(rp1), atol=2e-5)
+    assert np.isfinite(np.asarray(s1)).all()
+
+
+def test_ge_eval_dispatches_milpool_kernel_and_matches():
+    """GE eval with use_pallas at an eligible pool size runs the fused MIL
+    pool (dispatch-counted) and matches the XLA path end to end; TRAINING
+    (deterministic=False) must stay on XLA."""
+    from multimodal_path_omic_tpu.models import GENaCAGaT
+    from multimodal_path_omic_tpu.ops import milpool
+
+    rng = np.random.default_rng(0)
+    wsi = jnp.asarray(rng.normal(size=(1, 4096, 64)), jnp.float32)
+    mask = jnp.asarray(rng.random((1, 4096)) > 0.2)
+    m_xla = GENaCAGaT(model_size="small", use_pallas=False)
+    params = m_xla.init(jax.random.key(0), wsi, mask)["params"]
+    y0, attn0 = m_xla.apply({"params": params}, wsi, mask, deterministic=True)
+
+    m_k = GENaCAGaT(model_size="small", use_pallas=True)
+    old = milpool._FORCE_KERNEL
+    milpool._FORCE_KERNEL = True
+    try:
+        before = dict(milpool.DISPATCH_COUNTS)
+        y1, attn1 = m_k.apply({"params": params}, wsi, mask, deterministic=True)
+        assert milpool.DISPATCH_COUNTS["kernel"] > before["kernel"]
+        # training path: XLA only (dropout + backward live there)
+        before = dict(milpool.DISPATCH_COUNTS)
+        m_k.apply(
+            {"params": params}, wsi, mask, deterministic=False,
+            rngs={"dropout": jax.random.key(1)},
+        )
+        assert milpool.DISPATCH_COUNTS["kernel"] == before["kernel"]
+    finally:
+        milpool._FORCE_KERNEL = old
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0), atol=3e-5)
+    np.testing.assert_allclose(
+        np.asarray(attn1["path"]), np.asarray(attn0["path"]), atol=3e-5
+    )

@@ -189,3 +189,26 @@ def test_exported_bundle_runs_on_tpu(tmp_path_factory):
     np.testing.assert_allclose(
         np.asarray(a["risk"]), np.asarray(b["risk"])[0], atol=5e-5
     )
+
+
+def test_milpool_kernel_on_tpu_matches_xla():
+    """Non-interpreted fused MIL pool parity on the real chip."""
+    from multimodal_path_omic_tpu.ops.milpool import fused_gated_mil_pool
+
+    rng = np.random.default_rng(3)
+    b, m, d, h = 2, 4096, 128, 128
+    x = jnp.asarray(rng.normal(size=(b, m, d)), jnp.float32)
+    mask = jnp.asarray(rng.random((b, m)) > 0.3)
+    w = lambda *s: jnp.asarray(rng.normal(size=s, scale=0.1), jnp.float32)
+    wa, ba, wb, bb, wc, bc = w(d, h), w(h), w(d, h), w(h), w(h, 1), w(1)
+
+    pooled, scores = fused_gated_mil_pool(
+        x, mask, wa, ba, wb, bb, wc, bc, interpret=False
+    )
+    a = jnp.tanh(x @ wa + ba)
+    g = jax.nn.sigmoid(x @ wb + bb)
+    s = ((a * g) @ wc + bc)[..., 0]
+    wts = jax.nn.softmax(jnp.where(mask, s, -1e9), axis=-1)
+    ref = jnp.einsum("bl,bld->bd", wts, x)
+    np.testing.assert_allclose(np.asarray(scores), np.asarray(s), atol=3e-5)
+    np.testing.assert_allclose(np.asarray(pooled), np.asarray(ref), atol=3e-5)
