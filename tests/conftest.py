@@ -114,6 +114,9 @@ _SLOW_TESTS = {
     # CV e2e (fold properties + split_rows plumbing stay fast)
     "test_cross_validation_e2e",
     "test_cv_validates_fold_indices_and_namespaces_checkpoints",
+    # GE model with the forced-interpret milpool kernel (M=4096 on 1 CPU;
+    # the standalone kernel parity tests stay fast)
+    "test_ge_eval_dispatches_milpool_kernel_and_matches",
 }
 
 
