@@ -33,21 +33,21 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from multimodal_path_omic_tpu.ops.layers import masked_softmax
-    from multimodal_path_omic_tpu.ops.milpool import fused_gated_mil_pool
+    from multimodal_path_omic_tpu.ops.milpool import (
+        fused_gated_mil_pool,
+        reference_gated_mil_pool,
+    )
 
     rng = np.random.default_rng(0)
     d = h = args.dim
     w = lambda *s: jnp.asarray(rng.normal(size=s, scale=0.1), jnp.float32)
     wa, ba, wb, bb, wc, bc = w(d, h), w(h), w(d, h), w(h), w(h, 1), w(1)
 
-    @jax.jit
-    def xla_pool(x, mask):
-        a = jnp.tanh(x @ wa + ba)
-        g = jax.nn.sigmoid(x @ wb + bb)
-        s = ((a * g) @ wc + bc)[..., 0]
-        wts = masked_softmax(s[:, None, :], mask[:, None, :])
-        return jnp.einsum("bol,bld->bod", wts, x)[:, 0], s
+    xla_pool = jax.jit(
+        lambda x, mask: reference_gated_mil_pool(
+            x, mask, wa, ba, wb, bb, wc, bc
+        )
+    )
 
     kernel_pool = jax.jit(
         lambda x, mask: fused_gated_mil_pool(

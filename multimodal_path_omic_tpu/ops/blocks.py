@@ -99,6 +99,12 @@ class GatedMILPool(nn.Module):
             and self.ring_mesh is None
             and deterministic
             and not self.is_initializing()
+            # f32 pools only: the kernel computes the gating chain in f32,
+            # which would silently differ from the bf16 XLA branch per bag
+            # BUCKET (eligible vs not) under tpu.compute_dtype=bfloat16 —
+            # one checkpoint must score identically across buckets
+            and self.dtype in (None, jnp.float32)
+            and x.dtype == jnp.float32
             and milpool.milpool_eligible(x.shape[1], x.shape[2], self.dim)
             and (jax.devices()[0].platform == "tpu" or milpool._FORCE_KERNEL)
         )

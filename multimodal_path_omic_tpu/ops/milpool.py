@@ -46,6 +46,22 @@ DISPATCH_COUNTS = {"kernel": 0, "xla": 0}
 _FORCE_KERNEL = False
 
 
+def reference_gated_mil_pool(x, mask, wa, ba, wb, bb, wc, bc):
+    """The XLA math the kernel must match (GatedMILPool's einsum branch,
+    ops/blocks.py) — ONE definition shared by the parity tests and the
+    A/B bench so the reference cannot drift. Returns (pooled [B, D],
+    raw scores [B, M])."""
+    from multimodal_path_omic_tpu.ops.layers import masked_softmax
+
+    a = jnp.tanh(x @ wa + ba)
+    g = jax.nn.sigmoid(x @ wb + bb)
+    s = ((a * g) @ wc + bc)[..., 0]
+    weights = masked_softmax(
+        s[:, None, :], None if mask is None else mask[:, None, :]
+    )
+    return jnp.einsum("bol,bld->bod", weights, x)[:, 0], s
+
+
 def milpool_eligible(m: int, d: int, h: int) -> bool:
     """Shape gate: tile-aligned patch axis, lane-aligned widths, and enough
     patches that streaming beats XLA's fused einsums (same ~4k crossover as

@@ -372,6 +372,12 @@ def main(argv: Optional[list] = None) -> int:
         server.serve_forever()
     except KeyboardInterrupt:
         pass
+    finally:
+        # serve_forever returning only stops ACCEPTING; daemon handler
+        # threads still in flight would be killed at interpreter exit.
+        # server_close() joins them (block_on_close) and closes the socket —
+        # without it, "graceful" still reset mid-response clients.
+        server.server_close()
     print("server stopped")
     return 0
 

@@ -350,16 +350,10 @@ def _milpool_inputs(b=2, m=1024, d=128, h=128, seed=0):
     return x, mask, w(d, h), w(h), w(d, h), w(h), w(h, 1), w(1)
 
 
-def _milpool_ref(x, mask, wa, ba, wb, bb, wc, bc):
-    from multimodal_path_omic_tpu.ops.layers import masked_softmax
+def _milpool_ref(*args):
+    from multimodal_path_omic_tpu.ops.milpool import reference_gated_mil_pool
 
-    a = jnp.tanh(x @ wa + ba)
-    g = jax.nn.sigmoid(x @ wb + bb)
-    s = ((a * g) @ wc + bc)[..., 0]
-    weights = masked_softmax(
-        s[:, None, :], None if mask is None else mask[:, None, :]
-    )
-    return jnp.einsum("bol,bld->bod", weights, x)[:, 0], s
+    return reference_gated_mil_pool(*args)
 
 
 @pytest.mark.parametrize("block_m", [256, 512])

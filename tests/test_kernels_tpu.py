@@ -205,10 +205,8 @@ def test_milpool_kernel_on_tpu_matches_xla():
     pooled, scores = fused_gated_mil_pool(
         x, mask, wa, ba, wb, bb, wc, bc, interpret=False
     )
-    a = jnp.tanh(x @ wa + ba)
-    g = jax.nn.sigmoid(x @ wb + bb)
-    s = ((a * g) @ wc + bc)[..., 0]
-    wts = jax.nn.softmax(jnp.where(mask, s, -1e9), axis=-1)
-    ref = jnp.einsum("bl,bld->bd", wts, x)
+    from multimodal_path_omic_tpu.ops.milpool import reference_gated_mil_pool
+
+    ref, s = reference_gated_mil_pool(x, mask, wa, ba, wb, bb, wc, bc)
     np.testing.assert_allclose(np.asarray(scores), np.asarray(s), atol=3e-5)
     np.testing.assert_allclose(np.asarray(pooled), np.asarray(ref), atol=3e-5)
