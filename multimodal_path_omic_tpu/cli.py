@@ -13,6 +13,15 @@ imports. Here one entry point drives everything:
         --checkpoint ... --patient P013
     python -m multimodal_path_omic_tpu.cli convert-checkpoint --config cfg.yaml \
         --torch-checkpoint ref.pt --out ckpt_dir
+    python -m multimodal_path_omic_tpu.cli check-data --config cfg.yaml
+    python -m multimodal_path_omic_tpu.cli cv --config cfg.yaml --folds 5
+    python -m multimodal_path_omic_tpu.cli sweep --config cfg.yaml \
+        --grid training.lr=1e-4,2e-4
+    python -m multimodal_path_omic_tpu.cli predict --config cfg.yaml \
+        --checkpoint ... --out preds.csv
+    python -m multimodal_path_omic_tpu.cli export-model --config cfg.yaml \
+        --checkpoint ... --out bundle/
+    python -m multimodal_path_omic_tpu.cli convert-bags --src bags/ --dst bags_npy/
 """
 
 from __future__ import annotations
