@@ -28,6 +28,16 @@ def main():
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--windows", type=int, default=5)
     ap.add_argument("--calls", type=int, default=20, help="calls per window")
+    ap.add_argument(
+        "--chain",
+        type=int,
+        default=0,
+        help="run N serialized pool iterations INSIDE one jit call "
+        "(lax.scan, carry-perturbed input so XLA cannot hoist the op). "
+        "On the tunneled backend the per-call dispatch RTT (~2 ms) swamps "
+        "the op itself; chaining measures the in-graph cost the real GE "
+        "eval step actually pays.",
+    )
     args = ap.parse_args()
 
     import jax
@@ -43,17 +53,37 @@ def main():
     w = lambda *s: jnp.asarray(rng.normal(size=s, scale=0.1), jnp.float32)
     wa, ba, wb, bb, wc, bc = w(d, h), w(h), w(d, h), w(h), w(h, 1), w(1)
 
-    xla_pool = jax.jit(
-        lambda x, mask: reference_gated_mil_pool(
-            x, mask, wa, ba, wb, bb, wc, bc
-        )
-    )
+    def chained(pool):
+        # Serialize args.chain pool ops in one dispatch: each step's input is
+        # nudged by the previous pooled value, so the scan body can't be
+        # hoisted or parallelized.
+        def run(x, mask):
+            def step(carry, _):
+                p, s = pool_fns[pool](x + carry * 1e-6, mask)
+                return p[0, 0], s[0, 0]
 
-    kernel_pool = jax.jit(
-        lambda x, mask: fused_gated_mil_pool(
+            carry, outs = jax.lax.scan(
+                step, jnp.float32(0.0), None, length=args.chain
+            )
+            return carry.reshape(1, 1), outs
+
+        return run
+
+    pool_fns = {
+        "xla": lambda x, mask: reference_gated_mil_pool(
+            x, mask, wa, ba, wb, bb, wc, bc
+        ),
+        "kernel": lambda x, mask: fused_gated_mil_pool(
             x, mask, wa, ba, wb, bb, wc, bc, interpret=False
-        )
-    )
+        ),
+    }
+
+    if args.chain:
+        xla_pool = jax.jit(chained("xla"))
+        kernel_pool = jax.jit(chained("kernel"))
+    else:
+        xla_pool = jax.jit(pool_fns["xla"])
+        kernel_pool = jax.jit(pool_fns["kernel"])
 
     rows = []
     for m in (int(s) for s in args.sizes.split(",")):
@@ -67,12 +97,13 @@ def main():
             float(p[0, 0])
 
         def window(fn):
+            ops_per_call = max(1, args.chain)
             t0 = time.perf_counter()
             p = None
             for _ in range(args.calls):
                 p, _ = fn(x, mask)
             float(p[0, 0])  # device_get sync (block_until_ready lies here)
-            return (time.perf_counter() - t0) / args.calls
+            return (time.perf_counter() - t0) / (args.calls * ops_per_call)
 
         best = {"xla": float("inf"), "kernel": float("inf")}
         for _ in range(args.windows):  # interleaved windows

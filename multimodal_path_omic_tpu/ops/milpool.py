@@ -37,7 +37,10 @@ from jax.experimental.pallas import tpu as pltpu
 from multimodal_path_omic_tpu.ops.layers import NEG_INF
 
 LANES = 128
-DEFAULT_BLOCK_M = 512
+# Chained on-chip sweep at M=24576 (B=4, D=H=256): 256→1252 µs, 512→1132,
+# 1024→1063, 2048→1053, 4096→1044. 2048 takes ~all of the win with half the
+# VMEM headroom risk at wider D.
+DEFAULT_BLOCK_M = 2048
 
 # Trace-time dispatch counters (test observability, same pattern as
 # ops/coattn.py DISPATCH_COUNTS) + a test hook to dispatch the interpreted
@@ -62,11 +65,21 @@ def reference_gated_mil_pool(x, mask, wa, ba, wb, bb, wc, bc):
     return jnp.einsum("bol,bld->bod", weights, x)[:, 0], s
 
 
+# Chained on-chip A/B (bench_milpool --chain 20, block_m=2048, B=4, D=H=256):
+# M=8192 0.92x, M=12288 0.88x, M=16384 1.06x, M=24576 1.05x vs XLA — XLA's
+# own fusion of the gating chain is strong, so the kernel only pays from
+# ~16k patches (re-measured twice; an earlier sweep put 8192 at 1.01x, i.e.
+# the 8-12k regime is within noise of parity — keep the conservative gate).
+MIN_KERNEL_M = 16384
+
+
 def milpool_eligible(m: int, d: int, h: int) -> bool:
     """Shape gate: tile-aligned patch axis, lane-aligned widths, and enough
-    patches that streaming beats XLA's fused einsums (same ~4k crossover as
-    the co-attention kernel; re-measure on hardware before lowering it)."""
-    return m >= 4096 and m % 256 == 0 and d % 128 == 0 and h % 128 == 0
+    patches that streaming beats XLA's fused einsums (measured crossover
+    ~8192, see MIN_KERNEL_M). _FORCE_KERNEL drops the threshold so CPU
+    interpret-mode tests can exercise the dispatch at small M."""
+    min_m = 256 if _FORCE_KERNEL else MIN_KERNEL_M
+    return m >= min_m and m % 256 == 0 and d % 128 == 0 and h % 128 == 0
 
 
 def _kernel(x_ref, mask_ref, wa_ref, ba_ref, wb_ref, bb_ref, wc_ref, bc_ref,
@@ -112,7 +125,7 @@ def _kernel(x_ref, mask_ref, wa_ref, ba_ref, wb_ref, bb_ref, wc_ref, bc_ref,
     def _store():
         l_fin = l_scr[:, 0:1]
         l_inv = jnp.where(l_fin == 0.0, 1.0, 1.0 / l_fin)
-        pooled_ref[0] = (acc_scr[...] * l_inv)[0].astype(pooled_ref.dtype)
+        pooled_ref[0, 0] = (acc_scr[...] * l_inv)[0].astype(pooled_ref.dtype)
 
 
 def fused_gated_mil_pool(
@@ -158,11 +171,15 @@ def fused_gated_mil_pool(
             pl.BlockSpec((1, 1), full),
         ],
         out_specs=[
-            pl.BlockSpec((1, d), lambda b_, j: (b_, 0)),
+            # Mosaic constrains the LAST TWO block dims (divisible by (8, 128)
+            # or equal to the array dims); a [b, d] pooled output with a
+            # 1-bag block violates that, so pooled carries a singleton middle
+            # axis — its constrained dims are then (1, d) == the array dims.
+            pl.BlockSpec((1, 1, d), lambda b_, j: (b_, 0, 0)),
             pl.BlockSpec((1, 1, block), lambda b_, j: (b_, 0, j)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, d), jnp.float32),
             jax.ShapeDtypeStruct((b, 1, m), jnp.float32),
         ],
         scratch_shapes=[
@@ -184,4 +201,4 @@ def fused_gated_mil_pool(
         wc.astype(jnp.float32).reshape(h)[None, :],
         bc.astype(jnp.float32).reshape(1, 1),
     )
-    return pooled, scores[:, 0, :]
+    return pooled[:, 0, :], scores[:, 0, :]
