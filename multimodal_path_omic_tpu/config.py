@@ -97,6 +97,18 @@ class TrainingConfig:
     # signature/label subsets in splits (dataset.py:238-241, ge_dataset.py:114),
     # frozen untrained gates in GatedConcatFusion (fusion.py:25-27).
     bug_compat: bool = False
+    # Best-model retention: whenever the monitored validation metric improves,
+    # overwrite a rolling checkpoint at <ckpt_dir>/<model>_<dataset>_best.
+    # (No reference equivalent — it keeps only periodic timestamped saves,
+    # mcat/main.py:88-100.)
+    keep_best: bool = False
+    # Early stopping patience: stop after this many consecutive validated
+    # epochs without improvement of the monitored metric. 0 disables.
+    early_stopping: int = 0
+    # Metric watched by keep_best/early_stopping. "auto" = val_c_index for
+    # survival models, val_accuracy for GE (falls back to val_loss when the
+    # epoch produced no metric). val_loss is minimized; the others maximized.
+    monitor: str = "auto"
 
     def __post_init__(self):
         if self.loss not in VALID_LOSSES:
@@ -120,6 +132,16 @@ class TrainingConfig:
         # (mcat/main.py:296-299); keep that lenience but normalise the name.
         if self.optimizer not in VALID_OPTIMIZERS:
             self.optimizer = "adam"
+        if self.early_stopping < 0:
+            raise ValueError(
+                f"early_stopping must be >= 0 (patience in validated epochs; "
+                f"0 disables), got {self.early_stopping}"
+            )
+        valid_monitors = ("auto", "val_c_index", "val_accuracy", "val_loss")
+        if self.monitor not in valid_monitors:
+            raise ValueError(
+                f"monitor must be one of {valid_monitors}, got {self.monitor!r}"
+            )
 
 
 @dataclass

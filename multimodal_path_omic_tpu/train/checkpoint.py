@@ -55,6 +55,7 @@ def save_checkpoint(
     dataset_name: str,
     epoch: int,
     block: bool = True,
+    tag: Optional[str] = None,
 ) -> str:
     """Write a checkpoint; returns its path.
 
@@ -64,10 +65,18 @@ def save_checkpoint(
     the device arrays are snapshotted and lets orbax commit in the
     background (async checkpointing); call ``wait_for_checkpoints()`` before
     reading the file or exiting.
+
+    ``tag`` names a STABLE path ``<model>_<dataset>_<tag>`` that is
+    overwritten on every save (used for the rolling best-model checkpoint);
+    without it the reference's timestamped ``_E<n>_<ts>`` scheme applies
+    (mcat/main.py:91) and an existing destination stays an error.
     """
     os.makedirs(directory, exist_ok=True)
-    now = datetime.datetime.now().strftime("%Y%m%d%H%M")
-    name = f"{model_name}_{dataset_name}_E{epoch + 1}_{now}"
+    if tag is not None:
+        name = f"{model_name}_{dataset_name}_{tag}"
+    else:
+        now = datetime.datetime.now().strftime("%Y%m%d%H%M")
+        name = f"{model_name}_{dataset_name}_E{epoch + 1}_{now}"
     path = os.path.join(directory, name)
     try:
         ckptr = _get_checkpointer()
@@ -82,7 +91,11 @@ def save_checkpoint(
         )
         np.save(path + ".npy", np.array([payload], dtype=object), allow_pickle=True)
         return path + ".npy"
-    ckptr.save(os.path.abspath(path), payload)
+    # force only on tagged (rolling) paths: overwriting a timestamped
+    # checkpoint would mask a real collision. AsyncCheckpointer.save joins
+    # any in-flight commit before starting, so force+async cannot race a
+    # pending write to the same path.
+    ckptr.save(os.path.abspath(path), payload, force=tag is not None)
     if block:
         ckptr.wait_until_finished()
     return path

@@ -1269,7 +1269,7 @@ class Trainer:
                     np.save(path, attn_map)
 
     # ------------------------------------------------------------- checkpoint
-    def save(self, epoch: int, loss: float) -> str:
+    def save(self, epoch: int, loss: float, tag: Optional[str] = None) -> str:
         payload = {
             "epoch": epoch + 1,  # resume starts at the NEXT epoch (gap fix)
             "params": self.state.params,
@@ -1288,6 +1288,7 @@ class Trainer:
             # async: orbax commits in the background while the next epoch
             # trains; fit() (and restore) join pending commits
             block=False,
+            tag=tag,
         )
 
     def _place_state(self, state: TrainState) -> TrainState:
@@ -1369,18 +1370,51 @@ class Trainer:
         )
         self.train_batcher._epoch = self.starting_epoch
 
+    def _monitor_key(self) -> str:
+        """Resolve training.monitor: "auto" watches the family's headline
+        validation metric (val_c_index for survival, val_accuracy for GE)."""
+        m = self.config.training.monitor
+        if m != "auto":
+            return m
+        return "val_accuracy" if self.ge_mode else "val_c_index"
+
     # -------------------------------------------------------------------- fit
     def fit(self) -> Dict[str, float]:
         c = self.config
         if self.verbose:
             print("Training started...")
         last: Dict[str, float] = {}
+        # Best-model tracking / early stopping (training.keep_best /
+        # training.early_stopping / training.monitor). validate() allgathers
+        # metrics, so every process sees the same score — the stop decision
+        # and the collective best-checkpoint save stay in lockstep on
+        # multi-host runs.
+        monitor = self._monitor_key()
+        sign = -1.0 if monitor == "val_loss" else 1.0
+        best_score = -math.inf
+        best_epoch = -1
+        stale = 0
         for epoch in range(self.starting_epoch, c.training.epochs):
             if self.verbose:
                 print(f"Epoch: {epoch + 1}")
             t0 = time.time()
             last.update(self.train_epoch(epoch))
-            last.update(self.validate(epoch))
+            val = self.validate(epoch)
+            last.update(val)
+            # a missing/NaN monitored metric counts as "no improvement"
+            value = val.get(monitor, math.nan)
+            score = sign * value if math.isfinite(value) else -math.inf
+            if score > best_score:
+                best_score, best_epoch, stale = score, epoch, 0
+                if c.training.keep_best:
+                    path = self.save(epoch, val.get("val_loss", 0.0), tag="best")
+                    if self.verbose:
+                        print(
+                            f"New best {monitor}: {value:.4f} "
+                            f"(epoch {epoch + 1}) -> {path}"
+                        )
+            else:
+                stale += 1
             if self.leave_one_out:
                 save = (epoch + 1) % c.training.output_attn_epoch == 0
                 self.test(epoch + 1, save=save)
@@ -1390,6 +1424,17 @@ class Trainer:
                         epoch + 1, time.time() - t0
                     )
                 )
+            if c.training.early_stopping and stale >= c.training.early_stopping:
+                if self.verbose:
+                    print(
+                        f"Early stopping at epoch {epoch + 1}: no {monitor} "
+                        f"improvement in {stale} validated epochs (best "
+                        f"{sign * best_score:.4f} at epoch {best_epoch + 1})"
+                    )
+                break
+        if best_epoch >= 0 and math.isfinite(best_score):
+            last[f"best_{monitor}"] = sign * best_score
+            last["best_epoch"] = float(best_epoch + 1)
         last.update(self.validate("final validation"))
         ckpt.wait_for_checkpoints()  # join pending async checkpoint commits
         self.logger.finish()

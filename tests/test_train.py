@@ -1224,3 +1224,94 @@ def test_split_rows_honors_bug_compat(tmp_path):
     assert not np.array_equal(
         aligned.signature_data[name], ref.signature_data[name]
     )
+
+
+# ---------------------------------------------------------- keep_best / early stopping
+
+
+def _scripted_validate(values):
+    """Monkeypatch-able validate(): per-epoch scripted metric dicts; the
+    'final validation' string-sentinel call returns the last dict."""
+
+    def validate(self, epoch):
+        if isinstance(epoch, str):
+            return dict(values[-1])
+        return dict(values[epoch])
+
+    return validate
+
+
+def test_keep_best_saves_and_overwrites_rolling_checkpoint(tmp_path, monkeypatch):
+    """training.keep_best overwrites one stable <model>_<dataset>_best path on
+    every improvement of the monitored metric; the final contents are the
+    BEST epoch's state (not the last improvement's predecessor)."""
+    vals = [
+        {"val_loss": 1.0, "val_c_index": 0.50},
+        {"val_loss": 0.9, "val_c_index": 0.80},  # best
+        {"val_loss": 0.8, "val_c_index": 0.60},
+        {"val_loss": 0.7, "val_c_index": 0.70},
+    ]
+    monkeypatch.setattr(Trainer, "validate", _scripted_validate(vals))
+    cfg = _make_cfg(tmp_path, epochs=4, training_kw={"keep_best": True})
+    trainer = Trainer(cfg, verbose=False)
+    out = trainer.fit()
+    assert out["best_val_c_index"] == pytest.approx(0.80)
+    assert out["best_epoch"] == 2.0  # 1-indexed
+    best_path = os.path.join(cfg.model.checkpoint_dir, "MCAT_synthetic_best")
+    assert os.path.exists(best_path)
+    # two improvements (epochs 1, 2) hit the same path: overwrite must have
+    # happened, and the surviving payload is epoch 2's (resume epoch == 2)
+    cfg2 = _make_cfg(tmp_path, epochs=4)
+    cfg2.model.checkpoint_dir = cfg.model.checkpoint_dir
+    trainer2 = Trainer(cfg2, verbose=False)
+    trainer2.restore(best_path)
+    assert trainer2.starting_epoch == 2
+
+
+def test_early_stopping_halts_on_stale_monitor(tmp_path, monkeypatch):
+    """training.early_stopping=N stops after N validated epochs without
+    improvement; epochs after the stop are never trained."""
+    vals = [{"val_c_index": v, "val_loss": 1.0} for v in
+            (0.8, 0.5, 0.5, 0.9, 0.9, 0.9, 0.9, 0.9)]
+    monkeypatch.setattr(Trainer, "validate", _scripted_validate(vals))
+    trained = []
+    orig = Trainer.train_epoch
+
+    def counting_train_epoch(self, epoch):
+        trained.append(epoch)
+        return orig(self, epoch)
+
+    monkeypatch.setattr(Trainer, "train_epoch", counting_train_epoch)
+    cfg = _make_cfg(
+        tmp_path, epochs=8, training_kw={"early_stopping": 2, "keep_best": True}
+    )
+    trainer = Trainer(cfg, verbose=False)
+    out = trainer.fit()
+    # epoch 0 sets the best; epochs 1-2 are stale -> stop after epoch 3 never runs
+    assert trained == [0, 1, 2]
+    assert out["best_epoch"] == 1.0
+    assert out["best_val_c_index"] == pytest.approx(0.8)
+
+
+def test_monitor_val_loss_is_minimized(tmp_path, monkeypatch):
+    """monitor=val_loss flips the comparison: lower is better."""
+    vals = [
+        {"val_loss": 1.0, "val_c_index": 0.9},
+        {"val_loss": 0.5, "val_c_index": 0.5},  # best by loss
+        {"val_loss": 0.8, "val_c_index": 0.95},
+    ]
+    monkeypatch.setattr(Trainer, "validate", _scripted_validate(vals))
+    cfg = _make_cfg(
+        tmp_path, epochs=3, training_kw={"monitor": "val_loss"}
+    )
+    trainer = Trainer(cfg, verbose=False)
+    out = trainer.fit()
+    assert out["best_val_loss"] == pytest.approx(0.5)
+    assert out["best_epoch"] == 2.0
+
+
+def test_monitor_config_validation(tmp_path):
+    with pytest.raises(ValueError, match="monitor"):
+        _make_cfg(tmp_path, training_kw={"monitor": "val_banana"})
+    with pytest.raises(ValueError, match="early_stopping"):
+        _make_cfg(tmp_path, training_kw={"early_stopping": -1})
