@@ -10,7 +10,7 @@ imports. Here one entry point drives everything:
     python -m multimodal_path_omic_tpu.cli validate --config cfg.yaml \
         --checkpoint checkpoints/MCAT_...
     python -m multimodal_path_omic_tpu.cli export-attn --config cfg.yaml \
-        --checkpoint ... --patient P013
+        --checkpoint ... --patient P013 --png
     python -m multimodal_path_omic_tpu.cli convert-checkpoint --config cfg.yaml \
         --torch-checkpoint ref.pt --out ckpt_dir
     python -m multimodal_path_omic_tpu.cli check-data --config cfg.yaml
@@ -93,7 +93,7 @@ def cmd_export_attn(args) -> int:
         trainer.restore(args.checkpoint)
     elif args.torch_checkpoint:
         trainer.load_torch_checkpoint(args.torch_checkpoint)
-    trainer.test(epoch=args.epoch, save=True)
+    trainer.test(epoch=args.epoch, save=True, png=getattr(args, "png", False))
     return 0
 
 
@@ -256,6 +256,11 @@ def main(argv: Optional[List[str]] = None) -> int:
     p_attn.add_argument("--checkpoint")
     p_attn.add_argument("--patient", required=True)
     p_attn.add_argument("--epoch", type=int, default=0)
+    p_attn.add_argument(
+        "--png",
+        action="store_true",
+        help="also render each exported map as a heatmap/profile PNG",
+    )
     p_attn.set_defaults(fn=cmd_export_attn)
 
     p_pred = sub.add_parser("predict", help="batch inference -> CSV")

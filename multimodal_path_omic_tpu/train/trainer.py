@@ -1193,9 +1193,12 @@ class Trainer:
         return out
 
     # -------------------------------------------------------------- test/export
-    def test(self, epoch: int, save: bool = False) -> None:
+    def test(self, epoch: int, save: bool = False, png: bool = False) -> None:
         """Leave-one-out inference + attention-map export
-        (reference: mcat/main.py:158-183)."""
+        (reference: mcat/main.py:158-183). ``png=True`` additionally renders
+        each exported map as a heatmap/profile image next to the array —
+        the reference leaves visualization to external tooling
+        (README.md:37-39)."""
         if self.test_ds is None or len(self.test_ds) == 0:
             return
         c = self.config
@@ -1267,6 +1270,24 @@ class Trainer:
                     torch.save(torch.from_numpy(np.ascontiguousarray(attn_map)), path)
                 else:
                     np.save(path, attn_map)
+                if png:
+                    from multimodal_path_omic_tpu.utils.visualize import (
+                        save_attention_png,
+                    )
+
+                    labels = (
+                        None
+                        if self.ge_mode
+                        else list(self.dataset.table.signature_names)
+                    )
+                    png_path = save_attention_png(
+                        attn_map,
+                        os.path.join(out_dir, fname),
+                        row_labels=labels,
+                        title=f"{c.model.name} · patient {patient} · epoch {epoch}",
+                    )
+                    if self.verbose:
+                        print(f"Rendered attention heatmap {png_path}")
 
     # ------------------------------------------------------------- checkpoint
     def save(self, epoch: int, loss: float, tag: Optional[str] = None) -> str:

@@ -1315,3 +1315,38 @@ def test_monitor_config_validation(tmp_path):
         _make_cfg(tmp_path, training_kw={"monitor": "val_banana"})
     with pytest.raises(ValueError, match="early_stopping"):
         _make_cfg(tmp_path, training_kw={"early_stopping": -1})
+
+
+def test_attention_png_rendering(tmp_path):
+    """export-attn --png renders a PNG next to each exported array: heatmap
+    for [N, M] survival co-attention, profile for 1-row GE maps."""
+    from multimodal_path_omic_tpu.utils.visualize import save_attention_png
+
+    rng = np.random.default_rng(0)
+    p1 = save_attention_png(
+        rng.random((6, 512), np.float32),
+        os.path.join(str(tmp_path), "surv.npy"),  # non-.png suffix appended
+        row_labels=[f"s{i}" for i in range(6)],
+        title="t",
+    )
+    p2 = save_attention_png(rng.random(512).astype(np.float32),
+                            os.path.join(str(tmp_path), "ge.png"))
+    for p in (p1, p2):
+        assert p.endswith(".png") and os.path.exists(p)
+        with open(p, "rb") as f:
+            assert f.read(8) == b"\x89PNG\r\n\x1a\n"
+    with pytest.raises(ValueError, match="1-D or 2-D"):
+        save_attention_png(rng.random((2, 3, 4)), os.path.join(str(tmp_path), "x"))
+
+
+def test_leave_one_out_export_with_png(tmp_path):
+    cfg = _make_cfg(tmp_path, epochs=1)
+    cfg.training.leave_one_out = "P000"
+    cfg.training.output_attn_epoch = 1
+    trainer = Trainer(cfg, verbose=False)
+    trainer.fit()  # compiles the eval step; test() below reuses it
+    trainer.test(epoch=1, save=True, png=True)
+    out = cfg.training.test_output_dir
+    pngs = [f for f in os.listdir(out) if f.startswith("ATTN_") and f.endswith(".png")]
+    arrays = [f for f in os.listdir(out) if f.startswith("ATTN_") and f.endswith(".npy")]
+    assert pngs and arrays
