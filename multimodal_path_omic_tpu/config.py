@@ -109,6 +109,10 @@ class TrainingConfig:
     # survival models, val_accuracy for GE (falls back to val_loss when the
     # epoch produced no metric). val_loss is minimized; the others maximized.
     monitor: str = "auto"
+    # Global-gradient-norm clipping before the optimizer update
+    # (torch.nn.utils.clip_grad_norm_ semantics). 0 disables — the
+    # reference's exact behavior (it never clips).
+    grad_clip: float = 0.0
 
     def __post_init__(self):
         if self.loss not in VALID_LOSSES:
@@ -141,6 +145,11 @@ class TrainingConfig:
         if self.monitor not in valid_monitors:
             raise ValueError(
                 f"monitor must be one of {valid_monitors}, got {self.monitor!r}"
+            )
+        if self.grad_clip < 0:
+            raise ValueError(
+                f"grad_clip must be >= 0 (max global grad norm; 0 disables), "
+                f"got {self.grad_clip}"
             )
 
 

@@ -35,27 +35,39 @@ def make_optimizer(
     name: str,
     lr: float,
     weight_decay: float = 0.0,
+    grad_clip: float = 0.0,
 ) -> optax.GradientTransformation:
-    """Build the optimizer; learning_rate is injected as a mutable hyperparam."""
+    """Build the optimizer; learning_rate is injected as a mutable hyperparam.
+
+    ``grad_clip`` > 0 clips the GLOBAL gradient norm before the update (and
+    before weight decay is added, so decay is never scaled by the clip) —
+    torch.nn.utils.clip_grad_norm_ semantics. The reference has no clipping;
+    0 (the default) keeps its behavior exactly.
+    """
 
     name = (name or "adam").lower()
+
+    def _clip(tx: optax.GradientTransformation):
+        if grad_clip and grad_clip > 0.0:
+            return optax.chain(optax.clip_by_global_norm(grad_clip), tx)
+        return tx
 
     @optax.inject_hyperparams
     def build(learning_rate):
         if name == "sgd":
-            return optax.sgd(learning_rate)
+            return _clip(optax.sgd(learning_rate))
         if name == "adadelta":
-            return _with_decay(optax.adadelta(learning_rate), weight_decay)
+            return _clip(_with_decay(optax.adadelta(learning_rate), weight_decay))
         if name == "adamax":
-            return _with_decay(optax.adamax(learning_rate), weight_decay)
+            return _clip(_with_decay(optax.adamax(learning_rate), weight_decay))
         if name == "rms":
-            return _with_decay(
+            return _clip(_with_decay(
                 optax.rmsprop(learning_rate, decay=0.99, eps=1e-8), weight_decay
-            )
+            ))
         # default / fallback: adam (torch defaults betas=(0.9, 0.999), eps=1e-8)
-        return _with_decay(
+        return _clip(_with_decay(
             optax.adam(learning_rate, b1=0.9, b2=0.999, eps=1e-8), weight_decay
-        )
+        ))
 
     return build(learning_rate=lr)
 

@@ -352,7 +352,8 @@ class Trainer:
 
         # ----- optimizer / loss / scheduler (mcat/main.py:270-307) ---------
         self.optimizer = make_optimizer(
-            c.training.optimizer, c.training.lr, c.training.weight_decay
+            c.training.optimizer, c.training.lr, c.training.weight_decay,
+            grad_clip=c.training.grad_clip,
         )
         if verbose:
             print(f"Using optimizer: {c.training.optimizer}")

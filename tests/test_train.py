@@ -1350,3 +1350,28 @@ def test_leave_one_out_export_with_png(tmp_path):
     pngs = [f for f in os.listdir(out) if f.startswith("ATTN_") and f.endswith(".png")]
     arrays = [f for f in os.listdir(out) if f.startswith("ATTN_") and f.endswith(".npy")]
     assert pngs and arrays
+
+
+def test_grad_clip_bounds_update_norm():
+    """training.grad_clip clips the GLOBAL grad norm before the update
+    (torch clip_grad_norm_ semantics); 0 disables exactly."""
+    from multimodal_path_omic_tpu.train.optim import make_optimizer
+
+    params = {"w": jnp.zeros((4,))}
+    grads = {"w": jnp.array([3.0, 4.0, 0.0, 0.0])}  # global norm 5
+    tx = make_optimizer("sgd", 1.0, 0.0, grad_clip=1.0)
+    upd, _ = tx.update(grads, tx.init(params), params)
+    assert float(jnp.linalg.norm(upd["w"])) == pytest.approx(1.0, abs=1e-6)
+    # below the threshold the gradient passes through untouched
+    small = {"w": jnp.array([0.3, 0.4, 0.0, 0.0])}
+    upd_s, _ = tx.update(small, tx.init(params), params)
+    np.testing.assert_allclose(np.asarray(upd_s["w"]), -np.asarray(small["w"]), rtol=1e-6)
+    # 0 disables: identical to the unclipped optimizer
+    tx0 = make_optimizer("sgd", 1.0, 0.0, grad_clip=0.0)
+    upd0, _ = tx0.update(grads, tx0.init(params), params)
+    np.testing.assert_allclose(np.asarray(upd0["w"]), -np.asarray(grads["w"]), rtol=1e-6)
+
+
+def test_grad_clip_config_validation(tmp_path):
+    with pytest.raises(ValueError, match="grad_clip"):
+        _make_cfg(tmp_path, training_kw={"grad_clip": -1.0})
