@@ -57,6 +57,14 @@ def main():
         "overlaps payload parse with device compute; 1 = serial latency)",
     )
     ap.add_argument(
+        "--dynamic-batch", type=int, default=0,
+        help="server-side DynamicBatcher: co-batch up to N concurrent "
+        "single-bag requests into one device dispatch (pair with "
+        "--concurrency >= N); also sizes tpu.batch_size to N so the batched "
+        "program matches the group size",
+    )
+    ap.add_argument("--batch-wait-ms", type=float, default=5.0)
+    ap.add_argument(
         "--bundle", action="store_true",
         help="serve from an AOT deployment bundle (deploy.export_model + "
         "server --bundle) instead of the config+Predictor path — measures "
@@ -86,6 +94,11 @@ def main():
         "bag_buckets": sorted({1 << (s - 1).bit_length() for s in sizes}),
         "transfer_dtype": args.transfer_dtype,
     }
+    if args.dynamic_batch > 1:
+        # right-size the batched program: predict_bags pads every group to
+        # tpu.batch_size rows, so a 32-row default would waste compute on
+        # 4-request groups
+        raw["tpu"]["batch_size"] = args.dynamic_batch
     cfg = config_from_dict(raw)
     predictor = Predictor.from_config(cfg)
     omic_sizes = list(predictor._t.omic_sizes)
@@ -103,9 +116,15 @@ def main():
             max_bag=max(sizes),
         )
         print(json.dumps({"bundle_export_s": round(time.perf_counter() - t_exp, 2)}))
-        server = make_bundle_server(bundle_dir, port=0)
+        server = make_bundle_server(
+            bundle_dir, port=0,
+            dynamic_batch=args.dynamic_batch, batch_wait_ms=args.batch_wait_ms,
+        )
     else:
-        server = make_server(predictor, port=0)
+        server = make_server(
+            predictor, port=0,
+            dynamic_batch=args.dynamic_batch, batch_wait_ms=args.batch_wait_ms,
+        )
     port = server.server_address[1]
     threading.Thread(target=server.serve_forever, daemon=True).start()
 
@@ -185,6 +204,8 @@ def main():
             row["bags_per_request"] = args.batch  # latencies are per BAG
         if rps is not None:
             row["concurrency"] = args.concurrency
+            if args.dynamic_batch:
+                row["dynamic_batch"] = args.dynamic_batch
             row["bags_per_sec"] = round(rps, 1)
         if is_compile:
             row["first_request_s"] = round(first, 2)

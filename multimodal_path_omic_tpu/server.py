@@ -34,8 +34,11 @@ Endpoints:
 Connections are handled on threads (payload read + npz parse + JSON
 serialization overlap device compute); INFERENCE itself is serialized by a
 lock — the device is the bottleneck, and jit-per-bucket means the first
-request of a new bucket pays a compile. Front with a batching proxy for high
-QPS — or use the batch endpoint.
+request of a new bucket pays a compile. Under concurrent single-bag load,
+``--dynamic-batch N`` co-batches up to N in-flight requests into one
+``predict_bags`` dispatch (DynamicBatcher) so the device scores a batch per
+round-trip instead of a bag — the server-side counterpart of the client-side
+``/predict_batch_npz`` endpoint.
 """
 
 from __future__ import annotations
@@ -65,6 +68,8 @@ class ServerMetrics:
         self.infer_seconds = defaultdict(float)  # endpoint -> total secs
         self.infer_count = defaultdict(int)
         self.bytes_in = 0
+        self.batch_groups = 0  # dynamic-batch dispatches
+        self.batch_bags = 0  # requests scored through those dispatches
 
     def observe(self, endpoint: str, code: int, infer_s: float, n_bytes: int):
         with self._lock:
@@ -73,6 +78,12 @@ class ServerMetrics:
             if infer_s > 0:
                 self.infer_seconds[endpoint] += infer_s
                 self.infer_count[endpoint] += 1
+
+    def observe_batch(self, n_bags: int):
+        """One dynamic-batch dispatch of ``n_bags`` co-batched requests."""
+        with self._lock:
+            self.batch_groups += 1
+            self.batch_bags += n_bags
 
     def render(self) -> str:
         with self._lock:
@@ -93,7 +104,127 @@ class ServerMetrics:
                 lines.append(f'mpot_inference_count_total{{endpoint="{ep}"}} {n}')
             lines.append("# TYPE mpot_request_bytes_total counter")
             lines.append(f"mpot_request_bytes_total {self.bytes_in}")
+            lines.append("# TYPE mpot_dynamic_batch_groups_total counter")
+            lines.append(f"mpot_dynamic_batch_groups_total {self.batch_groups}")
+            lines.append("# TYPE mpot_dynamic_batch_bags_total counter")
+            lines.append(f"mpot_dynamic_batch_bags_total {self.batch_bags}")
         return "\n".join(lines) + "\n"
+
+
+class DynamicBatcher:
+    """Server-side dynamic batching for the single-bag endpoints.
+
+    Concurrent ``/predict`` / ``/predict_npz`` requests enqueue their bag and
+    block; one dispatcher thread drains up to ``max_batch`` pending requests
+    into a single ``predict_bags`` call — the same fixed-shape bucketed
+    programs the dataset path compiles, so co-batched requests share one
+    device dispatch instead of serializing behind the inference lock one bag
+    at a time. Batching is adaptive: an idle server adds at most
+    ``max_wait_s`` of latency waiting for co-riders, and while the device
+    scores one group the next group accumulates for free.
+
+    Per-request error isolation: a failing group (e.g. one request missing
+    its omics) is retried bag-by-bag so co-riders still succeed and only the
+    bad request gets its error.
+    """
+
+    def __init__(
+        self,
+        predictor,
+        infer_lock: threading.Lock,
+        max_batch: int = 8,
+        max_wait_s: float = 0.005,
+        metrics: Optional[ServerMetrics] = None,
+    ):
+        if max_batch < 1:
+            raise ValueError(f"max_batch must be >= 1, got {max_batch}")
+        self._pred = predictor
+        self._infer_lock = infer_lock
+        self._max_batch = int(max_batch)
+        self._max_wait = float(max_wait_s)
+        self._metrics = metrics
+        self._cv = threading.Condition()
+        self._pending: list = []
+        self._running = True
+        self._thread = threading.Thread(
+            target=self._loop, name="dynamic-batcher", daemon=True
+        )
+        self._thread.start()
+
+    def close(self) -> None:
+        """Stop the dispatcher; pending requests are still drained first."""
+        with self._cv:
+            self._running = False
+            self._cv.notify_all()
+        self._thread.join(timeout=30)
+
+    def predict_bag(self, bag, omics=None) -> Dict[str, Any]:
+        """Enqueue one bag and block for its result (same contract as
+        ``Predictor.predict_bag``: leading batch-1 dim on every output)."""
+        item = {
+            "bag": bag,
+            "omics": omics,
+            "event": threading.Event(),
+            "result": None,
+            "error": None,
+        }
+        with self._cv:
+            if not self._running:
+                raise RuntimeError("DynamicBatcher is closed")
+            self._pending.append(item)
+            self._cv.notify_all()
+        item["event"].wait()
+        if item["error"] is not None:
+            raise item["error"]
+        return item["result"]
+
+    def _loop(self) -> None:
+        while True:
+            with self._cv:
+                while self._running and not self._pending:
+                    self._cv.wait()
+                if not self._pending:
+                    return  # closed and drained
+                if self._max_wait > 0 and len(self._pending) < self._max_batch:
+                    # brief accumulation window for co-riders (bounded; a
+                    # full group dispatches immediately)
+                    self._cv.wait(self._max_wait)
+                group = self._pending[: self._max_batch]
+                del self._pending[: len(group)]
+            self._dispatch(group)
+
+    def _score(self, items):
+        bags = [g["bag"] for g in items]
+        omics = [g["omics"] for g in items]
+        with self._infer_lock:
+            return self._pred.predict_bags(
+                bags, omics=omics if any(o is not None for o in omics) else None
+            )
+
+    def _dispatch(self, group) -> None:
+        try:
+            out = self._score(group)
+            for i, g in enumerate(group):
+                g["result"] = {k: np.asarray(v)[i : i + 1] for k, v in out.items()}
+        except Exception as exc:
+            if len(group) == 1:
+                group[0]["error"] = exc
+            else:
+                # isolate the failing request: score each alone so co-riders
+                # aren't failed by one bad payload
+                for g in group:
+                    try:
+                        out = self._score([g])
+                        g["result"] = {
+                            k: np.asarray(v)[0:1] for k, v in out.items()
+                        }
+                    except Exception as solo_exc:
+                        g["error"] = solo_exc
+        finally:
+            if self._metrics is not None:
+                self._metrics.observe_batch(len(group))
+            for g in group:
+                g["event"].set()
 
 
 class PredictHandler(BaseHTTPRequestHandler):
@@ -112,6 +243,9 @@ class PredictHandler(BaseHTTPRequestHandler):
     # bound subclass; each make_*server call binds a fresh lock)
     infer_lock = threading.Lock()
     metrics = ServerMetrics()
+    # optional cross-request DynamicBatcher (make_server --dynamic-batch):
+    # single-bag endpoints route through it instead of the lock directly
+    batcher: Optional[DynamicBatcher] = None
 
     # quieter logs
     def log_message(self, fmt, *args):  # pragma: no cover
@@ -215,10 +349,15 @@ class PredictHandler(BaseHTTPRequestHandler):
             self._reply(400, {"error": f"bad request: {exc}"})
             return
         try:
-            with self.infer_lock:
-                t0 = time.perf_counter()
-                out = self.predictor.predict_bag(wsi, omics=omics)
-                self._infer_seconds = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            if self.batcher is not None:
+                # the batcher serializes device work on infer_lock itself;
+                # co-arriving requests share one predict_bags dispatch
+                out = self.batcher.predict_bag(wsi, omics=omics)
+            else:
+                with self.infer_lock:
+                    out = self.predictor.predict_bag(wsi, omics=omics)
+            self._infer_seconds = time.perf_counter() - t0
         except ValueError as exc:
             # client mistake (e.g. survival model without omics) — same
             # 400 contract as the batch endpoint
@@ -230,28 +369,76 @@ class PredictHandler(BaseHTTPRequestHandler):
         self._reply(200, {k: np.asarray(v).tolist() for k, v in out.items()})
 
 
-def make_server(
-    predictor, port: int = 0, host: str = "127.0.0.1"
+class _PredictServer(ThreadingHTTPServer):
+    """ThreadingHTTPServer that also stops its DynamicBatcher on close."""
+
+    def server_close(self):
+        super().server_close()
+        batcher = getattr(self.RequestHandlerClass, "batcher", None)
+        if batcher is not None:
+            batcher.close()
+
+
+def _bind_server(
+    predictor,
+    info: Dict[str, Any],
+    port: int,
+    host: str,
+    dynamic_batch: int,
+    batch_wait_ms: float,
 ) -> ThreadingHTTPServer:
-    """Build (not start) a threaded HTTP server bound to ``host:port``
-    (0 = ephemeral); connections parse on threads, inference serializes on
-    the handler's infer_lock."""
-    t = predictor._t
+    lock = threading.Lock()
+    metrics = ServerMetrics()
+    batcher = (
+        DynamicBatcher(
+            predictor,
+            lock,
+            max_batch=dynamic_batch,
+            max_wait_s=batch_wait_ms / 1000.0,
+            metrics=metrics,
+        )
+        if dynamic_batch and dynamic_batch > 1
+        else None
+    )
     handler = type(
         "BoundPredictHandler",
         (PredictHandler,),
         {
             "predictor": predictor,
-            "infer_lock": threading.Lock(),
-            "metrics": ServerMetrics(),
-            "info": {
-                "model": t.config.model.name,
-                "n_params": t.n_params,
-                "omic_sizes": list(t.omic_sizes),
-            },
+            "infer_lock": lock,
+            "metrics": metrics,
+            "batcher": batcher,
+            "info": info,
         },
     )
-    return ThreadingHTTPServer((host, port), handler)
+    return _PredictServer((host, port), handler)
+
+
+def make_server(
+    predictor,
+    port: int = 0,
+    host: str = "127.0.0.1",
+    dynamic_batch: int = 0,
+    batch_wait_ms: float = 5.0,
+) -> ThreadingHTTPServer:
+    """Build (not start) a threaded HTTP server bound to ``host:port``
+    (0 = ephemeral); connections parse on threads, inference serializes on
+    the handler's infer_lock. ``dynamic_batch`` > 1 co-batches concurrent
+    single-bag requests into one device dispatch (DynamicBatcher), waiting at
+    most ``batch_wait_ms`` for co-riders."""
+    t = predictor._t
+    return _bind_server(
+        predictor,
+        {
+            "model": t.config.model.name,
+            "n_params": t.n_params,
+            "omic_sizes": list(t.omic_sizes),
+        },
+        port,
+        host,
+        dynamic_batch,
+        batch_wait_ms,
+    )
 
 
 class _BundlePredictor:
@@ -270,35 +457,37 @@ class _BundlePredictor:
 
 
 def make_bundle_server(
-    bundle_dir: str, port: int = 0, host: str = "127.0.0.1"
+    bundle_dir: str,
+    port: int = 0,
+    host: str = "127.0.0.1",
+    dynamic_batch: int = 0,
+    batch_wait_ms: float = 5.0,
 ) -> ThreadingHTTPServer:
     """Serve an AOT deployment bundle (deploy.export_model): same endpoints
-    and wire contract as make_server, but the process needs only the jax
-    runtime + the bundle — no config, checkpoint, or model code."""
+    and wire contract as make_server (incl. dynamic batching), but the
+    process needs only the jax runtime + the bundle — no config, checkpoint,
+    or model code."""
     from multimodal_path_omic_tpu.deploy import load_exported
 
     exported = load_exported(bundle_dir)
     man = exported.manifest
-    handler = type(
-        "BoundBundleHandler",
-        (PredictHandler,),
+    return _bind_server(
+        _BundlePredictor(exported),
         {
-            "predictor": _BundlePredictor(exported),
-            "infer_lock": threading.Lock(),
-            "metrics": ServerMetrics(),
-            "info": {
-                # same healthz contract as make_server (model/n_params/
-                # omic_sizes), plus the bundle provenance
-                "model": man["model"],
-                "n_params": man.get("n_params"),
-                "omic_sizes": list(man["omic_sizes"]),
-                "bundle": bundle_dir,
-                "buckets": list(man["buckets"]),
-                "batch_sizes": list(man["batch_sizes"]),
-            },
+            # same healthz contract as make_server (model/n_params/
+            # omic_sizes), plus the bundle provenance
+            "model": man["model"],
+            "n_params": man.get("n_params"),
+            "omic_sizes": list(man["omic_sizes"]),
+            "bundle": bundle_dir,
+            "buckets": list(man["buckets"]),
+            "batch_sizes": list(man["batch_sizes"]),
         },
+        port,
+        host,
+        dynamic_batch,
+        batch_wait_ms,
     )
-    return ThreadingHTTPServer((host, port), handler)
 
 
 def main(argv: Optional[list] = None) -> int:
@@ -326,6 +515,16 @@ def main(argv: Optional[list] = None) -> int:
         "config path reads tpu.compilation_cache_dir; bundles have no "
         "config, so restarts re-pay per-bucket compiles without this)",
     )
+    ap.add_argument(
+        "--dynamic-batch", type=int, default=0,
+        help="co-batch up to N concurrent single-bag requests into one "
+        "device dispatch (0/1 disables); raises aggregate throughput under "
+        "concurrent load at the cost of up to --batch-wait-ms added latency",
+    )
+    ap.add_argument(
+        "--batch-wait-ms", type=float, default=5.0,
+        help="max time a lone request waits for co-riders (--dynamic-batch)",
+    )
     args = ap.parse_args(argv)
 
     if args.compilation_cache_dir:
@@ -342,7 +541,10 @@ def main(argv: Optional[list] = None) -> int:
         ap.error("--bundle carries its own weights; drop --checkpoint/"
                  "--torch-checkpoint (or serve via --config)")
     if args.bundle:
-        server = make_bundle_server(args.bundle, port=args.port, host=args.host)
+        server = make_bundle_server(
+            args.bundle, port=args.port, host=args.host,
+            dynamic_batch=args.dynamic_batch, batch_wait_ms=args.batch_wait_ms,
+        )
         if args.warmup:
             server.RequestHandlerClass.predictor._m.warmup(verbose=True)
     else:
@@ -356,7 +558,10 @@ def main(argv: Optional[list] = None) -> int:
         )
         if args.warmup:
             predictor.warmup(verbose=True)
-        server = make_server(predictor, port=args.port, host=args.host)
+        server = make_server(
+            predictor, port=args.port, host=args.host,
+            dynamic_batch=args.dynamic_batch, batch_wait_ms=args.batch_wait_ms,
+        )
     print(f"serving on http://{args.host}:{server.server_address[1]}")
     # graceful shutdown: SIGTERM (the normal orchestrator stop signal) drains
     # the accept loop instead of killing mid-response. shutdown() must run on

@@ -414,3 +414,119 @@ def test_metrics_endpoint_counts_requests(served):
     assert value('mpot_inference_seconds_total{endpoint="/predict_npz"}') > 0
     assert value('mpot_inference_count_total{endpoint="/predict_npz"}') >= 1
     assert value("mpot_request_bytes_total") >= len(payload)
+
+
+# ------------------------------------------------------------ dynamic batching
+
+
+@pytest.fixture(scope="module")
+def batch_served(served):
+    """A second server over the SAME trainer (shares compiled programs) with
+    server-side dynamic batching on: groups of up to 4 concurrent single-bag
+    requests share one predict_bags dispatch."""
+    _, trainer = served
+    server = make_server(
+        Predictor(trainer), port=0, dynamic_batch=4, batch_wait_ms=150.0
+    )
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{server.server_address[1]}", trainer
+    server.shutdown()
+    server.server_close()  # also joins/closes the DynamicBatcher
+
+
+def _npz_payload(wsi, omics):
+    buf = io.BytesIO()
+    np.savez(buf, wsi=wsi, **{f"omic_{i}": o for i, o in enumerate(omics)})
+    return buf.getvalue()
+
+
+def test_dynamic_batching_matches_per_bag_and_engages(batch_served):
+    """8 concurrent single-bag requests on a dynamic_batch=4 server: every
+    response matches the direct per-bag prediction, and the metrics prove
+    requests were co-batched (fewer dispatches than bags)."""
+    import concurrent.futures
+    import urllib.request as _rq
+
+    base, trainer = batch_served
+    rng = np.random.default_rng(7)
+    direct = Predictor(trainer)
+    reqs = []
+    for _ in range(8):
+        wsi = rng.normal(size=(60, 1024)).astype(np.float32)
+        omics = [rng.normal(size=(s,)).astype(np.float32) for s in trainer.omic_sizes]
+        reqs.append((wsi, omics))
+
+    def call(i):
+        return _post(
+            base + "/predict_npz", _npz_payload(*reqs[i]), "application/octet-stream"
+        )
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=8) as pool:
+        results = list(pool.map(call, range(8)))
+    for (status, body), (wsi, omics) in zip(results, reqs):
+        assert status == 200
+        want = direct.predict_bag(wsi, omics=omics)
+        np.testing.assert_allclose(
+            np.asarray(body["risk"]), np.asarray(want["risk"]), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(body["hazards"]), np.asarray(want["hazards"]), atol=1e-5
+        )
+    with _rq.urlopen(base + "/metrics", timeout=30) as resp:
+        metrics = resp.read().decode()
+    bags = groups = None
+    for line in metrics.splitlines():
+        if line.startswith("mpot_dynamic_batch_bags_total"):
+            bags = int(line.rsplit(" ", 1)[1])
+        if line.startswith("mpot_dynamic_batch_groups_total"):
+            groups = int(line.rsplit(" ", 1)[1])
+    assert bags is not None and bags >= 8
+    assert groups is not None and groups < bags, (groups, bags)
+
+
+def test_dynamic_batching_isolates_bad_request(batch_served):
+    """One request missing its omics inside a co-batched group gets its own
+    400; co-riders still succeed with correct predictions."""
+    import concurrent.futures
+
+    base, trainer = batch_served
+    rng = np.random.default_rng(8)
+    good = []
+    for _ in range(3):
+        wsi = rng.normal(size=(48, 1024)).astype(np.float32)
+        omics = [rng.normal(size=(s,)).astype(np.float32) for s in trainer.omic_sizes]
+        good.append(_npz_payload(wsi, omics))
+    bad_buf = io.BytesIO()
+    np.savez(bad_buf, wsi=rng.normal(size=(48, 1024)).astype(np.float32))
+    payloads = good + [bad_buf.getvalue()]
+
+    def call(p):
+        try:
+            return _post(base + "/predict_npz", p, "application/octet-stream")
+        except urllib.error.HTTPError as e:
+            return e.code, json.loads(e.read())
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=4) as pool:
+        results = list(pool.map(call, payloads))
+    statuses = [s for s, _ in results]
+    assert statuses[:3] == [200, 200, 200], statuses
+    assert statuses[3] == 400
+    assert "error" in results[3][1]
+
+
+def test_dynamic_batcher_close_drains_and_rejects():
+    from multimodal_path_omic_tpu.server import DynamicBatcher
+
+    class _FakePred:
+        def predict_bags(self, bags, omics=None):
+            n = len(bags)
+            return {"y": np.arange(n, dtype=np.float32)[:, None]}
+
+    b = DynamicBatcher(_FakePred(), threading.Lock(), max_batch=4, max_wait_s=0.01)
+    out = b.predict_bag(np.zeros((4, 8), np.float32))
+    assert out["y"].shape == (1, 1)
+    b.close()
+    assert not b._thread.is_alive()
+    with pytest.raises(RuntimeError, match="closed"):
+        b.predict_bag(np.zeros((4, 8), np.float32))
