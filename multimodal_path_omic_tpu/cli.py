@@ -22,6 +22,8 @@ imports. Here one entry point drives everything:
     python -m multimodal_path_omic_tpu.cli export-model --config cfg.yaml \
         --checkpoint ... --out bundle/
     python -m multimodal_path_omic_tpu.cli convert-bags --src bags/ --dst bags_npy/
+    python -m multimodal_path_omic_tpu.cli serve --config cfg.yaml \
+        --checkpoint ... --port 8008 --dynamic-batch 8
 """
 
 from __future__ import annotations
@@ -227,6 +229,13 @@ def cmd_convert_bags(args) -> int:
 
 
 def main(argv: Optional[List[str]] = None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if argv[:1] == ["serve"]:
+        # passthrough: `cli serve ...` == `python -m multimodal_path_omic_tpu.server ...`
+        # (delegated before argparse — the server owns its own flag surface)
+        from multimodal_path_omic_tpu.server import main as server_main
+
+        return server_main(argv[1:])
     parser = argparse.ArgumentParser(prog="multimodal_path_omic_tpu")
     sub = parser.add_subparsers(dest="command", required=True)
 
@@ -355,6 +364,15 @@ def main(argv: Optional[List[str]] = None) -> int:
         help="float16 halves disk but bypasses the native loader (f32-only)",
     )
     p_bags.set_defaults(fn=cmd_convert_bags)
+
+    # listed for --help discoverability; dispatch happens before argparse
+    # (the server owns its own flag surface, see the top of main)
+    sub.add_parser(
+        "serve",
+        help="HTTP scoring server (flags: --config/--bundle --port --warmup "
+        "--dynamic-batch ... ; see `serve --help`)",
+        add_help=False,
+    )
 
     args = parser.parse_args(argv)
     return args.fn(args)

@@ -302,3 +302,20 @@ def test_cli_convert_bags_pt_dir_and_h5(tmp_path):
         got = store.get(sid)
         assert got.dtype == np.float32  # store casts to f32 on read
         np.testing.assert_allclose(got, arr, rtol=2e-3, atol=2e-3)
+
+
+def test_cli_serve_passthrough_delegates_to_server(monkeypatch):
+    """`cli serve ...` forwards its argv to server.main (and is listed in
+    --help via a stub subparser that never dispatches)."""
+    import multimodal_path_omic_tpu.server as server_mod
+
+    seen = {}
+
+    def fake_main(argv):
+        seen["argv"] = argv
+        return 0
+
+    monkeypatch.setattr(server_mod, "main", fake_main)
+    rc = cli.main(["serve", "--config", "x.yaml", "--port", "1234"])
+    assert rc == 0
+    assert seen["argv"] == ["--config", "x.yaml", "--port", "1234"]
