@@ -225,8 +225,18 @@ def _gather_batch(
     training instead of forcing mesh runs onto the slow host-fed feed."""
     pos = meta["pos"].astype(jnp.int32)
     row = meta["row"].astype(jnp.int32)
+    if mesh is None:
+        # Pallas scalar-prefetch copy kernel: XLA lowers this row gather to
+        # ~36 GB/s on the dev chip (~10x below its own contiguous reads);
+        # the kernel streams block DMAs at the copy floor (4.1x measured,
+        # ops/gather.py). Mesh runs keep jnp.take: pallas has no GSPMD rule.
+        from multimodal_path_omic_tpu.ops.gather import take_rows
+
+        wsi = take_rows(cache["wsi"], pos)
+    else:
+        wsi = jnp.take(cache["wsi"], pos, axis=0)
     batch = {
-        "wsi": jnp.take(cache["wsi"], pos, axis=0),
+        "wsi": wsi,
         "mask": jnp.take(cache["mask"], pos, axis=0),
         "weight": meta["weight"],
         "label": jnp.take(cache["label"], row, axis=0),

@@ -417,3 +417,47 @@ def test_ge_eval_dispatches_milpool_kernel_and_matches():
     np.testing.assert_allclose(
         np.asarray(attn1["path"]), np.asarray(attn0["path"]), atol=3e-5
     )
+
+
+# ---------------------------------------------------------------------------
+# Pallas row-gather kernel (ops/gather.py): device-cache batch assembly
+# ---------------------------------------------------------------------------
+
+
+def test_gather_rows_interpret_matches_take():
+    """Kernel copy semantics == jnp.take exactly (interpret mode, all cache
+    dtypes, repeated + padded indices like build_meta produces)."""
+    from multimodal_path_omic_tpu.ops import gather
+
+    rng = np.random.default_rng(0)
+    n, m, d = 7, 256, 128
+    for dtype in (jnp.float32, jnp.bfloat16, jnp.int8):
+        if dtype == jnp.int8:
+            pool = jnp.asarray(rng.integers(-127, 127, size=(n, m, d)).astype(np.int8))
+        else:
+            pool = jnp.asarray(rng.normal(size=(n, m, d)).astype(np.float32)).astype(dtype)
+        # repeated indices (build_meta pads short batches by repeating the
+        # last real row) and out-of-order access
+        idx = jnp.asarray(np.array([3, 0, 6, 3, 3], np.int32))
+        got = gather.gather_rows(pool, idx, interpret=True)
+        want = jnp.take(pool, idx, axis=0)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_gather_dispatch_policy():
+    """take_rows falls back to jnp.take off-TPU / on ineligible shapes but
+    stays numerically identical either way."""
+    from multimodal_path_omic_tpu.ops import gather
+
+    rng = np.random.default_rng(1)
+    pool = jnp.asarray(rng.normal(size=(5, 96, 128)).astype(np.float32))
+    idx = jnp.asarray(np.array([4, 1, 1], np.int32))
+    # CPU backend in tests: supported() is False, fallback must engage
+    assert not gather.supported(pool, idx)
+    np.testing.assert_array_equal(
+        np.asarray(gather.take_rows(pool, idx)),
+        np.asarray(jnp.take(pool, idx, axis=0)),
+    )
+    # misaligned feature dim is never eligible, on any backend
+    pool_odd = jnp.zeros((4, 256, 100), jnp.float32)
+    assert not gather.supported(pool_odd, idx)

@@ -210,3 +210,30 @@ def test_milpool_kernel_on_tpu_matches_xla():
     ref, s = reference_gated_mil_pool(x, mask, wa, ba, wb, bb, wc, bc)
     np.testing.assert_allclose(np.asarray(scores), np.asarray(s), atol=3e-5)
     np.testing.assert_allclose(np.asarray(pooled), np.asarray(ref), atol=3e-5)
+
+
+def test_gather_rows_on_tpu_exact():
+    """Pallas row-gather == jnp.take bit-exactly on the real chip, for every
+    cache dtype and for a non-divisible-by-default-block bucket."""
+    from multimodal_path_omic_tpu.ops.gather import gather_rows, supported
+
+    rng = np.random.default_rng(5)
+    n, m, d, b = 17, 512, 1024, 9
+    idx = jnp.asarray(rng.integers(0, n, size=(b,)).astype(np.int32))
+    for dtype in (jnp.bfloat16, jnp.float32, jnp.int8):
+        if dtype == jnp.int8:
+            pool = jnp.asarray(rng.integers(-127, 127, size=(n, m, d)).astype(np.int8))
+        else:
+            pool = jnp.asarray(rng.normal(size=(n, m, d)).astype(np.float32)).astype(dtype)
+        assert supported(pool, idx)
+        got = jax.jit(gather_rows)(pool, idx)
+        np.testing.assert_array_equal(
+            np.asarray(got), np.asarray(jnp.take(pool, idx, axis=0))
+        )
+    # mega-bag bucket: multiple blocks per row
+    pool = jnp.asarray(rng.normal(size=(4, 24576, 256)).astype(np.float32)).astype(jnp.bfloat16)
+    idx = jnp.asarray(np.array([2, 0], np.int32))
+    got = jax.jit(gather_rows)(pool, idx)
+    np.testing.assert_array_equal(
+        np.asarray(got), np.asarray(jnp.take(pool, idx, axis=0))
+    )
