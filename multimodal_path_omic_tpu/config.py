@@ -18,7 +18,7 @@ import yaml
 
 VALID_LOSSES = ("ce", "ces", "sct", "cesar", "nll", "cox")
 VALID_OPTIMIZERS = ("sgd", "adam", "rms", "adamax", "adadelta")
-VALID_SCHEDULERS = (None, "exp")
+VALID_SCHEDULERS = (None, "exp", "cosine", "step")
 VALID_FUSIONS = ("concat", "gated_concat", "bilinear")
 VALID_MODEL_SIZES = ("small", "medium", "big")
 
@@ -113,6 +113,15 @@ class TrainingConfig:
     # (torch.nn.utils.clip_grad_norm_ semantics). 0 disables — the
     # reference's exact behavior (it never clips).
     grad_clip: float = 0.0
+    # Epoch-indexed LR schedule knobs (train/optim.py::schedule_lr). The
+    # reference's only scheduler is ExponentialLR (mcat/main.py:302-305);
+    # "cosine" (torch CosineAnnealingLR shape, decaying to min_lr) and
+    # "step" (StepLR: lr *= gamma every step_size epochs) are additions,
+    # and warmup_epochs linearly ramps the first W epochs under ANY
+    # scheduler (including none/exp). All default to off.
+    warmup_epochs: int = 0
+    min_lr: float = 0.0
+    step_size: int = 10
 
     def __post_init__(self):
         if self.loss not in VALID_LOSSES:
@@ -136,6 +145,17 @@ class TrainingConfig:
         # (mcat/main.py:296-299); keep that lenience but normalise the name.
         if self.optimizer not in VALID_OPTIMIZERS:
             self.optimizer = "adam"
+        if self.warmup_epochs < 0:
+            raise ValueError(
+                f"warmup_epochs must be >= 0, got {self.warmup_epochs}"
+            )
+        if self.min_lr < 0:
+            raise ValueError(f"min_lr must be >= 0, got {self.min_lr}")
+        if self.step_size < 1:
+            raise ValueError(
+                f"step_size must be >= 1 (epochs between step-LR decays), "
+                f"got {self.step_size}"
+            )
         if self.early_stopping < 0:
             raise ValueError(
                 f"early_stopping must be >= 0 (patience in validated epochs; "

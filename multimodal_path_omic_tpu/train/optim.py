@@ -84,3 +84,52 @@ def step_exponential(opt_state, gamma: float):
         opt_state.hyperparams["learning_rate"] * gamma
     )
     return opt_state
+
+
+def set_lr(opt_state, lr: float):
+    """Absolutely set the injected learning rate (epoch-indexed schedules)."""
+    opt_state.hyperparams["learning_rate"] = lr
+    return opt_state
+
+
+def schedule_lr(
+    name,
+    base_lr: float,
+    epoch: int,
+    *,
+    gamma: float = 1.0,
+    total_epochs: int = 0,
+    warmup_epochs: int = 0,
+    min_lr: float = 0.0,
+    step_size: int = 10,
+) -> float:
+    """Absolute lr for 0-based ``epoch`` under the epoch-indexed schedules.
+
+    Beyond the reference's ExponentialLR (its only scheduler,
+    mcat/main.py:302-305), the framework adds:
+
+    * ``cosine``: torch CosineAnnealingLR shape — half-cosine from base_lr to
+      ``min_lr`` over the run (post-warmup), clamped at min_lr after.
+    * ``step``: torch StepLR — lr = base * gamma^(epoch // step_size).
+    * linear warmup (``training.warmup_epochs``): epochs 0..W-1 ramp
+      (e+1)/W * base_lr, composable with any schedule (incl. None / exp).
+
+    Epoch-indexed (not stateful-multiplicative) so resume lands on exactly
+    the lr a straight-through run would use at that epoch.
+    """
+    import math
+
+    if warmup_epochs and epoch < warmup_epochs:
+        return base_lr * (epoch + 1) / warmup_epochs
+    e = epoch - warmup_epochs
+    if name == "cosine":
+        horizon = max(1, total_epochs - warmup_epochs - 1)
+        t = min(e, horizon)
+        return min_lr + 0.5 * (base_lr - min_lr) * (
+            1.0 + math.cos(math.pi * t / horizon)
+        )
+    if name == "step":
+        return base_lr * gamma ** (e // max(1, step_size))
+    if name == "exp":
+        return base_lr * gamma**e
+    return base_lr

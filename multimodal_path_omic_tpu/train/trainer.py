@@ -51,7 +51,13 @@ from multimodal_path_omic_tpu.train.loop import (
     stack_batches,
 )
 from multimodal_path_omic_tpu.train.metrics import concordance_index_censored
-from multimodal_path_omic_tpu.train.optim import current_lr, make_optimizer, step_exponential
+from multimodal_path_omic_tpu.train.optim import (
+    current_lr,
+    make_optimizer,
+    schedule_lr,
+    set_lr,
+    step_exponential,
+)
 
 
 # One jit instance; jax caches compilations per (arity, shapes). The caller
@@ -882,6 +888,28 @@ class Trainer:
 
     def train_epoch(self, epoch: int) -> Dict[str, float]:
         c = self.config
+        # Epoch-indexed LR schedules (cosine/step/warmup) set the lr
+        # ABSOLUTELY at epoch start — resume lands on exactly the lr a
+        # straight-through run would use. The reference's exp scheduler keeps
+        # its original end-of-epoch multiplicative step below (identical
+        # values; preserved verbatim for the pinned parity tests) unless
+        # warmup is active, in which case the absolute form subsumes it.
+        if c.training.scheduler in ("cosine", "step") or c.training.warmup_epochs:
+            self.state = self.state._replace(
+                opt_state=set_lr(
+                    self.state.opt_state,
+                    schedule_lr(
+                        c.training.scheduler,
+                        c.training.lr,
+                        epoch,
+                        gamma=c.training.gamma,
+                        total_epochs=c.training.epochs,
+                        warmup_epochs=c.training.warmup_epochs,
+                        min_lr=c.training.min_lr,
+                        step_size=c.training.step_size,
+                    ),
+                )
+            )
         # Metric scalars stay ON DEVICE during the epoch: reading them per
         # step would block the dispatch pipeline (device idles while the host
         # formats floats). Everything is pulled once at epoch end.
@@ -1018,12 +1046,14 @@ class Trainer:
                 f"Epoch: {epoch + 1}, train_loss: {out['train_loss']:.4f}, "
                 f"train_c_index: {c_index:.4f}"
             )
-        if c.training.scheduler == "exp":
+        if c.training.scheduler == "exp" and not c.training.warmup_epochs:
             lr = current_lr(self.state.opt_state)
             self.state = self.state._replace(
                 opt_state=step_exponential(self.state.opt_state, c.training.gamma)
             )
             msg = f"{msg}, lr: {lr:.8f}"
+        elif c.training.scheduler in ("cosine", "step") or c.training.warmup_epochs:
+            msg = f"{msg}, lr: {current_lr(self.state.opt_state):.8f}"
         if self.verbose:
             print(msg)
 

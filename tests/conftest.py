@@ -78,6 +78,7 @@ _SLOW_TESTS = {
     "test_bag_beyond_largest_bucket_trains",
     "test_checkpoint_save_restore",
     "test_exp_scheduler_decays_lr",
+    "test_cosine_scheduler_e2e",
     "test_nacagat_cesar_end_to_end",
     "test_mcat_end_to_end",
     # quantization e2e

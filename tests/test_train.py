@@ -1375,3 +1375,67 @@ def test_grad_clip_bounds_update_norm():
 def test_grad_clip_config_validation(tmp_path):
     with pytest.raises(ValueError, match="grad_clip"):
         _make_cfg(tmp_path, training_kw={"grad_clip": -1.0})
+
+
+def test_schedule_lr_shapes():
+    """Epoch-indexed schedule values: cosine endpoints, warmup ramp, step
+    decay, exp equivalence with the multiplicative stepper."""
+    from multimodal_path_omic_tpu.train.optim import schedule_lr
+
+    # cosine: base at epoch 0, min_lr at the final epoch, midpoint halfway
+    assert np.isclose(schedule_lr("cosine", 1e-3, 0, total_epochs=11, min_lr=1e-5), 1e-3)
+    assert np.isclose(schedule_lr("cosine", 1e-3, 10, total_epochs=11, min_lr=1e-5), 1e-5)
+    mid = schedule_lr("cosine", 1e-3, 5, total_epochs=11, min_lr=1e-5)
+    assert np.isclose(mid, (1e-3 + 1e-5) / 2)
+    # clamps at min_lr beyond the horizon (extra epochs after the schedule)
+    assert np.isclose(schedule_lr("cosine", 1e-3, 15, total_epochs=11, min_lr=1e-5), 1e-5)
+    # warmup: linear ramp hitting base at epoch W-1, then the base schedule
+    for e, want in [(0, 2.5e-4), (1, 5e-4), (3, 1e-3)]:
+        assert np.isclose(schedule_lr(None, 1e-3, e, warmup_epochs=4), want)
+    # post-warmup cosine restarts its clock at the warmup boundary
+    assert np.isclose(
+        schedule_lr("cosine", 1e-3, 4, total_epochs=15, warmup_epochs=4, min_lr=0.0),
+        1e-3,
+    )
+    # step: gamma every step_size epochs
+    for e, want in [(0, 1e-3), (9, 1e-3), (10, 1e-4), (20, 1e-5)]:
+        assert np.isclose(schedule_lr("step", 1e-3, e, gamma=0.1, step_size=10), want)
+    # exp (absolute form) matches the multiplicative stepper's trajectory
+    for e in range(5):
+        assert np.isclose(schedule_lr("exp", 1e-3, e, gamma=0.5), 1e-3 * 0.5**e)
+
+
+def test_cosine_scheduler_e2e(tmp_path):
+    """Trainer applies the cosine schedule at epoch start; warmup composes
+    with exp; config validates the new knobs."""
+    from multimodal_path_omic_tpu.train.optim import current_lr, schedule_lr
+
+    cfg = _make_cfg(tmp_path, epochs=3)
+    cfg.training.scheduler = "cosine"
+    cfg.training.min_lr = 1e-6
+    trainer = Trainer(cfg, verbose=False)
+    trainer.fit()
+    # after fit, lr is the one set for the LAST epoch (2, 0-based)
+    want = schedule_lr("cosine", cfg.training.lr, 2, total_epochs=3, min_lr=1e-6)
+    assert np.isclose(current_lr(trainer.state.opt_state), want, rtol=1e-6)
+    assert np.isclose(want, 1e-6)  # final epoch of a 3-epoch cosine = min_lr
+
+    cfg2 = _make_cfg(tmp_path, epochs=3)
+    cfg2.training.scheduler = "exp"
+    cfg2.training.gamma = 0.5
+    cfg2.training.warmup_epochs = 2
+    t2 = Trainer(cfg2, verbose=False)
+    t2.fit()
+    # epoch 2 (0-based) = first post-warmup epoch: full base lr, gamma^0
+    assert np.isclose(current_lr(t2.state.opt_state), cfg2.training.lr, rtol=1e-6)
+
+    import pytest as _pytest
+
+    from multimodal_path_omic_tpu.config import TrainingConfig
+
+    with _pytest.raises(ValueError):
+        TrainingConfig(scheduler="cyclic")
+    with _pytest.raises(ValueError):
+        TrainingConfig(warmup_epochs=-1)
+    with _pytest.raises(ValueError):
+        TrainingConfig(step_size=0)
