@@ -94,7 +94,49 @@ def gather_rows(pool, idx, *, interpret: bool = False):
 def take_rows(pool, idx):
     """Row gather with automatic kernel dispatch: the Pallas copy kernel when
     eligible (TPU, 3-D, aligned), else ``jnp.take``. Single-device only —
-    mesh callers use jnp.take directly (GSPMD has no pallas rule)."""
+    mesh callers go through :func:`take_rows_sharded`."""
     if supported(pool, idx):
         return gather_rows(pool, idx)
     return jnp.take(pool, idx, axis=0)
+
+
+def sharded_supported(pool, idx, mesh) -> bool:
+    """Eligibility of the shard_map'd kernel for a cache-layout pool on
+    ``mesh``: the per-device patch slice must itself pass :func:`supported`
+    (TPU backend, block-divisible, lane-aligned)."""
+    if pool.ndim != 3 or idx.ndim != 1:
+        return False
+    n_mesh = mesh.devices.size
+    n, m, d = pool.shape
+    if m % n_mesh != 0:
+        return False
+    local = jax.ShapeDtypeStruct((n, m // n_mesh, d), pool.dtype)
+    return supported(local, idx)
+
+
+def take_rows_sharded(pool, idx, mesh, *, interpret: bool = False):
+    """``pool[idx]`` for a PATCH-axis-sharded device-cache pool on ``mesh``.
+
+    The cache layout (parallel/mesh.py::cache_spec) keeps the bag axis
+    unsharded and splits the patch axis over every mesh device, so the row
+    gather is communication-free per shard. GSPMD has no partitioning rule
+    for ``pallas_call`` (it would all-gather the pool and run the kernel
+    replicated), so this wraps the copy kernel in ``shard_map``: each device
+    streams block DMAs out of its local [n_bags, bucket/n_mesh, D] shard
+    with the (replicated) index vector — identical semantics to
+    ``jnp.take(pool, idx, axis=0)``, same output sharding, no collectives.
+
+    ``interpret`` forces the kernel's interpret mode (CPU-mesh testing).
+    Callers gate on :func:`sharded_supported` (except under ``interpret``).
+    """
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    spec = P(None, mesh.axis_names)
+    return shard_map(
+        lambda p, i: gather_rows(p, i, interpret=interpret),
+        mesh=mesh,
+        in_specs=(spec, P()),
+        out_specs=spec,
+        check_rep=False,
+    )(pool, idx.astype(jnp.int32))

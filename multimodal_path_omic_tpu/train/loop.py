@@ -225,14 +225,19 @@ def _gather_batch(
     training instead of forcing mesh runs onto the slow host-fed feed."""
     pos = meta["pos"].astype(jnp.int32)
     row = meta["row"].astype(jnp.int32)
-    if mesh is None:
-        # Pallas scalar-prefetch copy kernel: XLA lowers this row gather to
-        # ~36 GB/s on the dev chip (~10x below its own contiguous reads);
-        # the kernel streams block DMAs at the copy floor (4.1x measured,
-        # ops/gather.py). Mesh runs keep jnp.take: pallas has no GSPMD rule.
-        from multimodal_path_omic_tpu.ops.gather import take_rows
+    # Pallas scalar-prefetch copy kernel: XLA lowers this row gather to
+    # ~36 GB/s on the dev chip (~10x below its own contiguous reads); the
+    # kernel streams block DMAs at the copy floor (4.1x measured,
+    # ops/gather.py). On meshes the cache pool is patch-axis-sharded
+    # (cache_spec) and GSPMD has no pallas rule, so the kernel runs
+    # shard_map'd per device on the local patch slice (take_rows_sharded) —
+    # same communication-free gather, jnp.take only when ineligible.
+    from multimodal_path_omic_tpu.ops import gather as _gather
 
-        wsi = take_rows(cache["wsi"], pos)
+    if mesh is None:
+        wsi = _gather.take_rows(cache["wsi"], pos)
+    elif _gather.sharded_supported(cache["wsi"], pos, mesh):
+        wsi = _gather.take_rows_sharded(cache["wsi"], pos, mesh)
     else:
         wsi = jnp.take(cache["wsi"], pos, axis=0)
     batch = {

@@ -461,3 +461,37 @@ def test_gather_dispatch_policy():
     # misaligned feature dim is never eligible, on any backend
     pool_odd = jnp.zeros((4, 256, 100), jnp.float32)
     assert not gather.supported(pool_odd, idx)
+
+
+def test_gather_rows_sharded_interpret_matches_take():
+    """shard_map'd row gather on the cache layout (patch axis split over a
+    data=4 x seq=2 mesh) == jnp.take exactly, for every cache dtype. Runs the
+    kernel in interpret mode (CPU mesh); on-hardware exactness is pinned in
+    test_kernels_tpu.py."""
+    from multimodal_path_omic_tpu.ops import gather
+    from multimodal_path_omic_tpu.parallel.mesh import cache_spec, make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    mesh = make_mesh(data=4, seq=2)
+    rng = np.random.default_rng(7)
+    n, m, d = 6, 256, 128
+    idx = jnp.asarray(np.array([5, 0, 2, 5, 5], np.int32))
+    for dtype in (jnp.float32, jnp.bfloat16, jnp.int8):
+        if dtype == jnp.int8:
+            pool = jnp.asarray(rng.integers(-127, 127, size=(n, m, d)).astype(np.int8))
+        else:
+            pool = jnp.asarray(rng.normal(size=(n, m, d)).astype(np.float32)).astype(dtype)
+        from jax.sharding import NamedSharding
+
+        pool = jax.device_put(pool, NamedSharding(mesh, cache_spec("wsi")))
+        got = gather.take_rows_sharded(pool, idx, mesh, interpret=True)
+        np.testing.assert_array_equal(
+            np.asarray(got), np.asarray(jnp.take(pool, idx, axis=0))
+        )
+    # dispatch policy: off-TPU the trainer path must NOT route to the kernel
+    pool_f32 = jnp.zeros((n, m, d), jnp.float32)
+    if jax.devices()[0].platform != "tpu":
+        assert not gather.sharded_supported(pool_f32, idx, mesh)
+    # a patch axis not divisible by the mesh is never eligible
+    assert not gather.sharded_supported(jnp.zeros((n, 252, d), jnp.float32), idx, mesh)

@@ -237,3 +237,24 @@ def test_gather_rows_on_tpu_exact():
     np.testing.assert_array_equal(
         np.asarray(got), np.asarray(jnp.take(pool, idx, axis=0))
     )
+
+
+def test_gather_rows_sharded_on_tpu_exact():
+    """shard_map'd row-gather kernel == jnp.take bit-exactly on the real chip
+    (1-device mesh — the hardware kernel under the exact shard_map wrapper the
+    mesh cached path dispatches through)."""
+    from multimodal_path_omic_tpu.ops import gather
+    from multimodal_path_omic_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(data=1, seq=1)
+    rng = np.random.default_rng(11)
+    n, m, d, b = 9, 1024, 1024, 7
+    idx = jnp.asarray(rng.integers(0, n, size=(b,)).astype(np.int32))
+    pool = jnp.asarray(rng.normal(size=(n, m, d)).astype(np.float32))
+    for dtype in (jnp.float32, jnp.bfloat16):
+        p = pool.astype(dtype)
+        assert gather.sharded_supported(p, idx, mesh)
+        got = gather.take_rows_sharded(p, idx, mesh)
+        np.testing.assert_array_equal(
+            np.asarray(got), np.asarray(jnp.take(p, idx, axis=0))
+        )
