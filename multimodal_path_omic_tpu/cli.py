@@ -14,6 +14,7 @@ imports. Here one entry point drives everything:
     python -m multimodal_path_omic_tpu.cli convert-checkpoint --config cfg.yaml \
         --torch-checkpoint ref.pt --out ckpt_dir
     python -m multimodal_path_omic_tpu.cli check-data --config cfg.yaml
+    python -m multimodal_path_omic_tpu.cli profile --config cfg.yaml --top 20
     python -m multimodal_path_omic_tpu.cli cv --config cfg.yaml --folds 5
     python -m multimodal_path_omic_tpu.cli sweep --config cfg.yaml \
         --grid training.lr=1e-4,2e-4
@@ -29,6 +30,7 @@ imports. Here one entry point drives everything:
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 from typing import Any, Dict, List, Optional
 
@@ -158,6 +160,38 @@ def cmd_check_data(args) -> int:
     cfg = load_config(args.config, _parse_overrides(args.set, args))
     report = check_data(cfg)
     return 1 if report["fatal"] else 0
+
+
+def cmd_profile(args) -> int:
+    """Trace-and-rank profiler (train/profiling.py): train briefly under a
+    jax.profiler capture and print a ranked device-op report — no
+    TensorBoard needed. ``--trace-dir`` alone re-analyzes an existing
+    capture (e.g. one from ``train --profile-dir``)."""
+    from multimodal_path_omic_tpu.train.profiling import (
+        format_report,
+        parse_trace,
+        profile_training,
+    )
+
+    if args.config is None:
+        if not args.trace_dir:
+            print("profile: need --config (capture + analyze) or --trace-dir")
+            return 1
+        print(format_report(parse_trace(args.trace_dir, steps=args.steps or None),
+                            top=args.top))
+        return 0
+
+    from multimodal_path_omic_tpu.config import load_config
+    from multimodal_path_omic_tpu.train.trainer import Trainer
+
+    cfg = load_config(args.config, _parse_overrides(args.set, args))
+    trainer = Trainer(cfg)
+    trace_dir = args.trace_dir or os.path.join(
+        cfg.training.checkpoint_dir or ".", "profile_trace"
+    )
+    profile_training(trainer, trace_dir, epochs=args.epochs, top=args.top)
+    print(f"trace kept at {trace_dir} (TensorBoard-viewable)")
+    return 0
 
 
 def cmd_sweep(args) -> int:
@@ -364,6 +398,23 @@ def main(argv: Optional[List[str]] = None) -> int:
         help="float16 halves disk but bypasses the native loader (f32-only)",
     )
     p_bags.set_defaults(fn=cmd_convert_bags)
+
+    p_prof = sub.add_parser(
+        "profile",
+        help="trace a short training run and print a ranked device-op report",
+    )
+    p_prof.add_argument("--config", help="YAML config (reference schema)")
+    p_prof.add_argument("--set", action="append", metavar="KEY=VALUE",
+                        help="dotted config override, e.g. training.lr=1e-4")
+    p_prof.add_argument("--trace-dir",
+                        help="where to write the capture; alone (no --config): "
+                        "re-analyze an existing capture")
+    p_prof.add_argument("--epochs", type=int, default=1,
+                        help="traced epochs after the untraced warmup epoch")
+    p_prof.add_argument("--steps", type=int, default=0,
+                        help="with --trace-dir alone: per-step normalizer")
+    p_prof.add_argument("--top", type=int, default=25, help="ranked rows to print")
+    p_prof.set_defaults(fn=cmd_profile)
 
     # listed for --help discoverability; dispatch happens before argparse
     # (the server owns its own flag surface, see the top of main)

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import math
 import os
+import sys
 import time
 from typing import Any, Dict, List, Optional
 
@@ -289,6 +290,26 @@ class Trainer:
             hs = (jax.process_index(), self.n_processes)
             self.train_batcher.host_slice = hs
             self.val_batcher.host_slice = hs
+
+        # ----- backend report ------------------------------------------------
+        # The reference prints its CUDA device names (mcat/main.py:228-237).
+        # The TPU-native equivalent matters MORE here: on a held/contended
+        # single-tenant TPU, jax's backend init can fail and silently fall
+        # back to CPU — a run the user believes is on-chip then trains orders
+        # of magnitude slower. Report the resolved backend and warn loudly on
+        # the accelerator-requested-but-CPU-resolved mismatch.
+        backend = jax.default_backend()
+        if verbose:
+            kinds = {d.device_kind for d in jax.devices()}
+            print(f"jax backend: {backend} ({', '.join(sorted(kinds))} "
+                  f"x {jax.device_count()})")
+        if c.device in ("tpu", "cuda", "gpu") and backend == "cpu":
+            print(
+                f"WARNING: config requests device '{c.device}' but jax "
+                "initialized the CPU backend (accelerator unavailable or held "
+                "by another process) — training will run on CPU",
+                file=sys.stderr,
+            )
 
         # ----- mesh scale-out (parallel/mesh.py) ----------------------------
         self.mesh = None
@@ -1010,6 +1031,8 @@ class Trainer:
         # per-SAMPLE mean like the reference (mcat/main.py:61, 77), exact even
         # with weight-padded partial batches
         w = np.array(step_reals, float) if step_reals else np.ones(1)
+        # exposed for tooling (cli profile normalizes trace time per step)
+        self.last_epoch_steps = n_steps
         out: Dict[str, float] = {
             "train_loss": float((loss_vals * w).sum() / max(w.sum(), 1.0)),
             "epoch_seconds": time.time() - epoch_t0,

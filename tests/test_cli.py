@@ -319,3 +319,50 @@ def test_cli_serve_passthrough_delegates_to_server(monkeypatch):
     rc = cli.main(["serve", "--config", "x.yaml", "--port", "1234"])
     assert rc == 0
     assert seen["argv"] == ["--config", "x.yaml", "--port", "1234"]
+
+
+def test_cli_profile_capture_and_reanalyze(config_path, tmp_path, capsys):
+    """`cli profile` trains one untraced warmup epoch + one traced epoch,
+    prints a ranked device-op report, and the kept trace re-analyzes with
+    --trace-dir alone."""
+    trace_dir = str(tmp_path / "trace")
+    rc = cli.main([
+        "profile", "--config", config_path, "--trace-dir", trace_dir,
+        "--top", "5",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "device op-time" in out
+    assert "rank" in out
+    assert "us/step" in out  # per-step normalization via last_epoch_steps
+
+    rc = cli.main(["profile", "--trace-dir", trace_dir, "--top", "3"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "device op-time" in out
+
+    # neither --config nor --trace-dir is an error, not a crash
+    assert cli.main(["profile"]) == 1
+
+
+def test_trainer_reports_backend_and_warns_on_cpu_fallback(config_path, capsys):
+    """The Trainer prints the resolved jax backend (the reference prints its
+    CUDA devices, mcat/main.py:228-237) and warns to stderr when the config
+    requests an accelerator but jax initialized the CPU backend — the
+    silent-CPU-fallback footgun on a held single-tenant TPU."""
+    from multimodal_path_omic_tpu.config import load_config
+    from multimodal_path_omic_tpu.train.trainer import Trainer
+
+    cfg = load_config(config_path, {"device": "tpu"})
+    t = Trainer(cfg)
+    cap = capsys.readouterr()
+    assert "jax backend: cpu" in cap.out
+    assert "WARNING: config requests device 'tpu'" in cap.err
+    del t
+
+    # no warning when the config asks for what it gets
+    cfg = load_config(config_path, {"device": "cpu"})
+    Trainer(cfg)
+    cap = capsys.readouterr()
+    assert "jax backend: cpu" in cap.out
+    assert "WARNING" not in cap.err
