@@ -14,6 +14,7 @@ imports. Here one entry point drives everything:
     python -m multimodal_path_omic_tpu.cli convert-checkpoint --config cfg.yaml \
         --torch-checkpoint ref.pt --out ckpt_dir
     python -m multimodal_path_omic_tpu.cli check-data --config cfg.yaml
+    python -m multimodal_path_omic_tpu.cli plan --config cfg.yaml
     python -m multimodal_path_omic_tpu.cli profile --config cfg.yaml --top 20
     python -m multimodal_path_omic_tpu.cli cv --config cfg.yaml --folds 5
     python -m multimodal_path_omic_tpu.cli sweep --config cfg.yaml \
@@ -192,6 +193,19 @@ def cmd_profile(args) -> int:
     profile_training(trainer, trace_dir, epochs=args.epochs, top=args.top)
     print(f"trace kept at {trace_dir} (TensorBoard-viewable)")
     return 0
+
+
+def cmd_plan(args) -> int:
+    """AOT memory-fit report (train/plan.py): params + optimizer + device
+    cache + per-bucket step-program peaks vs the device's HBM, computed
+    WITHOUT running a step. Exit 1 when the estimate does not fit."""
+    from multimodal_path_omic_tpu.config import load_config
+    from multimodal_path_omic_tpu.train.plan import format_plan, memory_plan
+
+    cfg = load_config(args.config, _parse_overrides(args.set, args))
+    plan = memory_plan(cfg)
+    print(format_plan(plan))
+    return 0 if plan["fits"] else 1
 
 
 def cmd_sweep(args) -> int:
@@ -398,6 +412,13 @@ def main(argv: Optional[List[str]] = None) -> int:
         help="float16 halves disk but bypasses the native loader (f32-only)",
     )
     p_bags.set_defaults(fn=cmd_convert_bags)
+
+    p_plan = sub.add_parser(
+        "plan",
+        help="AOT memory-fit report: will this config fit the device's HBM?",
+    )
+    common(p_plan)
+    p_plan.set_defaults(fn=cmd_plan)
 
     p_prof = sub.add_parser(
         "profile",

@@ -366,3 +366,41 @@ def test_trainer_reports_backend_and_warns_on_cpu_fallback(config_path, capsys):
     cap = capsys.readouterr()
     assert "jax backend: cpu" in cap.out
     assert "WARNING" not in cap.err
+
+
+def test_cli_plan_memory_fit_report(config_path, capsys):
+    """`cli plan` AOT-compiles the per-bucket step programs and reports a
+    memory-fit verdict without running a step."""
+    rc = cli.main(["plan", "--config", config_path])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "params" in out and "optimizer state" in out
+    assert "device cache" in out and "fits the" in out
+    assert "bucket" in out and "peak" in out
+    assert "FITS" in out
+
+    # a starved cache budget flips the budget verdict (the cache would
+    # host-feed, so it no longer counts toward the peak)
+    rc = cli.main([
+        "plan", "--config", config_path,
+        "--set", "tpu.device_cache_budget_bytes=1024",
+    ])
+    out = capsys.readouterr().out
+    assert "OVER the" in out
+    assert rc == 0  # step programs alone still fit
+
+
+def test_memory_plan_structure(config_path):
+    from multimodal_path_omic_tpu.config import load_config
+    from multimodal_path_omic_tpu.train.plan import memory_plan
+
+    plan = memory_plan(load_config(config_path, {}))
+    assert plan["params_bytes"] > 0 and plan["opt_state_bytes"] > 0
+    assert plan["cache_bytes_total"] > 0
+    assert plan["n_bags"] == 16
+    rows = {r["bucket"]: r for r in plan["step_programs"]}
+    assert 128 in rows and rows[128]["argument"] > 0
+    # peak >= the program's own argument bytes (params+opt+batch live in HBM)
+    assert rows[128]["peak"] >= rows[128]["argument"]
+    assert plan["estimated_peak_bytes"] >= rows[128]["peak"]
+    assert plan["fits"] is True
