@@ -240,6 +240,43 @@ class DeviceBagCache:
         return self._position[np.asarray(rows)]
 
 
+def plan_cache_fit(
+    per_bucket: Dict[int, int],
+    counts: Dict[int, int],
+    budget_total: int,
+    *,
+    forced: bool = False,
+    multi_host: bool = False,
+) -> Tuple[Optional[List[int]], int, bool]:
+    """The ONE budget-fit policy shared by the Trainer
+    (trainer._ensure_device_cache) and the AOT planner (train/plan.py):
+    given per-bucket cache bytes and bag counts, decide what gets cached.
+
+    Returns ``(only_buckets, resident_bytes, engaged)``:
+    ``only_buckets`` None = every bucket (full cache), a list = partial cache
+    (greedy cheapest-bytes-per-bag fit), and ``engaged`` False = host feeding
+    (resident 0). Forced mode ("device_cache: on") always caches everything —
+    the budget is advisory there, which is why the planner must use this
+    helper instead of re-deriving the policy. Multi-host never partial-caches
+    (the host-fed overflow share has no per-process slice contract).
+    """
+    total = sum(per_bucket.values())
+    if forced or total <= budget_total:
+        return None, total, True
+    if multi_host:
+        return None, 0, False
+    order = sorted(per_bucket, key=lambda b: per_bucket[b] / counts[b])
+    chosen: List[int] = []
+    used = 0
+    for b in order:
+        if used + per_bucket[b] <= budget_total:
+            chosen.append(b)
+            used += per_bucket[b]
+    if not chosen:
+        return None, 0, False
+    return chosen, used, True
+
+
 def build_meta(
     indices: List[int], batch_size: int, cache: DeviceBagCache
 ) -> Tuple[Dict[str, np.ndarray], int]:

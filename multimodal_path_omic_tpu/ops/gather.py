@@ -129,14 +129,13 @@ def take_rows_sharded(pool, idx, mesh, *, interpret: bool = False):
     ``interpret`` forces the kernel's interpret mode (CPU-mesh testing).
     Callers gate on :func:`sharded_supported` (except under ``interpret``).
     """
-    from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
 
     spec = P(None, mesh.axis_names)
-    return shard_map(
+    return jax.shard_map(
         lambda p, i: gather_rows(p, i, interpret=interpret),
         mesh=mesh,
         in_specs=(spec, P()),
         out_specs=spec,
-        check_rep=False,
+        check_vma=False,
     )(pool, idx.astype(jnp.int32))

@@ -93,7 +93,12 @@ def memory_plan(config, trainer=None) -> Dict[str, Any]:
     params_b = _tree_bytes(trainer.state.params)
     opt_b = _tree_bytes(trainer.state.opt_state)
 
-    # ---- device cache footprint (what _ensure_device_cache would upload)
+    # ---- device cache footprint: the SAME budget-fit policy the Trainer
+    # runs (plan_cache_fit), so forced caches ("device_cache: on" ignores
+    # the budget) and greedy partial caches are predicted, not guessed
+    from multimodal_path_omic_tpu.data.bags import bucket_for
+    from multimodal_path_omic_tpu.data.device_cache import plan_cache_fit
+
     lengths = trainer.train_batcher._bag_lengths()
     val_lengths = (
         trainer.val_batcher._bag_lengths() if len(trainer.val_ds) else np.zeros(0)
@@ -107,12 +112,27 @@ def memory_plan(config, trainer=None) -> Dict[str, Any]:
     n_mesh = 1 if trainer.mesh is None else int(
         np.prod(list(trainer.mesh.shape.values()))
     )
-    cache_per_device = cache_total // n_mesh
+    budget = c.tpu.device_cache_budget_bytes  # per-device budget semantics
+    counts: Dict[int, int] = {}
+    for m in all_lengths:
+        b = bucket_for(int(m), trainer.buckets)
+        counts[b] = counts.get(b, 0) + 1
     cache_wanted = trainer._want_device_cache
-    budget = c.tpu.device_cache_budget_bytes
-    cache_fits = cache_per_device <= budget
+    cache_only, cache_resident, cache_engaged = (
+        plan_cache_fit(
+            per_bucket_cache, counts, budget * n_mesh,
+            forced=trainer._device_cache_forced,
+            multi_host=trainer.n_processes > 1,
+        )
+        if cache_wanted
+        else (None, 0, False)
+    )
+    cache_per_device = cache_resident // n_mesh
+    cache_fits = cache_total <= budget * n_mesh
 
-    # ---- AOT per-bucket step programs
+    # ---- AOT per-bucket step programs. On meshes the abstract batch gets
+    # the canonical shardings (parallel/mesh.py::batch_spec) so XLA's byte
+    # accounting reflects PER-DEVICE buffers, not the global batch.
     omic_total = int(sum(trainer.omic_sizes))
     buckets_used = sorted(per_bucket_cache) or list(trainer.buckets[:1])
     rows = []
@@ -121,6 +141,18 @@ def memory_plan(config, trainer=None) -> Dict[str, Any]:
             bucket, c.tpu.batch_size, dim, omic_total,
             trainer.ge_mode, trainer.transfer_dtype,
         )
+        if trainer.mesh is not None:
+            from jax.sharding import NamedSharding
+
+            from multimodal_path_omic_tpu.parallel.mesh import batch_spec
+
+            ab = {
+                k: jax.ShapeDtypeStruct(
+                    v.shape, v.dtype,
+                    sharding=NamedSharding(trainer.mesh, batch_spec(k)),
+                )
+                for k, v in ab.items()
+            }
         row: Dict[str, Any] = {"bucket": int(bucket)}
         try:
             ma = trainer.train_step.lower(trainer.state, ab).compile().memory_analysis()
@@ -130,9 +162,9 @@ def memory_plan(config, trainer=None) -> Dict[str, Any]:
         rows.append(row)
 
     peak_step = max((r.get("peak", 0) for r in rows), default=0)
-    # resident cache + the worst bucket program's own peak (whose argument
-    # bytes already include params/opt state and one batch)
-    est_peak = (cache_per_device if cache_wanted and cache_fits else 0) + peak_step
+    # resident cache (per device) + the worst bucket program's own peak
+    # (whose argument bytes already include params/opt state and one batch)
+    est_peak = cache_per_device + peak_step
     return {
         "backend": jax.default_backend(),
         "device_kind": getattr(dev, "device_kind", str(dev)),
@@ -144,8 +176,13 @@ def memory_plan(config, trainer=None) -> Dict[str, Any]:
         "cache_dtype": trainer.cache_dtype,
         "cache_bytes_per_bucket": {int(k): int(v) for k, v in per_bucket_cache.items()},
         "cache_bytes_total": int(cache_total),
+        "cache_resident_bytes": int(cache_resident),
         "cache_bytes_per_device": int(cache_per_device),
         "cache_wanted": bool(cache_wanted),
+        "cache_engaged": bool(cache_engaged),
+        "cache_partial_buckets": (
+            None if cache_only is None else [int(b) for b in cache_only]
+        ),
         "cache_budget_bytes": int(budget),
         "cache_fits_budget": bool(cache_fits),
         "n_mesh_devices": n_mesh,
@@ -179,11 +216,21 @@ def format_plan(plan: Dict[str, Any]) -> str:
         if plan["n_mesh_devices"] > 1 else ""
     )
     fit = "fits" if plan["cache_fits_budget"] else "OVER"
+    if not plan["cache_wanted"]:
+        mode = "disabled in config — host feeding"
+    elif not plan["cache_engaged"]:
+        mode = "would NOT engage — host feeding"
+    elif plan["cache_partial_buckets"] is not None:
+        mode = (
+            f"PARTIAL: buckets {plan['cache_partial_buckets']} resident "
+            f"({_mib(plan['cache_resident_bytes'])}), overflow host-feeds"
+        )
+    else:
+        mode = "full cache resident"
     lines.append(
         f"device cache ({plan['cache_dtype']}, {plan['n_bags']} bags): "
         f"{_mib(plan['cache_bytes_total'])}{mesh_note} — {fit} the "
-        f"{_mib(plan['cache_budget_bytes'])} budget"
-        + ("" if plan["cache_wanted"] else " [cache disabled in config]")
+        f"{_mib(plan['cache_budget_bytes'])} budget; {mode}"
     )
     lines.append(
         f"step programs (AOT-compiled, batch {plan['batch_size']}, "

@@ -23,10 +23,19 @@ from typing import Any, Dict, List, Optional, Tuple
 
 def _category(name: str) -> str:
     low = name.lower()
-    if low.startswith(("convolution", "dot", "cublas", "custom-call")):
+    if low.startswith(("convolution", "dot")):
         return "matmul"
-    if low.startswith(("copy", "slice", "dynamic_update_slice", "dynamic-slice",
-                       "reshape", "bitcast", "transpose", "broadcast", "concatenate",
+    if low.startswith("custom-call"):
+        # Pallas kernels (e.g. the row-gather copy kernel) lower as TPU
+        # custom calls — their own bucket, NOT matmul: the headline custom
+        # call in this framework is pure data movement
+        return "custom-call (pallas)"
+    # both spellings appear in traces: HLO instruction names use dashes
+    # (dynamic-update-slice.3), fusion names use underscores
+    # (dynamic_update_slice, bitcast_concatenate_fusion)
+    if low.startswith(("copy", "slice", "dynamic-update-slice",
+                       "dynamic_update_slice", "dynamic-slice", "reshape",
+                       "bitcast", "transpose", "broadcast", "concatenate",
                        "pad")):
         return "data movement"
     if "rng" in low:

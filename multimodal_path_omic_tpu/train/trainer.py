@@ -522,43 +522,36 @@ class Trainer:
         per_bucket = DeviceBagCache.bucket_bytes(
             all_lengths, self.buckets, dim, store_dtype=cache_dtype
         )
-        only_buckets = None
-        nbytes = sum(per_bucket.values())
-        if (
-            not self._device_cache_forced
-            and nbytes > budget
-            and self.n_processes > 1
-        ):
-            # partial caching's host-fed overflow share has no per-process
-            # slice contract; multi-host is full-cache or host-fed
+        # the budget-fit policy is shared with the AOT planner (train/plan.py)
+        # so `cli plan` predictions cannot drift from what actually happens
+        from multimodal_path_omic_tpu.data.bags import bucket_for
+        from multimodal_path_omic_tpu.data.device_cache import plan_cache_fit
+
+        counts: Dict[int, int] = {}
+        for m in all_lengths:
+            b = bucket_for(int(m), self.buckets)
+            counts[b] = counts.get(b, 0) + 1
+        only_buckets, nbytes, engaged = plan_cache_fit(
+            per_bucket, counts, budget,
+            forced=self._device_cache_forced,
+            multi_host=self.n_processes > 1,
+        )
+        if not engaged:
             if self.verbose:
+                total = sum(per_bucket.values())
+                note = (
+                    "multi-host runs do not partial-cache"
+                    if self.n_processes > 1
+                    else "no bucket fits"
+                )
                 print(
-                    f"Device dataset cache: cohort ({nbytes / (1 << 20):.0f} "
+                    f"Device dataset cache: cohort ({total / (1 << 20):.0f} "
                     f"MiB) exceeds the budget ({budget / (1 << 20):.0f} MiB) "
-                    "— multi-host runs do not partial-cache; host feeding"
+                    f"— {note}; host feeding"
                 )
             self._want_device_cache = False
             return False
-        if not self._device_cache_forced and nbytes > budget:
-            # greedy partial fit: cheapest bytes-per-bag buckets first (small
-            # buckets hold the most bags per byte)
-            from multimodal_path_omic_tpu.data.bags import bucket_for
-
-            counts: Dict[int, int] = {}
-            for m in all_lengths:
-                b = bucket_for(int(m), self.buckets)
-                counts[b] = counts.get(b, 0) + 1
-            order = sorted(per_bucket, key=lambda b: per_bucket[b] / counts[b])
-            chosen, used = [], 0
-            for b in order:
-                if used + per_bucket[b] <= budget:
-                    chosen.append(b)
-                    used += per_bucket[b]
-            if not chosen:
-                self._want_device_cache = False
-                return False
-            only_buckets = chosen
-            nbytes = used
+        if only_buckets is not None:
             self._cache_partial = True
         if self.verbose:
             scope = (

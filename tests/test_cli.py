@@ -404,3 +404,61 @@ def test_memory_plan_structure(config_path):
     assert rows[128]["peak"] >= rows[128]["argument"]
     assert plan["estimated_peak_bytes"] >= rows[128]["peak"]
     assert plan["fits"] is True
+
+
+def test_plan_cache_modes_match_trainer_policy(config_path, capsys):
+    """plan's cache verdict runs the SAME plan_cache_fit policy the Trainer
+    does: forced caches ignore the budget (and count toward the peak),
+    partial caches count their resident share, host-feed counts zero."""
+    from multimodal_path_omic_tpu.config import load_config
+    from multimodal_path_omic_tpu.train.plan import format_plan, memory_plan
+
+    # forced over a starved budget: the trainer uploads EVERYTHING, so the
+    # plan must count the full cache
+    plan = memory_plan(load_config(config_path, {
+        "tpu.device_cache": "on", "tpu.device_cache_budget_bytes": 1024,
+    }))
+    assert plan["cache_engaged"] and plan["cache_partial_buckets"] is None
+    assert plan["cache_resident_bytes"] == plan["cache_bytes_total"]
+    assert plan["estimated_peak_bytes"] >= plan["cache_bytes_total"]
+    assert "full cache resident" in format_plan(plan)
+
+    # auto with a budget covering only one bucket: greedy partial
+    probe = memory_plan(load_config(config_path, {"tpu.bag_buckets": [64, 128]}))
+    per_bucket = probe["cache_bytes_per_bucket"]
+    assert set(per_bucket) == {64, 128}
+    cheap = min(per_bucket, key=lambda b: per_bucket[b])
+    budget = per_bucket[cheap] + min(per_bucket.values()) // 2
+    plan = memory_plan(load_config(config_path, {
+        "tpu.bag_buckets": [64, 128],
+        "tpu.device_cache_budget_bytes": int(budget),
+    }))
+    assert plan["cache_engaged"] and plan["cache_partial_buckets"] is not None
+    assert 0 < plan["cache_resident_bytes"] < plan["cache_bytes_total"]
+    assert "PARTIAL: buckets" in format_plan(plan)
+
+    # auto with nothing fitting: host feeding, zero resident
+    plan = memory_plan(load_config(config_path, {
+        "tpu.device_cache_budget_bytes": 1024,
+    }))
+    assert not plan["cache_engaged"]
+    assert plan["cache_resident_bytes"] == 0
+    assert "would NOT engage" in format_plan(plan)
+
+
+def test_plan_mesh_accounts_per_device_bytes(config_path):
+    """On a mesh config the abstract batch carries the canonical shardings,
+    so XLA's argument accounting is per-device (smaller than the unsharded
+    program's), and the cache row reports the per-device share."""
+    from multimodal_path_omic_tpu.config import load_config
+    from multimodal_path_omic_tpu.train.plan import memory_plan
+
+    single = memory_plan(load_config(config_path, {}))
+    mesh = memory_plan(load_config(config_path, {
+        "tpu.data_axis": 4, "tpu.seq_axis": 2,
+    }))
+    assert mesh["n_mesh_devices"] == 8
+    assert mesh["cache_bytes_per_device"] * 8 <= mesh["cache_bytes_total"] + 8
+    s_arg = single["step_programs"][0]["argument"]
+    m_arg = mesh["step_programs"][0]["argument"]
+    assert m_arg < s_arg  # the batch share shrank; replicated params remain
