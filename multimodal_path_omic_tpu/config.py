@@ -122,6 +122,15 @@ class TrainingConfig:
     warmup_epochs: int = 0
     min_lr: float = 0.0
     step_size: int = 10
+    # Patch dropout: each TRAIN step hides this fraction of every bag's real
+    # patches from attention (seeded, per bag per step; eval always sees the
+    # full bag). The TPU-native form of the patch-subsampling regularizer
+    # common in large-scale MIL: static shapes, dynamic masks — the masked
+    # softmax excludes hidden patches EXACTLY on every path (XLA, fused
+    # kernel, ring, seq-parallel). 0 disables (the reference has no
+    # equivalent). Bags whose every real patch would be hidden keep their
+    # full mask instead.
+    patch_dropout: float = 0.0
 
     def __post_init__(self):
         if self.loss not in VALID_LOSSES:
@@ -155,6 +164,10 @@ class TrainingConfig:
             raise ValueError(
                 f"step_size must be >= 1 (epochs between step-LR decays), "
                 f"got {self.step_size}"
+            )
+        if not 0.0 <= self.patch_dropout < 1.0:
+            raise ValueError(
+                f"patch_dropout must be in [0, 1), got {self.patch_dropout}"
             )
         if self.early_stopping < 0:
             raise ValueError(

@@ -22,6 +22,7 @@ import jax.numpy as jnp
 import optax
 
 from multimodal_path_omic_tpu.ops import losses as L
+from multimodal_path_omic_tpu.ops.layers import fast_keep_mask
 
 
 class TrainState(NamedTuple):
@@ -109,6 +110,7 @@ def make_train_step(
     ge_mode: bool = False,
     omic_sizes: Optional[Tuple[int, ...]] = None,
     donate_state: bool = False,
+    patch_dropout: float = 0.0,
 ) -> Callable:
     """Build the jitted train step.
 
@@ -133,6 +135,7 @@ def make_train_step(
         model, loss_name, optimizer, alpha=alpha, l1_lambda=l1_lambda,
         patch_budget=patch_budget, ge_mode=ge_mode, omic_sizes=omic_sizes,
         donate_state=donate_state, need_attention=need_attention, multi=False,
+        patch_dropout=patch_dropout,
     )
 
 
@@ -147,6 +150,7 @@ def make_multi_train_step(
     ge_mode: bool = False,
     omic_sizes: Optional[Tuple[int, ...]] = None,
     donate_state: bool = False,
+    patch_dropout: float = 0.0,
 ) -> Callable:
     """Multi-step dispatch: ONE jitted call runs K sequential optimizer steps
     (``lax.scan``) over a stacked batch dict whose arrays carry a leading
@@ -159,6 +163,7 @@ def make_multi_train_step(
         model, loss_name, optimizer, alpha=alpha, l1_lambda=l1_lambda,
         patch_budget=patch_budget, ge_mode=ge_mode, omic_sizes=omic_sizes,
         donate_state=donate_state, need_attention=need_attention, multi=True,
+        patch_dropout=patch_dropout,
     )
 
 
@@ -173,6 +178,7 @@ def make_cached_train_step(
     ge_mode: bool = False,
     omic_sizes: Optional[Tuple[int, ...]] = None,
     donate_state: bool = False,
+    patch_dropout: float = 0.0,
     multi: bool = False,
     mesh=None,
 ) -> Callable:
@@ -191,7 +197,7 @@ def make_cached_train_step(
         model, loss_name, optimizer, alpha=alpha, l1_lambda=l1_lambda,
         patch_budget=patch_budget, ge_mode=ge_mode, omic_sizes=omic_sizes,
         donate_state=donate_state, need_attention=need_attention, multi=multi,
-        cached=True, mesh=mesh,
+        cached=True, mesh=mesh, patch_dropout=patch_dropout,
     )
 
 
@@ -288,8 +294,26 @@ def stack_batches(batches):
 def _build_step(
     model, loss_name, optimizer, *, alpha, l1_lambda, patch_budget, ge_mode,
     omic_sizes, donate_state, need_attention, multi, cached=False, mesh=None,
+    patch_dropout=0.0,
 ):
     def forward_loss(params, rng, wsi, mask, omics, label, censorship, months, weight):
+        if patch_dropout:
+            # Patch dropout (training.patch_dropout): hide a seeded random
+            # fraction of each bag's REAL patches from this step's attention.
+            # The masked softmax excludes hidden patches EXACTLY on every
+            # path (XLA, fused kernel, ring, seq-parallel — all
+            # equality-tested), so this composes with any feed/mesh/kernel
+            # configuration. Static shapes, dynamic masks: the TPU-native
+            # form of MIL patch subsampling. Salted fold_in keeps the stream
+            # independent of the model's own dropout rngs.
+            keep, _ = fast_keep_mask(
+                jax.random.fold_in(rng, 0x9A7C), patch_dropout, mask.shape
+            )
+            dropped = jnp.logical_and(mask, keep)
+            # a bag whose every real patch was hidden keeps its full mask
+            # (an all-masked bag would NaN the masked softmax)
+            any_kept = jnp.any(dropped, axis=1, keepdims=True)
+            mask = jnp.where(any_kept, dropped, mask)
         out = model.apply(
             {"params": params},
             wsi,

@@ -412,6 +412,7 @@ class Trainer:
             ge_mode=self.ge_mode,
             omic_sizes=tuple(self.omic_sizes),
             donate_state=True,  # Trainer steps form a linear state chain
+            patch_dropout=c.training.patch_dropout,
         )
         self.eval_step = make_eval_step(
             self.model, c.training.loss, alpha=c.training.alpha,
@@ -443,6 +444,7 @@ class Trainer:
                 ge_mode=self.ge_mode,
                 omic_sizes=tuple(self.omic_sizes),
                 donate_state=True,
+                patch_dropout=c.training.patch_dropout,
             )
             if self.steps_per_dispatch > 1
             else None
@@ -599,6 +601,7 @@ class Trainer:
             ge_mode=self.ge_mode,
             omic_sizes=tuple(self.omic_sizes),
             donate_state=True,
+            patch_dropout=c.training.patch_dropout,
             mesh=self.mesh,
         )
         self._cached_steps = (

@@ -1439,3 +1439,112 @@ def test_cosine_scheduler_e2e(tmp_path):
         TrainingConfig(warmup_epochs=-1)
     with _pytest.raises(ValueError):
         TrainingConfig(step_size=0)
+
+
+# ---------------------------------------------------------------------------
+# training.patch_dropout: per-step seeded hiding of real patches (TPU-native
+# MIL patch subsampling — static shapes, dynamic masks)
+# ---------------------------------------------------------------------------
+
+
+def test_patch_dropout_equals_premasked_batch():
+    """A step with patch_dropout=p must equal a patch_dropout=0 step whose
+    batch mask was pre-ANDed with the SAME seeded keep mask (reconstructed
+    from the identical PRNG stream) — proving the implementation is exactly
+    'mask out hidden patches', nothing else."""
+    from multimodal_path_omic_tpu.models import MCAT
+    from multimodal_path_omic_tpu.ops.layers import fast_keep_mask
+
+    p = 0.5
+    rng = np.random.default_rng(3)
+    b, m = 4, 32
+    batch = {
+        "wsi": jnp.array(rng.normal(size=(b, m, 1024)), jnp.float32),
+        "mask": jnp.array(rng.random((b, m)) < 0.8),
+        "omics": [jnp.array(rng.normal(size=(b, 8)), jnp.float32)],
+        "label": jnp.array(rng.integers(0, 4, b), jnp.int32),
+        "censorship": jnp.array(rng.integers(0, 2, b), jnp.float32),
+        "survival_months": jnp.array(rng.uniform(1, 100, b), jnp.float32),
+        "weight": jnp.ones((b,), jnp.float32),
+    }
+    model = MCAT(n_signatures=1, model_size="small")
+    opt = make_optimizer("adam", 1e-3, 1e-5)
+    params = model.init(
+        jax.random.key(0), batch["wsi"], batch["omics"], batch["mask"]
+    )["params"]
+    state = TrainState(
+        params, opt.init(params), jax.random.key(7), jnp.zeros((), jnp.int32)
+    )
+
+    step_pd = make_train_step(model, "ces", opt, patch_dropout=p)
+    out_pd, m_pd = step_pd(state, dict(batch))
+
+    # reconstruct the keep mask from the same stream the step derives
+    # (state.rng -> split -> step_rng -> split(accum=1) -> fold_in(salt))
+    _, step_rng = jax.random.split(state.rng)
+    chunk_rng = jax.random.split(step_rng, 1)[0]
+    keep, _ = fast_keep_mask(
+        jax.random.fold_in(chunk_rng, 0x9A7C), p, batch["mask"].shape
+    )
+    dropped = jnp.logical_and(batch["mask"], keep)
+    any_kept = jnp.any(dropped, axis=1, keepdims=True)
+    premasked = dict(batch, mask=jnp.where(any_kept, dropped, batch["mask"]))
+    # some patches must actually be hidden for the test to mean anything
+    assert int(premasked["mask"].sum()) < int(batch["mask"].sum())
+
+    step_plain = make_train_step(model, "ces", opt)
+    out_plain, m_plain = step_plain(state, premasked)
+
+    assert float(m_pd.loss) == float(m_plain.loss)
+    for a, c in zip(
+        jax.tree_util.tree_leaves(out_pd.params),
+        jax.tree_util.tree_leaves(out_plain.params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+
+    # and it differs from the undropped step (the knob does something)
+    out_off, m_off = step_plain(state, dict(batch))
+    assert float(m_off.loss) != float(m_pd.loss)
+
+
+def test_patch_dropout_empty_bag_guard():
+    """At an extreme rate, bags whose every real patch would be hidden fall
+    back to their full mask — the loss stays finite (no all-masked softmax
+    NaNs) and training proceeds."""
+    from multimodal_path_omic_tpu.models import MCAT
+
+    rng = np.random.default_rng(5)
+    b, m = 4, 8
+    mask = np.zeros((b, m), bool)
+    mask[:, :2] = True  # 2 real patches per bag: 0.99^2 drop-all is common
+    batch = {
+        "wsi": jnp.array(rng.normal(size=(b, m, 1024)), jnp.float32),
+        "mask": jnp.array(mask),
+        "omics": [jnp.array(rng.normal(size=(b, 8)), jnp.float32)],
+        "label": jnp.array(rng.integers(0, 4, b), jnp.int32),
+        "censorship": jnp.array(rng.integers(0, 2, b), jnp.float32),
+        "survival_months": jnp.array(rng.uniform(1, 100, b), jnp.float32),
+        "weight": jnp.ones((b,), jnp.float32),
+    }
+    model = MCAT(n_signatures=1, model_size="small")
+    opt = make_optimizer("adam", 1e-3, 1e-5)
+    params = model.init(
+        jax.random.key(0), batch["wsi"], batch["omics"], batch["mask"]
+    )["params"]
+    state = TrainState(
+        params, opt.init(params), jax.random.key(11), jnp.zeros((), jnp.int32)
+    )
+    step = make_train_step(model, "ces", opt, patch_dropout=0.99)
+    for _ in range(3):
+        state, metrics = step(state, batch)
+        assert np.isfinite(float(metrics.loss))
+
+
+def test_patch_dropout_config_validation():
+    from multimodal_path_omic_tpu.config import TrainingConfig
+
+    with pytest.raises(ValueError):
+        TrainingConfig(patch_dropout=1.0)
+    with pytest.raises(ValueError):
+        TrainingConfig(patch_dropout=-0.1)
+    assert TrainingConfig(patch_dropout=0.25).patch_dropout == 0.25
