@@ -110,7 +110,9 @@ def cmd_predict(args) -> int:
     predictor = Predictor.from_config(
         cfg, checkpoint=args.checkpoint, torch_checkpoint=args.torch_checkpoint
     )
-    path = predictor.predict_to_csv(args.out)
+    path = predictor.predict_to_csv(
+        args.out, mc_samples=args.mc, mc_seed=args.mc_seed
+    )
     print(f"Predictions written to {path}")
     return 0
 
@@ -324,6 +326,11 @@ def main(argv: Optional[List[str]] = None) -> int:
     common(p_pred)
     p_pred.add_argument("--checkpoint")
     p_pred.add_argument("--out", required=True, help="output CSV path")
+    p_pred.add_argument("--mc", type=int, default=0,
+                        help="MC-dropout samples: add risk_mc_std / y_*_mc_std "
+                        "predictive-uncertainty columns from N stochastic "
+                        "forwards (0 = off)")
+    p_pred.add_argument("--mc-seed", type=int, default=0)
     p_pred.set_defaults(fn=cmd_predict)
 
     p_conv = sub.add_parser(

@@ -36,6 +36,37 @@ class Predictor:
         # and no second per-bucket compile when one process validates AND
         # predicts
         self.eval_step = trainer.eval_step
+        self._mc_steps: Dict[int, Any] = {}  # n_samples -> jitted MC step
+
+    def _mc_step(self, n_samples: int):
+        """Lazily-built MC-dropout step (train/loop.py::make_mc_eval_step),
+        cached per sample count so repeated calls reuse the program."""
+        if n_samples not in self._mc_steps:
+            from multimodal_path_omic_tpu.train.loop import make_mc_eval_step
+
+            t = self._t
+            self._mc_steps[n_samples] = make_mc_eval_step(
+                t.model, n_samples, ge_mode=t.ge_mode,
+                omic_sizes=tuple(t.omic_sizes),
+            )
+        return self._mc_steps[n_samples]
+
+    def _mc_augment(self, out, dev_batch, real, mc_samples, mc_seed):
+        """Run the MC-dropout step on an already-staged device batch and merge
+        the de-batched uncertainty columns into ``out``."""
+        import jax
+
+        res = self._mc_step(mc_samples)(
+            self._t.state.params, dev_batch, jax.random.key(mc_seed)
+        )
+        keys = (
+            ("y_mean", "y_std") if self._t.ge_mode
+            else ("risk_mean", "risk_std", "survs_mean", "survs_std",
+                  "hazards_mean", "y_mean", "y_std")
+        )
+        for k in keys:
+            out[k] = np.asarray(res[k])[:real]
+        return out
 
     @classmethod
     def from_config(
@@ -85,10 +116,16 @@ class Predictor:
         return warmed
 
     # ------------------------------------------------------------------ single
-    def predict_bag(self, bag: np.ndarray, omics=None) -> Dict[str, np.ndarray]:
+    def predict_bag(
+        self, bag: np.ndarray, omics=None,
+        mc_samples: int = 0, mc_seed: int = 0,
+    ) -> Dict[str, np.ndarray]:
         """Score one bag [M, 1024] (+ omics signature list for survival models).
 
         The bag is padded to its bucket; outputs are de-batched.
+        ``mc_samples`` > 0 adds MC-dropout predictive uncertainty columns
+        (risk_mean/risk_std/... — see make_mc_eval_step) from that many
+        stochastic forwards seeded by ``mc_seed``.
         """
         t = self._t
         bucket = bucket_for(bag.shape[0], t.buckets)
@@ -105,8 +142,11 @@ class Predictor:
             batch["omics"] = [np.asarray(o, np.float32)[None] for o in omics]
             batch["censorship"] = np.zeros((1,), np.float32)
             batch["survival_months"] = np.zeros((1,), np.float32)
-        res = self.eval_step(t.state.params, t._device_batch(batch))
-        return self._debatch(res, 1)
+        dev = t._device_batch(batch)
+        out = self._debatch(self.eval_step(t.state.params, dev), 1)
+        if mc_samples > 0:
+            out = self._mc_augment(out, dev, 1, mc_samples, mc_seed)
+        return out
 
     # ------------------------------------------------------------------ multi
     def predict_bags(self, bags, omics=None) -> Dict[str, np.ndarray]:
@@ -165,9 +205,12 @@ class Predictor:
         return {k: np.stack(v) for k, v in slots.items()}
 
     # ----------------------------------------------------------------- dataset
-    def predict_dataset(self, dataset=None) -> Dict[str, np.ndarray]:
+    def predict_dataset(
+        self, dataset=None, mc_samples: int = 0, mc_seed: int = 0,
+    ) -> Dict[str, np.ndarray]:
         """Score every sample of a dataset (defaults to the full config
-        dataset); returns column arrays aligned with ``slide_id``."""
+        dataset); returns column arrays aligned with ``slide_id``.
+        ``mc_samples`` > 0 adds MC-dropout uncertainty columns per sample."""
         t = self._t
         if dataset is None:
             dataset = t.dataset
@@ -197,6 +240,8 @@ class Predictor:
             real = int(batch["weight"].sum())
             res = self.eval_step(t.state.params, dev)
             out = self._debatch(res, real)
+            if mc_samples > 0:
+                out = self._mc_augment(out, dev, real, mc_samples, mc_seed)
             out["slide_id"] = np.array(
                 [dataset.slide_id(int(i)) for i in batch["index"][:real]]
             )
@@ -204,10 +249,12 @@ class Predictor:
                 rows.setdefault(k, []).append(v)
         return {k: np.concatenate(v) for k, v in rows.items()}
 
-    def predict_to_csv(self, path: str, dataset=None) -> str:
+    def predict_to_csv(
+        self, path: str, dataset=None, mc_samples: int = 0, mc_seed: int = 0,
+    ) -> str:
         import pandas as pd
 
-        cols = self.predict_dataset(dataset)
+        cols = self.predict_dataset(dataset, mc_samples=mc_samples, mc_seed=mc_seed)
         flat: Dict[str, Any] = {"slide_id": cols["slide_id"]}
         if "risk" in cols:
             flat["risk"] = cols["risk"]
@@ -216,6 +263,12 @@ class Predictor:
                 flat[f"surv_{j}"] = cols["survs"][:, j]
         for j in range(cols["y"].shape[1]):
             flat[f"y_{j}"] = cols["y"][:, j]
+        if mc_samples > 0:
+            if "risk_std" in cols:
+                flat["risk_mc_mean"] = cols["risk_mean"]
+                flat["risk_mc_std"] = cols["risk_std"]
+            for j in range(cols["y_std"].shape[1]):
+                flat[f"y_{j}_mc_std"] = cols["y_std"][:, j]
         pd.DataFrame(flat).to_csv(path, index=False)
         return path
 

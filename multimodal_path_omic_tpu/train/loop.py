@@ -549,6 +549,59 @@ def make_eval_step(
     return eval_step
 
 
+def make_mc_eval_step(
+    model, n_samples: int, *, ge_mode: bool = False,
+    omic_sizes: Optional[Tuple[int, ...]] = None,
+) -> Callable:
+    """Monte-Carlo-dropout predictive uncertainty (Gal & Ghahramani 2016):
+    ``mc_step(params, batch, rng)`` runs ``n_samples`` stochastic forwards
+    with the model's OWN dropout active at inference and returns the
+    predictive mean and standard deviation — risk/survs for survival models,
+    class probabilities for GE. Sequential ``lax.map`` over sample keys keeps
+    memory at one batch regardless of ``n_samples``; the batch is scored in
+    ONE device call. The reference has no uncertainty surface at all (its
+    only inference is the leave-one-out test loop, mcat/main.py:158-183)."""
+
+    @jax.jit
+    def mc_step(params, batch, rng):
+        batch = _dequant_wsi(batch, getattr(model, "dtype", None))
+        keys = jax.random.split(rng, n_samples)
+
+        def one(key):
+            out = model.apply(
+                {"params": params},
+                batch["wsi"],
+                *(() if ge_mode else (_unpack_omics(batch, omic_sizes),)),
+                batch["mask"],
+                deterministic=False,
+                need_attention=False,
+                rngs={"dropout": key},
+            )
+            if ge_mode:
+                y, _attn = out
+                b = y.shape[0]
+                z = jnp.zeros((b,), y.dtype)
+                return y, z[:, None], z[:, None], z
+            return out.y, out.hazards, out.survs, -jnp.sum(out.survs, axis=1)
+
+        ys, hazards, survs, risks = jax.lax.map(one, keys)
+        res = {
+            "y_mean": ys.mean(axis=0),
+            "y_std": ys.std(axis=0),
+        }
+        if not ge_mode:
+            res.update(
+                risk_mean=risks.mean(axis=0),
+                risk_std=risks.std(axis=0),
+                hazards_mean=hazards.mean(axis=0),
+                survs_mean=survs.mean(axis=0),
+                survs_std=survs.std(axis=0),
+            )
+        return res
+
+    return mc_step
+
+
 def make_multi_eval_step(
     model, loss_name: str, *, alpha: float = 0.75, ge_mode: bool = False,
     need_attention: bool = False, omic_sizes: Optional[Tuple[int, ...]] = None,

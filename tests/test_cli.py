@@ -462,3 +462,46 @@ def test_plan_mesh_accounts_per_device_bytes(config_path):
     s_arg = single["step_programs"][0]["argument"]
     m_arg = mesh["step_programs"][0]["argument"]
     assert m_arg < s_arg  # the batch share shrank; replicated params remain
+
+
+def test_predictor_mc_dropout_uncertainty(config_path):
+    """MC-dropout uncertainty: mc_samples stochastic forwards give a positive
+    risk_std (the model trains with p=0.25 dropout), seeded-deterministic
+    across calls, without touching the deterministic prediction columns."""
+    import yaml as _yaml
+
+    from multimodal_path_omic_tpu.config import config_from_dict
+    from multimodal_path_omic_tpu.serve import Predictor
+
+    cfg = config_from_dict(_yaml.safe_load(open(config_path)))
+    pred = Predictor.from_config(cfg)
+    ds = pred._t.dataset
+    _, _, _, omics, bag = ds[0]
+
+    plain = pred.predict_bag(bag, omics)
+    out = pred.predict_bag(bag, omics, mc_samples=8, mc_seed=3)
+    assert float(out["risk_std"][0]) > 0.0
+    assert out["survs_mean"].shape == (1, 4)
+    # deterministic columns are untouched by the MC pass
+    np.testing.assert_array_equal(out["risk"], plain["risk"])
+
+    again = pred.predict_bag(bag, omics, mc_samples=8, mc_seed=3)
+    np.testing.assert_array_equal(out["risk_mean"], again["risk_mean"])
+    np.testing.assert_array_equal(out["risk_std"], again["risk_std"])
+    other = pred.predict_bag(bag, omics, mc_samples=8, mc_seed=4)
+    assert float(other["risk_mean"][0]) != float(out["risk_mean"][0])
+
+
+def test_cli_predict_mc_columns(config_path, tmp_path, capsys):
+    out_csv = str(tmp_path / "preds_mc.csv")
+    rc = cli.main([
+        "predict", "--config", config_path, "--out", out_csv, "--mc", "4",
+    ])
+    assert rc == 0
+    import pandas as pd
+
+    df = pd.read_csv(out_csv)
+    assert "risk_mc_std" in df.columns and "risk_mc_mean" in df.columns
+    assert "y_0_mc_std" in df.columns
+    assert (df["risk_mc_std"] > 0).all()
+    assert len(df) == 16
