@@ -31,6 +31,11 @@ Endpoints:
   per batch_size bags instead of one per bag; response arrays are
   row-aligned with the request order.
 
+The single-bag endpoints accept ``?mc=N&mc_seed=S`` for MC-dropout
+predictive uncertainty: N stochastic forwards in one device call add
+risk_mean/risk_std/... fields to the response (serve.Predictor
+``mc_samples``). MC requests bypass the dynamic batcher.
+
 Connections are handled on threads (payload read + npz parse + JSON
 serialization overlap device compute); INFERENCE itself is serialized by a
 lock — the device is the bottleneck, and jit-per-bucket means the first
@@ -280,12 +285,18 @@ class PredictHandler(BaseHTTPRequestHandler):
         self._infer_seconds = 0.0
         n_bytes = int(self.headers.get("Content-Length") or 0)
         self._handle_post()
+        from urllib.parse import urlsplit
+
         self.metrics.observe(
-            self.path, getattr(self, "_last_code", 500),
+            urlsplit(self.path).path, getattr(self, "_last_code", 500),
             self._infer_seconds, n_bytes,
         )
 
     def _handle_post(self):
+        from urllib.parse import parse_qs, urlsplit
+
+        parts = urlsplit(self.path)
+        path = parts.path
         if self.headers.get("Transfer-Encoding", "").lower() == "chunked":
             # not decoded here; without closing, the unread chunked body
             # would be parsed as the NEXT request on the keep-alive socket
@@ -294,8 +305,19 @@ class PredictHandler(BaseHTTPRequestHandler):
             return
         n = int(self.headers.get("Content-Length", 0))
         raw = self.rfile.read(n)
+        # query validation AFTER draining the body: replying while the client
+        # is still streaming a multi-MB payload breaks its send (EPIPE)
         try:
-            if self.path == "/predict":
+            q = parse_qs(parts.query)
+            mc = int(q.get("mc", ["0"])[0])
+            mc_seed = int(q.get("mc_seed", ["0"])[0])
+            if not 0 <= mc <= 256:
+                raise ValueError("mc must be in [0, 256]")
+        except ValueError as exc:
+            self._reply(400, {"error": f"bad query: {exc}"})
+            return
+        try:
+            if path == "/predict":
                 req = json.loads(raw)
                 wsi = np.asarray(req["wsi"], np.float32)
                 omics = (
@@ -303,7 +325,7 @@ class PredictHandler(BaseHTTPRequestHandler):
                     if "omics" in req
                     else None
                 )
-            elif self.path == "/predict_npz":
+            elif path == "/predict_npz":
                 with np.load(io.BytesIO(raw)) as z:
                     wsi = np.asarray(z["wsi"], np.float32)
                     # numeric sort: lexicographic would put omic_10 before
@@ -314,7 +336,7 @@ class PredictHandler(BaseHTTPRequestHandler):
                         key=lambda k: int(k.split("_")[1]),
                     )
                     omics = [np.asarray(z[k], np.float32) for k in keys] or None
-            elif self.path == "/predict_batch_npz":
+            elif path == "/predict_batch_npz":
                 with np.load(io.BytesIO(raw)) as z:
                     n_bags = sum(1 for k in z.files if k.startswith("wsi_"))
                     if n_bags == 0:
@@ -350,7 +372,15 @@ class PredictHandler(BaseHTTPRequestHandler):
             return
         try:
             t0 = time.perf_counter()
-            if self.batcher is not None:
+            if mc > 0:
+                # MC-dropout uncertainty (?mc=N&mc_seed=S): N stochastic
+                # forwards in one device call (serve.Predictor). Bypasses the
+                # dynamic batcher — MC requests don't co-batch.
+                with self.infer_lock:
+                    out = self.predictor.predict_bag(
+                        wsi, omics=omics, mc_samples=mc, mc_seed=mc_seed
+                    )
+            elif self.batcher is not None:
                 # the batcher serializes device work on infer_lock itself;
                 # co-arriving requests share one predict_bags dispatch
                 out = self.batcher.predict_bag(wsi, omics=omics)

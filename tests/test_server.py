@@ -530,3 +530,41 @@ def test_dynamic_batcher_close_drains_and_rejects():
     assert not b._thread.is_alive()
     with pytest.raises(RuntimeError, match="closed"):
         b.predict_bag(np.zeros((4, 8), np.float32))
+
+
+def test_predict_mc_query(served):
+    """?mc=N on the single-bag endpoints returns MC-dropout uncertainty
+    fields matching Predictor.predict_bag(mc_samples=N) exactly (same seed),
+    and bad mc values get a 400."""
+    base, trainer = served
+    rng = np.random.default_rng(9)
+    wsi = rng.normal(size=(60, 1024)).astype(np.float32)
+    omics = [rng.normal(size=(s,)).astype(np.float32) for s in trainer.omic_sizes]
+    status, body = _post(
+        base + "/predict?mc=6&mc_seed=2",
+        json.dumps({"wsi": wsi.tolist(), "omics": [o.tolist() for o in omics]}).encode(),
+    )
+    assert status == 200
+    assert float(np.asarray(body["risk_std"])[0]) > 0.0
+    direct = Predictor(trainer).predict_bag(wsi, omics=omics, mc_samples=6, mc_seed=2)
+    np.testing.assert_allclose(
+        np.asarray(body["risk_mean"]), np.asarray(direct["risk_mean"]), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(body["risk_std"]), np.asarray(direct["risk_std"]), atol=1e-5
+    )
+    # deterministic fields still present and unchanged
+    plain = Predictor(trainer).predict_bag(wsi, omics=omics)
+    np.testing.assert_allclose(
+        np.asarray(body["risk"]), np.asarray(plain["risk"]), atol=1e-5
+    )
+
+    payload = json.dumps(
+        {"wsi": wsi.tolist(), "omics": [o.tolist() for o in omics]}
+    ).encode()
+    for bad in ("mc=-1", "mc=bogus", "mc=9999"):
+        try:
+            status, body = _post(base + "/predict?" + bad, payload)
+        except urllib.error.HTTPError as e:
+            status, body = e.code, json.loads(e.read())
+        assert status == 400 and "bad query" in body["error"]
