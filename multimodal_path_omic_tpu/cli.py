@@ -17,6 +17,8 @@ imports. Here one entry point drives everything:
     python -m multimodal_path_omic_tpu.cli plan --config cfg.yaml
     python -m multimodal_path_omic_tpu.cli profile --config cfg.yaml --top 20
     python -m multimodal_path_omic_tpu.cli cv --config cfg.yaml --folds 5
+    python -m multimodal_path_omic_tpu.cli stratify --config cfg.yaml \
+        --checkpoint ... --png km.png
     python -m multimodal_path_omic_tpu.cli sweep --config cfg.yaml \
         --grid training.lr=1e-4,2e-4
     python -m multimodal_path_omic_tpu.cli predict --config cfg.yaml \
@@ -114,6 +116,30 @@ def cmd_predict(args) -> int:
         args.out, mc_samples=args.mc, mc_seed=args.mc_seed
     )
     print(f"Predictions written to {path}")
+    return 0
+
+
+def cmd_stratify(args) -> int:
+    """Risk stratification (train/analysis.py): KM groups + log-rank test,
+    the statistic/figure the MCAT-family papers report."""
+    from multimodal_path_omic_tpu.config import load_config
+    from multimodal_path_omic_tpu.train.analysis import stratify
+
+    cfg = load_config(args.config, _parse_overrides(args.set, args))
+    result = stratify(
+        cfg,
+        checkpoint=args.checkpoint,
+        torch_checkpoint=args.torch_checkpoint,
+        quantile=args.quantile,
+        split=args.split,
+        out_csv=args.out,
+        png=args.png,
+        mc_samples=args.mc,
+    )
+    if args.json:
+        import json as _json
+
+        print(_json.dumps({k: v for k, v in result.items() if k != "km"}))
     return 0
 
 
@@ -419,6 +445,23 @@ def main(argv: Optional[List[str]] = None) -> int:
         help="float16 halves disk but bypasses the native loader (f32-only)",
     )
     p_bags.set_defaults(fn=cmd_convert_bags)
+
+    p_strat = sub.add_parser(
+        "stratify",
+        help="KM risk groups + log-rank test from a trained model",
+    )
+    common(p_strat)
+    p_strat.add_argument("--checkpoint")
+    p_strat.add_argument("--quantile", type=float, default=0.5,
+                         help="risk cut point (0.5 = median split)")
+    p_strat.add_argument("--split", default="val", choices=("val", "train", "all"))
+    p_strat.add_argument("--out", help="per-slide CSV (slide_id, risk, group, ...)")
+    p_strat.add_argument("--png", help="render the KM figure here")
+    p_strat.add_argument("--mc", type=int, default=0,
+                         help="MC-dropout samples for risk_mc_std CSV column")
+    p_strat.add_argument("--json", action="store_true",
+                         help="also print the result summary as one JSON line")
+    p_strat.set_defaults(fn=cmd_stratify)
 
     p_plan = sub.add_parser(
         "plan",

@@ -254,3 +254,81 @@ def concordance_index_censored_bruteforce(
 def survival_risk(survs: np.ndarray) -> np.ndarray:
     """Risk score from survival curve: -sum_j S_j (reference: mcat/main.py:56)."""
     return -np.sum(np.asarray(survs, dtype=float), axis=-1)
+
+
+def kaplan_meier(
+    event_time: np.ndarray, event: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Product-limit (Kaplan-Meier) survival estimate.
+
+    ``event`` is the EVENT indicator (1 = death observed; the reference's
+    CSV stores censorship, so pass ``1 - censorship``). Returns
+    ``(times, S(t))`` at each distinct event time: S = prod(1 - d_i / n_i)
+    over event times <= t with d_i events among n_i still at risk. The
+    reference has no survival-curve estimation at all (its only metric is
+    the c-index, mcat/main.py:81).
+    """
+    t = np.asarray(event_time, dtype=float)
+    e = np.asarray(event, dtype=bool)
+    order = np.argsort(t, kind="stable")
+    t, e = t[order], e[order]
+    times, s, surv = [], 1.0, []
+    n = len(t)
+    i = 0
+    while i < n:
+        j = i
+        while j < n and t[j] == t[i]:
+            j += 1
+        d = int(e[i:j].sum())  # events at this time
+        at_risk = n - i
+        if d > 0:
+            s *= 1.0 - d / at_risk
+            times.append(t[i])
+            surv.append(s)
+        i = j
+    return np.asarray(times), np.asarray(surv)
+
+
+def logrank_test(
+    event_time: np.ndarray, event: np.ndarray, group: np.ndarray
+) -> Tuple[float, float]:
+    """Two-group log-rank test: ``(chi2, p_value)``.
+
+    Standard Mantel-Cox statistic: at each distinct event time, compare
+    group 1's observed event count with its hypergeometric expectation given
+    the pooled at-risk sets; chi2 = (sum(O1-E1))^2 / sum(V). The 1-dof
+    chi-square p-value is computed exactly via erfc (chi2_1 = Z^2, so
+    P(X > x) = erfc(sqrt(x/2))) — no scipy dependency. This is the statistic
+    the MCAT-family papers report alongside the KM curves; the reference
+    implements neither.
+    """
+    import math
+
+    t = np.asarray(event_time, dtype=float)
+    e = np.asarray(event, dtype=bool)
+    g = np.asarray(group).astype(bool)  # True = group 1
+    if g.all() or not g.any():
+        raise ValueError("logrank_test needs two non-empty groups")
+    obs_minus_exp = 0.0
+    var = 0.0
+    for tt in np.unique(t[e]):
+        at_risk = t >= tt
+        n_all = int(at_risk.sum())
+        n1 = int((at_risk & g).sum())
+        died = e & (t == tt)
+        d_all = int(died.sum())
+        d1 = int((died & g).sum())
+        if n_all < 2 or d_all == 0:
+            continue
+        exp1 = d_all * n1 / n_all
+        v = (
+            d_all * (n1 / n_all) * (1.0 - n1 / n_all)
+            * (n_all - d_all) / (n_all - 1)
+        )
+        obs_minus_exp += d1 - exp1
+        var += v
+    if var <= 0.0:
+        return 0.0, 1.0
+    chi2 = obs_minus_exp ** 2 / var
+    p = math.erfc(math.sqrt(chi2 / 2.0))
+    return float(chi2), float(p)

@@ -116,3 +116,43 @@ def save_attention_png(
     fig.savefig(out_path, facecolor="white")
     plt.close(fig)
     return out_path
+
+
+def save_km_png(
+    km_by_group,
+    out_path: str,
+    *,
+    p_value: Optional[float] = None,
+    title: Optional[str] = None,
+) -> str:
+    """Render Kaplan-Meier step curves, one per group.
+
+    ``km_by_group``: dict label -> (event_times, S(t)) as produced by
+    train/metrics.py::kaplan_meier. Curves start at (0, 1) and step down at
+    each event time; the log-rank p-value (train/metrics.py::logrank_test)
+    is annotated when given. The standard figure of the MCAT-family papers;
+    the reference renders nothing.
+    """
+    plt = _matplotlib()
+    fig, ax = plt.subplots(figsize=(6, 4.5), dpi=120)
+    for label, (times, surv) in km_by_group.items():
+        times = np.asarray(times, dtype=float)
+        surv = np.asarray(surv, dtype=float)
+        xs = np.concatenate([[0.0], times])
+        ys = np.concatenate([[1.0], surv])
+        ax.step(xs, ys, where="post", label=str(label))
+    ax.set_xlabel("survival months")
+    ax.set_ylabel("survival probability")
+    ax.set_ylim(0.0, 1.02)
+    if title:
+        ax.set_title(title)
+    if p_value is not None:
+        ax.annotate(
+            f"log-rank p = {p_value:.3g}",
+            xy=(0.97, 0.95), xycoords="axes fraction", ha="right", va="top",
+        )
+    ax.legend(loc="lower left")
+    fig.tight_layout()
+    fig.savefig(out_path)
+    plt.close(fig)
+    return out_path

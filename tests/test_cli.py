@@ -505,3 +505,36 @@ def test_cli_predict_mc_columns(config_path, tmp_path, capsys):
     assert "y_0_mc_std" in df.columns
     assert (df["risk_mc_std"] > 0).all()
     assert len(df) == 16
+
+
+def test_cli_stratify(config_path, tmp_path, capsys):
+    """`cli stratify` scores a split, cuts at the risk quantile, and reports
+    the log-rank statistic; CSV + KM PNG artifacts land where asked."""
+    out_csv = str(tmp_path / "strat.csv")
+    png = str(tmp_path / "km.png")
+    rc = cli.main([
+        "stratify", "--config", config_path, "--split", "all",
+        "--out", out_csv, "--png", png, "--json",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "log-rank" in out
+    import json as _json
+
+    line = [l for l in out.splitlines() if l.startswith("{")][-1]
+    res = _json.loads(line)
+    assert res["n"] == 16 and res["n_high"] + res["n_low"] == 16
+    assert 0.0 <= res["p_value"] <= 1.0
+    import pandas as pd
+
+    df = pd.read_csv(out_csv)
+    assert set(df["group"]) == {"high", "low"}
+    assert len(df) == 16
+    assert os.path.getsize(png) > 1000
+
+    # quantile must actually split
+    with pytest.raises(ValueError):
+        from multimodal_path_omic_tpu.config import load_config
+        from multimodal_path_omic_tpu.train.analysis import stratify
+
+        stratify(load_config(config_path, {}), quantile=1.5)

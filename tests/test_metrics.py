@@ -161,3 +161,60 @@ def test_vectorized_scales_to_50k_fast():
     dt = _time.perf_counter() - t0
     assert 0.0 <= c <= 1.0
     assert dt < 2.0, f"c-index at n=50k took {dt:.2f}s"
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier + log-rank (train/analysis.py's stratification statistics)
+# ---------------------------------------------------------------------------
+
+
+def test_kaplan_meier_hand_case():
+    from multimodal_path_omic_tpu.train.metrics import kaplan_meier
+
+    # all events, no censoring: S steps 3/4, 1/2, 1/4, 0
+    ts, s = kaplan_meier([1, 2, 3, 4], [1, 1, 1, 1])
+    np.testing.assert_allclose(ts, [1, 2, 3, 4])
+    np.testing.assert_allclose(s, [0.75, 0.5, 0.25, 0.0])
+
+    # censoring shrinks the at-risk set without a step: classic worked
+    # example — events at t=1 (n=5) and t=3 (n=3 after censoring at t=2):
+    # S = 4/5, then 4/5 * 2/3
+    ts, s = kaplan_meier([1, 2, 3, 4, 5], [1, 0, 1, 0, 0])
+    np.testing.assert_allclose(ts, [1, 3])
+    np.testing.assert_allclose(s, [0.8, 0.8 * 2 / 3])
+
+    # tied event times count together
+    ts, s = kaplan_meier([1, 1, 2], [1, 1, 1])
+    np.testing.assert_allclose(ts, [1, 2])
+    np.testing.assert_allclose(s, [1 / 3, 0.0])
+
+
+def test_logrank_hand_case_and_properties():
+    import math
+
+    from multimodal_path_omic_tpu.train.metrics import logrank_test
+
+    # perfectly separated groups, all events — hand-computed Mantel-Cox:
+    # O1-E1 = -2.5381, V = 0.8771 -> chi2 = 7.3444
+    chi2, p = logrank_test(
+        [1, 2, 3, 4, 5, 6, 7, 8], [1] * 8, [0, 0, 0, 0, 1, 1, 1, 1]
+    )
+    np.testing.assert_allclose(chi2, 7.344406814715235, rtol=1e-12)
+    # exact 1-dof chi-square tail via erfc
+    np.testing.assert_allclose(p, math.erfc(math.sqrt(chi2 / 2)), rtol=1e-12)
+    assert p < 0.05
+
+    # interleaved identical-distribution groups: no separation signal
+    rng = np.random.default_rng(0)
+    t = rng.exponential(50, size=200)
+    e = rng.random(200) < 0.7
+    g = np.arange(200) % 2 == 0
+    chi2, p = logrank_test(t, e, g)
+    assert p > 0.05
+
+    # degenerate grouping raises
+    with pytest.raises(ValueError):
+        logrank_test([1, 2, 3], [1, 1, 1], [1, 1, 1])
+    # all-censored data: no events, no information
+    chi2, p = logrank_test([1, 2, 3, 4], [0, 0, 0, 0], [0, 0, 1, 1])
+    assert chi2 == 0.0 and p == 1.0
