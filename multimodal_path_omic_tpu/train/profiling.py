@@ -113,25 +113,43 @@ def parse_trace(trace_dir: str, steps: Optional[int] = None) -> Dict[str, Any]:
     evs: List[dict] = []
     for pid in dev_pids:
         evs.extend(events[pid])
-    # top-level jit/while wrappers double-count their children; drop container
-    # events (the XLA executable + while loop frames) from op aggregation.
-    def _container(name: str) -> bool:
-        # host-track frames (fallback mode): python TraceMe annotations and
-        # executor scaffolding wrap the real thunks and would double-count
-        return (
-            name.startswith(("jit_", "pjit", "while", "$", "ThunkExecutor",
-                             "PjitFunction"))
-            or name in ("0", "1")
-        )
-
+    # Aggregate SELF time (duration minus nested children): executable/step
+    # containers — jit_<fn>, while-loop frames, numeric step markers,
+    # host-side TraceMe wrappers — enclose the real ops on the same thread
+    # track, so raw durations would double-count every nesting level. A
+    # per-(tid) interval stack attributes each span only the time not
+    # covered by its children, container-name-agnostic.
     tot: Dict[str, float] = defaultdict(float)
     cnt: Dict[str, int] = defaultdict(int)
+    by_tid: Dict[Any, List[dict]] = defaultdict(list)
     for e in evs:
-        name = e["name"]
-        if _container(name):
-            continue
-        tot[name] += e.get("dur", 0)
-        cnt[name] += 1
+        by_tid[(e.get("pid"), e.get("tid"))].append(e)
+    for track in by_tid.values():
+        # sort by start asc, then duration desc: parents come before children
+        track.sort(key=lambda e: (e["ts"], -e.get("dur", 0)))
+        stack: List[dict] = []  # enclosing spans, each with _child accumulator
+        for e in track:
+            dur = e.get("dur", 0)
+            end = e["ts"] + dur
+            while stack and e["ts"] >= stack[-1]["_end"] - 1e-9:
+                done = stack.pop()
+                self_us = max(done["_dur"] - done["_child"], 0.0)
+                tot[done["_name"]] += self_us
+                cnt[done["_name"]] += 1
+            if stack:
+                stack[-1]["_child"] += dur
+            stack.append({"_name": e["name"], "_end": end, "_dur": dur, "_child": 0.0})
+        while stack:
+            done = stack.pop()
+            self_us = max(done["_dur"] - done["_child"], 0.0)
+            tot[done["_name"]] += self_us
+            cnt[done["_name"]] += 1
+    # pure containers contribute ~0 self time and drop out of the ranking;
+    # suppress the residual known wrapper names entirely so their scheduling
+    # slack does not show up as fake op time.
+    for name in list(tot):
+        if name.startswith(("jit_", "pjit", "$", "ThunkExecutor", "PjitFunction")) or name.isdigit():
+            del tot[name], cnt[name]
     ops = sorted(
         ({"name": k, "total_us": v, "count": cnt[k], "category": _category(k)}
          for k, v in tot.items()),
