@@ -54,6 +54,7 @@ _SLOW_TESTS = {
     "test_trainer_ge_sequence_parallel_e2e",
     "test_trainer_mcat_sequence_parallel_e2e",
     "test_trainer_data_parallel_e2e",
+    "test_patch_dropout_mesh_matches_single_device",
     "test_ring_attention_no_mask",
     # torch-reference gradient parity (builds + runs the actual reference)
     "test_mcat_ces_gradient_parity",

@@ -854,3 +854,23 @@ def test_ring_attention_grads_match_local_reference():
     g_ref = jax.grad(ref_loss, argnums=(0, 1, 2))(q, k, v)
     for a, r in zip(g_ring, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(r), atol=5e-4)
+
+
+def test_patch_dropout_mesh_matches_single_device(tmp_path):
+    """training.patch_dropout composes with meshes deterministically: the
+    keep masks are drawn inside jit from the replicated state rng, so a
+    data=4 x seq=2 cached run must match the single-device run to
+    fp-reduction noise — same planted masks, different sharding."""
+    cfg_s = _mesh_cache_cfg(tmp_path, "pd_single", data_axis=1, seq_axis=1, cache="on")
+    cfg_m = _mesh_cache_cfg(tmp_path, "pd_mesh", data_axis=4, seq_axis=2, cache="on")
+    for c in (cfg_s, cfg_m):
+        c.training.patch_dropout = 0.3
+    t_s, out_s, p_s = _fit_params(cfg_s)
+    t_m, out_m, p_m = _fit_params(cfg_m)
+    assert t_m.mesh is not None and t_m.device_cache is not None
+    np.testing.assert_allclose(p_m, p_s, atol=2e-4)
+    assert abs(out_m["train_loss"] - out_s["train_loss"]) < 1e-4
+    # and the knob engaged: a p=0 single-device run trains different params
+    cfg_off = _mesh_cache_cfg(tmp_path, "pd_off", data_axis=1, seq_axis=1, cache="on")
+    _, _, p_off = _fit_params(cfg_off)
+    assert not np.allclose(p_off, p_s, atol=1e-6)
