@@ -51,13 +51,17 @@ class Predictor:
             )
         return self._mc_steps[n_samples]
 
-    def _mc_augment(self, out, dev_batch, real, mc_samples, mc_seed):
+    def _mc_augment(self, out, dev_batch, real, mc_samples, mc_seed, fold=0):
         """Run the MC-dropout step on an already-staged device batch and merge
-        the de-batched uncertainty columns into ``out``."""
+        the de-batched uncertainty columns into ``out``. ``fold`` is the batch
+        index within a dataset scan — folded into the key so every batch
+        draws INDEPENDENT noise realizations (one shared key would repeat
+        dropout masks across batches by row position)."""
         import jax
 
         res = self._mc_step(mc_samples)(
-            self._t.state.params, dev_batch, jax.random.key(mc_seed)
+            self._t.state.params, dev_batch,
+            jax.random.fold_in(jax.random.key(mc_seed), fold),
         )
         keys = (
             ("y_mean", "y_std") if self._t.ge_mode
@@ -236,12 +240,14 @@ class Predictor:
             for b in batches:
                 yield b, t._device_batch(b)
 
-        for batch, dev in prefetch(_staged(batcher.batches()), depth=t.config.tpu.prefetch):
+        for bi, (batch, dev) in enumerate(
+            prefetch(_staged(batcher.batches()), depth=t.config.tpu.prefetch)
+        ):
             real = int(batch["weight"].sum())
             res = self.eval_step(t.state.params, dev)
             out = self._debatch(res, real)
             if mc_samples > 0:
-                out = self._mc_augment(out, dev, real, mc_samples, mc_seed)
+                out = self._mc_augment(out, dev, real, mc_samples, mc_seed, fold=bi)
             out["slide_id"] = np.array(
                 [dataset.slide_id(int(i)) for i in batch["index"][:real]]
             )

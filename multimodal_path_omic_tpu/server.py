@@ -337,6 +337,12 @@ class PredictHandler(BaseHTTPRequestHandler):
                     )
                     omics = [np.asarray(z[k], np.float32) for k in keys] or None
             elif path == "/predict_batch_npz":
+                if mc > 0:
+                    # silently ignoring a validated parameter would read as
+                    # "honored"; MC is single-bag only (predict_bags has no
+                    # uncertainty path)
+                    self._reply(400, {"error": "mc unsupported on the batch endpoint"})
+                    return
                 with np.load(io.BytesIO(raw)) as z:
                     n_bags = sum(1 for k in z.files if k.startswith("wsi_"))
                     if n_bags == 0:

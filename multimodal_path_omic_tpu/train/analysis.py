@@ -53,9 +53,14 @@ def stratify(
 
     cols = predictor.predict_dataset(ds, mc_samples=mc_samples)
     risk = np.asarray(cols["risk"], dtype=float)
+    # predict_dataset rows come in BUCKET-EMISSION order (BucketBatcher
+    # groups bags by padded length), not table order — align the survival
+    # labels through slide_id, never positionally
     table = ds.table
-    months = np.asarray(table.survival_months, dtype=float)
-    event = 1.0 - np.asarray(table.censorship, dtype=float) > 0.5
+    pos = {sid: i for i, sid in enumerate(table.slide_ids)}
+    rows = np.array([pos[sid] for sid in cols["slide_id"]], dtype=int)
+    months = np.asarray(table.survival_months, dtype=float)[rows]
+    event = 1.0 - np.asarray(table.censorship, dtype=float)[rows] > 0.5
 
     thresh = float(np.quantile(risk, quantile))
     high = risk > thresh

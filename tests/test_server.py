@@ -568,3 +568,16 @@ def test_predict_mc_query(served):
         except urllib.error.HTTPError as e:
             status, body = e.code, json.loads(e.read())
         assert status == 400 and "bad query" in body["error"]
+
+    # the batch endpoint does not support MC: explicit 400, never a silent
+    # deterministic response that reads as "mc honored"
+    buf = io.BytesIO()
+    np.savez(buf, wsi_0=wsi, **{f"omic_0_{j}": o for j, o in enumerate(omics)})
+    try:
+        status, body = _post(
+            base + "/predict_batch_npz?mc=4", buf.getvalue(),
+            content_type="application/octet-stream",
+        )
+    except urllib.error.HTTPError as e:
+        status, body = e.code, json.loads(e.read())
+    assert status == 400 and "batch endpoint" in body["error"]
