@@ -321,8 +321,11 @@ def parse_cli_scalar(raw: str) -> Any:
 
 
 def _build(cls, raw: Dict[str, Any]):
-    """Construct a dataclass from a raw dict, ignoring unknown keys and mapping
-    the YAML key ``lambda`` to ``lambda_``."""
+    """Construct a dataclass from a raw dict, mapping the YAML key ``lambda``
+    to ``lambda_``. Unknown keys are TOLERATED (reference configs may carry
+    extras; drop-in compatibility requires not erroring) but warned about —
+    a typo'd knob (``device_cahce: off``) silently keeping its default is a
+    far worse failure mode than one stderr line."""
     if raw is None:
         raw = {}
     fields = {f.name: f for f in dataclasses.fields(cls)}
@@ -331,6 +334,14 @@ def _build(cls, raw: Dict[str, Any]):
         name = "lambda_" if key == "lambda" else key
         if name in fields:
             kwargs[name] = value
+        else:
+            import sys as _sys
+
+            print(
+                f"WARNING: unknown config key '{key}' in the "
+                f"{cls.__name__} section — ignored (typo?)",
+                file=_sys.stderr,
+            )
     return cls(**kwargs)
 
 

@@ -594,3 +594,40 @@ def test_predict_dataset_mc_keys_independent_per_batch(config_path):
     # seeded determinism still holds end-to-end
     again = pred.predict_dataset(pred._t.dataset, mc_samples=6, mc_seed=1)
     np.testing.assert_array_equal(cols["risk_std"], again["risk_std"])
+
+
+def test_full_reference_example_covers_every_knob(capsys):
+    """examples/full_reference.yaml documents EVERY config field (the
+    cross-check fails when a new knob lands without documentation) and loads
+    without any unknown-key warning."""
+    import dataclasses
+
+    import yaml as _yaml
+
+    from multimodal_path_omic_tpu import config as C
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "examples", "full_reference.yaml",
+    )
+    raw = _yaml.safe_load(open(path))
+    C.config_from_dict(raw)
+    assert "unknown config key" not in capsys.readouterr().err
+    for section, cls in [
+        ("wandb", C.WandbConfig), ("dataset", C.DatasetConfig),
+        ("model", C.ModelConfig), ("training", C.TrainingConfig),
+        ("tpu", C.TpuConfig),
+    ]:
+        have = {("lambda_" if k == "lambda" else k) for k in raw.get(section, {})}
+        missing = {f.name for f in dataclasses.fields(cls)} - have
+        assert not missing, f"undocumented {section} knobs: {sorted(missing)}"
+
+
+def test_unknown_yaml_key_warns(capsys):
+    import yaml as _yaml
+
+    from multimodal_path_omic_tpu.config import config_from_dict
+
+    config_from_dict({"tpu": {"device_cahce": "on"}})
+    err = capsys.readouterr().err
+    assert "unknown config key 'device_cahce'" in err
