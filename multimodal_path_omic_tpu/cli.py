@@ -16,6 +16,7 @@ imports. Here one entry point drives everything:
     python -m multimodal_path_omic_tpu.cli check-data --config cfg.yaml
     python -m multimodal_path_omic_tpu.cli plan --config cfg.yaml
     python -m multimodal_path_omic_tpu.cli profile --config cfg.yaml --top 20
+    python -m multimodal_path_omic_tpu.cli bench --config cfg.yaml --epochs 5
     python -m multimodal_path_omic_tpu.cli cv --config cfg.yaml --folds 5
     python -m multimodal_path_omic_tpu.cli stratify --config cfg.yaml \
         --checkpoint ... --png km.png
@@ -116,6 +117,20 @@ def cmd_predict(args) -> int:
         args.out, mc_samples=args.mc, mc_seed=args.mc_seed
     )
     print(f"Predictions written to {path}")
+    return 0
+
+
+def cmd_bench(args) -> int:
+    """Throughput benchmark on the user's own config/data
+    (train/benchmark.py): warmup epochs absorb compile + cache upload, then
+    steady-state epochs are timed; prints one JSON line."""
+    from multimodal_path_omic_tpu.config import load_config
+    from multimodal_path_omic_tpu.train.benchmark import benchmark_training
+
+    cfg = load_config(args.config, _parse_overrides(args.set, args))
+    benchmark_training(
+        cfg, epochs=args.epochs, warmup=args.warmup, validate=args.validate
+    )
     return 0
 
 
@@ -445,6 +460,18 @@ def main(argv: Optional[List[str]] = None) -> int:
         help="float16 halves disk but bypasses the native loader (f32-only)",
     )
     p_bags.set_defaults(fn=cmd_convert_bags)
+
+    p_bench = sub.add_parser(
+        "bench",
+        help="steady-state training-throughput benchmark on your config/data",
+    )
+    common(p_bench)
+    p_bench.add_argument("--epochs", type=int, default=5, help="timed epochs")
+    p_bench.add_argument("--warmup", type=int, default=1,
+                         help="untimed epochs (compile + cache upload)")
+    p_bench.add_argument("--validate", action="store_true",
+                         help="time validated-epoch cadence (train + val)")
+    p_bench.set_defaults(fn=cmd_bench)
 
     p_strat = sub.add_parser(
         "stratify",

@@ -631,3 +631,19 @@ def test_unknown_yaml_key_warns(capsys):
     config_from_dict({"tpu": {"device_cahce": "on"}})
     err = capsys.readouterr().err
     assert "unknown config key 'device_cahce'" in err
+
+
+def test_cli_bench_reports_json_line(config_path, capsys):
+    rc = cli.main([
+        "bench", "--config", config_path, "--epochs", "2", "--validate",
+    ])
+    assert rc == 0
+    import json as _json
+
+    line = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")][-1]
+    res = _json.loads(line)
+    assert res["metric"] == "train_bags_per_sec_e2e" and res["value"] > 0
+    assert res["validated_cadence"] is True
+    assert res["median_val_epoch_s"] is not None
+    assert res["timed_epochs"] == 2 and res["warmup_epochs"] == 1
+    assert res["n_train_bags"] == 12
