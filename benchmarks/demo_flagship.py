@@ -11,7 +11,11 @@ drives the full production path on the dev chip:
 2. checkpoints asynchronously mid-run (orbax background commits),
 3. RESUMES from that checkpoint in a fresh Trainer and trains to the end,
 4. exports leave-one-out attention maps (ATTN_* files, chunked kernel
-   emission at M up to 20k — reference mcat/main.py:180-183).
+   emission at M up to 20k — reference mcat/main.py:180-183),
+5. runs the post-training analysis a real study needs: risk stratification
+   of the validation split (KM curves + log-rank p, train/analysis.py) and
+   MC-dropout predictive uncertainty for a held-out bag (serve.Predictor
+   mc_samples) — neither exists anywhere in the reference.
 
 Prints one JSON summary line; the measured numbers land in BASELINE.md.
 
@@ -136,6 +140,23 @@ def main():
     attn_files = glob.glob(os.path.join(wd, "outputs", "ATTN_*"))
     attn_shape = list(np.load(attn_files[-1]).shape) if attn_files else None
 
+    # ---- phase 3: analysis on the trained model -------------------------
+    # risk stratification (KM + log-rank) on the val split and MC-dropout
+    # uncertainty for one bag — the post-training story a real study runs
+    print("[flagship] phase 3: risk stratification + MC-dropout uncertainty")
+    from multimodal_path_omic_tpu.serve import Predictor
+    from multimodal_path_omic_tpu.train.analysis import stratify
+
+    strat = stratify(
+        t2.config, split="val", trainer=t2,
+        out_csv=os.path.join(wd, "strat.csv"),
+        png=os.path.join(wd, "km.png"),
+        verbose=True,
+    ) if len(t2.val_ds) >= 4 else None
+    pred = Predictor(t2)
+    _, _, _, omics0, bag0 = t2.val_ds[0]
+    mc = pred.predict_bag(bag0, omics0, mc_samples=16, mc_seed=0)
+
     summary = {
         "patients": args.patients,
         "total_patches": int(total_patches),
@@ -151,6 +172,10 @@ def main():
         "validated_bags_per_sec": round(bags / steady, 1),
         "attention_exports": len(attn_files),
         "attn_shape": attn_shape,
+        "logrank_p": round(strat["p_value"], 4) if strat else None,
+        "km_png": bool(strat and os.path.exists(os.path.join(wd, "km.png"))),
+        "mc_risk": round(float(mc["risk_mean"][0]), 4),
+        "mc_risk_std": round(float(mc["risk_std"][0]), 4),
     }
     print("[flagship] " + json.dumps(summary))
 

@@ -27,20 +27,26 @@ def stratify(
     png: Optional[str] = None,
     mc_samples: int = 0,
     verbose: bool = True,
+    trainer=None,
 ) -> Dict[str, Any]:
     """Predict risks for ``split`` ("val" / "train" / "all"), cut at the
     ``quantile`` risk threshold, and test the two groups' survival
     separation. Returns the full result dict (groups, chi2, p_value, KM
     curves); writes per-slide assignments to ``out_csv`` and the KM figure
     to ``png`` when given. ``mc_samples`` adds MC-dropout risk_std columns
-    to the CSV."""
+    to the CSV. ``trainer``: analyze an ALREADY-TRAINED in-memory Trainer
+    instead of building one from config + checkpoint."""
     if not 0.0 < quantile < 1.0:
         raise ValueError(f"quantile must be in (0, 1), got {quantile}")
     from multimodal_path_omic_tpu.serve import Predictor
     from multimodal_path_omic_tpu.train.metrics import kaplan_meier, logrank_test
 
-    predictor = Predictor.from_config(
-        config, checkpoint=checkpoint, torch_checkpoint=torch_checkpoint
+    predictor = (
+        Predictor(trainer)
+        if trainer is not None
+        else Predictor.from_config(
+            config, checkpoint=checkpoint, torch_checkpoint=torch_checkpoint
+        )
     )
     t = predictor._t
     if t.ge_mode:

@@ -647,3 +647,20 @@ def test_cli_bench_reports_json_line(config_path, capsys):
     assert res["median_val_epoch_s"] is not None
     assert res["timed_epochs"] == 2 and res["warmup_epochs"] == 1
     assert res["n_train_bags"] == 12
+
+
+def test_stratify_uses_passed_trainer(config_path):
+    """stratify(trainer=...) must analyze the TRAINED in-memory model, not a
+    fresh init built from config (the flagship demo's phase-3 path)."""
+    import yaml as _yaml
+
+    from multimodal_path_omic_tpu.config import config_from_dict
+    from multimodal_path_omic_tpu.train.analysis import stratify
+    from multimodal_path_omic_tpu.train.trainer import Trainer
+
+    cfg = config_from_dict(_yaml.safe_load(open(config_path)))
+    t = Trainer(cfg, verbose=False)
+    t.fit()
+    trained = stratify(cfg, split="all", trainer=t, verbose=False)
+    fresh = stratify(cfg, split="all", verbose=False)
+    assert trained["risk_threshold"] != fresh["risk_threshold"]
