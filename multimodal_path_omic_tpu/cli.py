@@ -20,6 +20,8 @@ imports. Here one entry point drives everything:
     python -m multimodal_path_omic_tpu.cli cv --config cfg.yaml --folds 5
     python -m multimodal_path_omic_tpu.cli stratify --config cfg.yaml \
         --checkpoint ... --png km.png
+    python -m multimodal_path_omic_tpu.cli evaluate --config cfg.yaml \
+        --checkpoint ... --split val --json
     python -m multimodal_path_omic_tpu.cli sweep --config cfg.yaml \
         --grid training.lr=1e-4,2e-4
     python -m multimodal_path_omic_tpu.cli predict --config cfg.yaml \
@@ -155,6 +157,31 @@ def cmd_stratify(args) -> int:
         import json as _json
 
         print(_json.dumps({k: v for k, v in result.items() if k != "km"}))
+    return 0
+
+
+def cmd_evaluate(args) -> int:
+    """Time-dependent survival evaluation (train/analysis.py): c-index +
+    IPCW Brier scores / IBS + Uno's AUC(t) — the metric panel the survival
+    literature reports beyond the reference's lone c-index."""
+    from multimodal_path_omic_tpu.config import load_config
+    from multimodal_path_omic_tpu.train.analysis import evaluate_survival
+
+    cfg = load_config(args.config, _parse_overrides(args.set, args))
+    times = (
+        [float(x) for x in args.times.split(",")] if args.times else None
+    )
+    result = evaluate_survival(
+        cfg,
+        checkpoint=args.checkpoint,
+        torch_checkpoint=args.torch_checkpoint,
+        split=args.split,
+        eval_times=times,
+    )
+    if args.json:
+        import json as _json
+
+        print(_json.dumps(result))
     return 0
 
 
@@ -489,6 +516,20 @@ def main(argv: Optional[List[str]] = None) -> int:
     p_strat.add_argument("--json", action="store_true",
                          help="also print the result summary as one JSON line")
     p_strat.set_defaults(fn=cmd_stratify)
+
+    p_eval = sub.add_parser(
+        "evaluate",
+        help="survival metric panel: c-index + IPCW Brier/IBS + AUC(t)",
+    )
+    common(p_eval)
+    p_eval.add_argument("--checkpoint")
+    p_eval.add_argument("--split", default="val", choices=("val", "train", "all"))
+    p_eval.add_argument("--times",
+                        help="comma-separated eval months (default: the "
+                        "cohort's qcut bin edges)")
+    p_eval.add_argument("--json", action="store_true",
+                        help="also print the result as one JSON line")
+    p_eval.set_defaults(fn=cmd_evaluate)
 
     p_plan = sub.add_parser(
         "plan",

@@ -57,14 +57,22 @@ def _suffix_matrix(df: pd.DataFrame, suffix: str) -> np.ndarray:
     return df[cols].astype(float).to_numpy(dtype=np.float32)
 
 
-def qcut_classes(values: pd.Series, q: int, verbose: bool = True) -> np.ndarray:
-    """Quantile-bin a series into q integer classes (dataset.py:61-67)."""
+def qcut_classes(
+    values: pd.Series, q: int, verbose: bool = True, return_bins: bool = False
+):
+    """Quantile-bin a series into q integer classes (dataset.py:61-67).
+
+    ``return_bins=True`` also returns the q+1 bin boundaries — needed by the
+    time-dependent evaluation metrics (train/metrics.py::survival_at_times)
+    to place the discrete survival curve on the months axis."""
     classes, intervals = pd.qcut(values, q=q, retbins=True, labels=False)
     if verbose:
         print("Class intervals: [")
         for i in range(q):
             print("\t{}: [{:.2f} - {:.2f}]".format(i, intervals[i], intervals[i + 1]))
         print("]")
+    if return_bins:
+        return classes.to_numpy(), np.asarray(intervals, dtype=float)
     return classes.to_numpy()
 
 
@@ -145,6 +153,10 @@ class MultimodalTable:
     signature_names: List[str] = field(default_factory=list)
     signature_data: Dict[str, np.ndarray] = field(default_factory=dict)
     signature_sizes: List[int] = field(default_factory=list)
+    # qcut boundaries of survival_class (q+1 edges) — lets the evaluation
+    # metrics place the discrete survival curve on the months axis
+    # (train/metrics.py::survival_at_times). None on hand-built tables.
+    survival_bin_edges: Optional[np.ndarray] = None
 
     @classmethod
     def from_csv(
@@ -185,7 +197,9 @@ class MultimodalTable:
         n_classes: int = 4,
         verbose: bool = True,
     ) -> "MultimodalTable":
-        survival_class = qcut_classes(df["survival_months"], n_classes, verbose)
+        survival_class, survival_bin_edges = qcut_classes(
+            df["survival_months"], n_classes, verbose, return_bins=True
+        )
 
         rnaseq_cols = [c for c in df.columns if c.endswith("_rnaseq")]
         if standardize:
@@ -232,6 +246,7 @@ class MultimodalTable:
             signature_names=signature_names,
             signature_data=signature_data,
             signature_sizes=signature_sizes,
+            survival_bin_edges=survival_bin_edges,
         )
 
     def __len__(self) -> int:
@@ -261,6 +276,7 @@ class MultimodalTable:
             signature_names=self.signature_names,
             signature_data={k: v[sig_rows] for k, v in self.signature_data.items()},
             signature_sizes=self.signature_sizes,
+            survival_bin_edges=self.survival_bin_edges,
         )
 
     def omics_for(self, rows: Optional[np.ndarray] = None):

@@ -17,6 +17,143 @@ from typing import Any, Dict, Optional
 import numpy as np
 
 
+def _survival_labels_for(table, slide_ids):
+    """Survival labels aligned to prediction rows THROUGH slide_id.
+
+    predict_dataset rows come in BUCKET-EMISSION order (BucketBatcher groups
+    bags by padded length), not table order — align by id, never
+    positionally. Returns ``(months, event)`` (event = 1 - censorship)."""
+    pos = {sid: i for i, sid in enumerate(table.slide_ids)}
+    rows = np.array([pos[sid] for sid in slide_ids], dtype=int)
+    months = np.asarray(table.survival_months, dtype=float)[rows]
+    event = 1.0 - np.asarray(table.censorship, dtype=float)[rows] > 0.5
+    return months, event
+
+
+def _resolve_split(t, split: str):
+    ds = {"val": t.val_ds, "train": t.train_ds, "all": t.dataset}.get(split)
+    if ds is None:
+        raise ValueError(f'split must be "val", "train" or "all", got {split!r}')
+    return ds
+
+
+def evaluate_survival(
+    config,
+    checkpoint: Optional[str] = None,
+    torch_checkpoint: Optional[str] = None,
+    split: str = "val",
+    eval_times=None,
+    verbose: bool = True,
+    trainer=None,
+) -> Dict[str, Any]:
+    """Full time-dependent evaluation of a survival model on one split.
+
+    Reports the c-index (the reference's only metric, mcat/main.py:81) PLUS
+    the censoring-weighted (IPCW) metrics the survival literature expects:
+    per-time Brier scores + integrated Brier score on the model's survival
+    curves, and Uno's cumulative/dynamic AUC(t) on the risk scores
+    (train/metrics.py). ``eval_times`` defaults to the interior qcut bin
+    edges of the cohort's survival classes — the exact time grid the
+    discrete survival head models — clipped to times where the censoring
+    KM weight is estimable; pass explicit months to override."""
+    from multimodal_path_omic_tpu.serve import Predictor
+    from multimodal_path_omic_tpu.train import metrics as M
+
+    predictor = (
+        Predictor(trainer)
+        if trainer is not None
+        else Predictor.from_config(
+            config, checkpoint=checkpoint, torch_checkpoint=torch_checkpoint
+        )
+    )
+    t = predictor._t
+    if t.ge_mode:
+        raise ValueError("evaluate_survival needs a survival model (not GE)")
+    ds = _resolve_split(t, split)
+    if len(ds) < 4:
+        raise ValueError(f"split {split!r} has only {len(ds)} samples")
+
+    cols = predictor.predict_dataset(ds)
+    risk = np.asarray(cols["risk"], dtype=float)
+    survs = np.asarray(cols["survs"], dtype=float)
+    months, event = _survival_labels_for(ds.table, cols["slide_id"])
+
+    cindex = M.concordance_index_censored(event, months, risk)[0]
+
+    edges = getattr(ds.table, "survival_bin_edges", None)
+    if eval_times is None:
+        if edges is not None:
+            taus = np.asarray(edges, dtype=float)[1:-1]
+        else:
+            # fall back to observed-event-time quartiles
+            taus = np.quantile(months[event], [0.25, 0.5, 0.75])
+        # keep only estimable times: strictly inside the observed follow-up
+        # (the metrics' contract) with at least one event by tau and one
+        # subject past tau
+        lo, hi = float(months.min()), float(months.max())
+        ok = []
+        for tau in np.unique(taus):
+            if not (lo <= tau < hi):
+                continue
+            if not ((months <= tau) & event).any() or not (months > tau).any():
+                continue
+            ok.append(float(tau))
+        taus = np.asarray(ok, dtype=float)
+        if len(taus) == 0:
+            raise ValueError(
+                "no evaluable times on this split (too few events or all "
+                "follow-up censored) — pass eval_times explicitly"
+            )
+    else:
+        taus = np.sort(np.unique(np.asarray(eval_times, dtype=float)))
+
+    if edges is not None:
+        surv_at = M.survival_at_times(survs, edges, taus)
+    else:
+        # without qcut edges, treat bin j as covering the j-th quantile
+        # span of observed months — approximate, flagged in the result
+        approx_edges = np.quantile(
+            np.asarray(ds.table.survival_months, dtype=float),
+            np.linspace(0.0, 1.0, survs.shape[1] + 1),
+        )
+        surv_at = M.survival_at_times(survs, approx_edges, taus)
+
+    bs = M.brier_scores(months, event, surv_at, taus)
+    trapezoid = getattr(np, "trapezoid", None) or np.trapz
+    ibs = (
+        float(trapezoid(bs, taus) / (taus[-1] - taus[0]))
+        if len(taus) >= 2
+        else float(bs[0])
+    )
+    auc = M.cumulative_dynamic_auc(months, event, risk, taus)
+    auc_mean = float(np.nanmean(auc)) if np.isfinite(auc).any() else float("nan")
+
+    result: Dict[str, Any] = {
+        "split": split,
+        "n": int(len(risk)),
+        "n_events": int(event.sum()),
+        "c_index": float(cindex),
+        "eval_times": taus.tolist(),
+        "brier_scores": bs.tolist(),
+        "integrated_brier_score": ibs,
+        "auc": auc.tolist(),
+        "mean_auc": auc_mean,
+        "bin_edges_exact": bool(edges is not None),
+    }
+    if verbose:
+        times_s = ", ".join(f"{x:.1f}" for x in taus)
+        print(
+            f"evaluate[{split}]: n={result['n']} ({result['n_events']} events)\n"
+            f"  c-index = {cindex:.4f}\n"
+            f"  eval times (months): [{times_s}]\n"
+            f"  Brier(t) = [{', '.join(f'{x:.4f}' for x in bs)}]  "
+            f"IBS = {ibs:.4f}\n"
+            f"  AUC(t)   = [{', '.join(f'{x:.4f}' for x in auc)}]  "
+            f"mean = {auc_mean:.4f}"
+        )
+    return result
+
+
 def stratify(
     config,
     checkpoint: Optional[str] = None,
@@ -51,22 +188,13 @@ def stratify(
     t = predictor._t
     if t.ge_mode:
         raise ValueError("stratify needs a survival model (not GE)")
-    ds = {"val": t.val_ds, "train": t.train_ds, "all": t.dataset}.get(split)
-    if ds is None:
-        raise ValueError(f'split must be "val", "train" or "all", got {split!r}')
+    ds = _resolve_split(t, split)
     if len(ds) < 4:
         raise ValueError(f"split {split!r} has only {len(ds)} samples")
 
     cols = predictor.predict_dataset(ds, mc_samples=mc_samples)
     risk = np.asarray(cols["risk"], dtype=float)
-    # predict_dataset rows come in BUCKET-EMISSION order (BucketBatcher
-    # groups bags by padded length), not table order — align the survival
-    # labels through slide_id, never positionally
-    table = ds.table
-    pos = {sid: i for i, sid in enumerate(table.slide_ids)}
-    rows = np.array([pos[sid] for sid in cols["slide_id"]], dtype=int)
-    months = np.asarray(table.survival_months, dtype=float)[rows]
-    event = 1.0 - np.asarray(table.censorship, dtype=float)[rows] > 0.5
+    months, event = _survival_labels_for(ds.table, cols["slide_id"])
 
     thresh = float(np.quantile(risk, quantile))
     high = risk > thresh

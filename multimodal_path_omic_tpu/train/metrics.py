@@ -332,3 +332,190 @@ def logrank_test(
     chi2 = obs_minus_exp ** 2 / var
     p = math.erfc(math.sqrt(chi2 / 2.0))
     return float(chi2), float(p)
+
+
+# ---------------------------------------------------------------------------
+# Time-dependent accuracy: IPCW Brier score + cumulative/dynamic AUC.
+#
+# The reference's only metric is the c-index (mcat/main.py:81). The survival
+# literature the MCAT family sits in reports two more: the censoring-weighted
+# (IPCW) Brier score / its integral (Graf et al. 1999) and Uno's
+# cumulative/dynamic time-dependent AUC (Uno et al. 2007) — both standard in
+# sksurv (`brier_score`, `cumulative_dynamic_auc`), which is not installable
+# here, so they are implemented from the published definitions and pinned
+# against hand-computed worked examples in tests/test_metrics.py.
+# ---------------------------------------------------------------------------
+
+
+def _km_step_eval(times: np.ndarray, surv: np.ndarray, t, *, left: bool = False):
+    """Evaluate a right-continuous KM step function at ``t``.
+
+    ``(times, surv)`` as returned by :func:`kaplan_meier`. ``left=True``
+    evaluates the left limit S(t-) (the value just before t). Values before
+    the first drop are 1.0."""
+    t = np.asarray(t, dtype=float)
+    if len(times) == 0:  # no drops at all (e.g. a fully-uncensored cohort)
+        out = np.ones_like(t, dtype=float)
+        return out if out.ndim else 1.0
+    side = "left" if left else "right"
+    idx = np.searchsorted(times, t, side=side) - 1
+    out = np.where(idx >= 0, surv[np.clip(idx, 0, len(surv) - 1)], 1.0)
+    return out if out.ndim else float(out)
+
+
+def _check_eval_times_in_followup(event_time: np.ndarray, taus: np.ndarray):
+    """Time-dependent metrics are only estimable strictly inside the
+    observed follow-up (same contract as sksurv): at tau >= max(T) there are
+    no controls/future subjects left and censored mass silently vanishes."""
+    lo, hi = float(np.min(event_time)), float(np.max(event_time))
+    if np.any(taus < lo) or np.any(taus >= hi):
+        raise ValueError(
+            f"eval times must lie within the observed follow-up "
+            f"[{lo}, {hi}) — got {np.asarray(taus).tolist()}"
+        )
+
+
+def censoring_survival(
+    event_time: np.ndarray, event: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray]:
+    """KM estimate G(t) of the CENSORING distribution (roles swapped:
+    censorings are the 'events'). This is the IPCW weight denominator."""
+    e = np.asarray(event, dtype=bool)
+    return kaplan_meier(event_time, ~e)
+
+
+def brier_scores(
+    event_time: np.ndarray,
+    event: np.ndarray,
+    surv_at_times: np.ndarray,
+    eval_times: np.ndarray,
+) -> np.ndarray:
+    """IPCW (censoring-weighted) Brier score BS(t) at each eval time.
+
+    Graf et al. 1999 / sksurv ``brier_score`` estimator:
+
+        BS(t) = mean_i [ S_i(t)^2 * 1{T_i <= t, event_i} / G(T_i-)
+                       + (1 - S_i(t))^2 * 1{T_i > t}     / G(t) ]
+
+    where G is the KM estimate of the censoring survival function and
+    ``surv_at_times[i, k]`` is model survival S_i(eval_times[k]). Subjects
+    censored at or before t contribute 0 (their weight is deferred to the
+    two observable classes). Raises if any required IPCW weight has
+    G == 0 (eval time beyond the censoring follow-up) — same contract as
+    sksurv."""
+    t = np.asarray(event_time, dtype=float)
+    e = np.asarray(event, dtype=bool)
+    s = np.asarray(surv_at_times, dtype=float)
+    taus = np.atleast_1d(np.asarray(eval_times, dtype=float))
+    n = len(t)
+    if s.shape != (n, len(taus)):
+        raise ValueError(
+            f"surv_at_times must be [n={n}, n_times={len(taus)}], got {s.shape}"
+        )
+    _check_eval_times_in_followup(t, taus)
+    g_times, g_surv = censoring_survival(t, e)
+    g_at_event_left = _km_step_eval(g_times, g_surv, t, left=True)  # G(T_i-)
+    out = np.empty(len(taus), dtype=float)
+    for k, tau in enumerate(taus):
+        past_event = (t <= tau) & e
+        future = t > tau
+        g_tau = _km_step_eval(g_times, g_surv, tau)
+        if np.any(past_event & (g_at_event_left <= 0)) or (
+            future.any() and g_tau <= 0
+        ):
+            raise ValueError(
+                f"censoring survival G is 0 at eval time {tau}; pick eval "
+                "times inside the censoring follow-up range"
+            )
+        contrib = np.zeros(n, dtype=float)
+        contrib[past_event] = (
+            s[past_event, k] ** 2 / g_at_event_left[past_event]
+        )
+        contrib[future] = (1.0 - s[future, k]) ** 2 / g_tau
+        out[k] = contrib.mean()
+    return out
+
+
+def integrated_brier_score(
+    event_time: np.ndarray,
+    event: np.ndarray,
+    surv_at_times: np.ndarray,
+    eval_times: np.ndarray,
+) -> float:
+    """IBS: trapezoid integral of BS(t) over eval_times, normalized by the
+    span — a single proper-scoring summary (lower is better; 0.25 is the
+    score of a constant S=0.5 prediction)."""
+    taus = np.asarray(eval_times, dtype=float)
+    if len(taus) < 2:
+        raise ValueError("integrated_brier_score needs >= 2 eval times")
+    if np.any(np.diff(taus) <= 0):
+        raise ValueError("eval_times must be strictly increasing")
+    bs = brier_scores(event_time, event, surv_at_times, taus)
+    trapezoid = getattr(np, "trapezoid", np.trapz)
+    return float(trapezoid(bs, taus) / (taus[-1] - taus[0]))
+
+
+def cumulative_dynamic_auc(
+    event_time: np.ndarray,
+    event: np.ndarray,
+    risk: np.ndarray,
+    eval_times: np.ndarray,
+) -> np.ndarray:
+    """Uno's IPCW cumulative/dynamic time-dependent AUC(t).
+
+    AUC(t) = P(risk_i > risk_j | T_i <= t < T_j) with the case set weighted
+    by 1/G(T_i-) (G = censoring KM); tied risks count 0.5. Cases are
+    subjects with an observed event by t; controls are subjects still at
+    risk after t. Returns one AUC per eval time (NaN where there are no
+    cases or no controls)."""
+    t = np.asarray(event_time, dtype=float)
+    e = np.asarray(event, dtype=bool)
+    r = np.asarray(risk, dtype=float)
+    taus = np.atleast_1d(np.asarray(eval_times, dtype=float))
+    _check_eval_times_in_followup(t, taus)
+    g_times, g_surv = censoring_survival(t, e)
+    g_left = _km_step_eval(g_times, g_surv, t, left=True)
+    out = np.empty(len(taus), dtype=float)
+    for k, tau in enumerate(taus):
+        cases = (t <= tau) & e
+        controls = t > tau
+        if not cases.any() or not controls.any():
+            out[k] = np.nan
+            continue
+        if np.any(cases & (g_left <= 0)):
+            raise ValueError(
+                f"censoring survival G is 0 at an event time <= {tau}; "
+                "pick eval times inside the censoring follow-up range"
+            )
+        w = 1.0 / g_left[cases]  # [n_cases]
+        rc, rk = r[cases], r[controls]
+        # pairwise comparison matrix [n_cases, n_controls]
+        greater = (rc[:, None] > rk[None, :]).astype(float)
+        tied = (rc[:, None] == rk[None, :]).astype(float)
+        num = float((w[:, None] * (greater + 0.5 * tied)).sum())
+        den = float(w.sum() * len(rk))
+        out[k] = num / den
+    return out
+
+
+def survival_at_times(
+    survs: np.ndarray, bin_edges: np.ndarray, eval_times: np.ndarray
+) -> np.ndarray:
+    """Evaluate the discrete-bin model survival curve at continuous times.
+
+    The survival heads emit S over q qcut bins (models/common.py::
+    survival_head); the curve is a step function: S(t) for t inside bin j is
+    ``survs[:, j]`` (probability of surviving through bin j). ``bin_edges``
+    are the q+1 qcut boundaries; times beyond the last edge clamp to the
+    final bin."""
+    survs = np.asarray(survs, dtype=float)
+    edges = np.asarray(bin_edges, dtype=float)
+    taus = np.atleast_1d(np.asarray(eval_times, dtype=float))
+    q = survs.shape[1]
+    if len(edges) != q + 1:
+        raise ValueError(
+            f"bin_edges must have {q + 1} entries for {q}-bin curves, "
+            f"got {len(edges)}"
+        )
+    idx = np.clip(np.searchsorted(edges[1:-1], taus, side="right"), 0, q - 1)
+    return survs[:, idx]

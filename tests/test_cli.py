@@ -664,3 +664,34 @@ def test_stratify_uses_passed_trainer(config_path):
     trained = stratify(cfg, split="all", trainer=t, verbose=False)
     fresh = stratify(cfg, split="all", verbose=False)
     assert trained["risk_threshold"] != fresh["risk_threshold"]
+
+
+def test_cli_evaluate(config_path, capsys):
+    """`cli evaluate` reports the full survival metric panel (c-index +
+    IPCW Brier/IBS + AUC(t)) on a split, with default eval times taken from
+    the cohort's qcut bin edges."""
+    rc = cli.main(["evaluate", "--config", config_path, "--split", "all",
+                   "--json"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "c-index" in out and "IBS" in out
+    import json as _json
+
+    line = [l for l in out.splitlines() if l.startswith("{")][-1]
+    res = _json.loads(line)
+    assert res["n"] == 16
+    assert 0.0 <= res["c_index"] <= 1.0
+    assert res["bin_edges_exact"] is True
+    assert len(res["eval_times"]) == len(res["brier_scores"]) == len(res["auc"])
+    assert len(res["eval_times"]) >= 1
+    assert all(0.0 <= b <= 1.0 for b in res["brier_scores"])
+    assert 0.0 <= res["integrated_brier_score"] <= 1.0
+
+    # explicit --times: the grid is honored (filter happens only on default)
+    t0 = res["eval_times"][0]
+    rc = cli.main(["evaluate", "--config", config_path, "--split", "all",
+                   "--times", f"{t0}", "--json"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    res2 = _json.loads([l for l in out.splitlines() if l.startswith("{")][-1])
+    assert res2["eval_times"] == [t0]

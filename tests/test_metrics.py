@@ -218,3 +218,126 @@ def test_logrank_hand_case_and_properties():
     # all-censored data: no events, no information
     chi2, p = logrank_test([1, 2, 3, 4], [0, 0, 0, 0], [0, 0, 1, 1])
     assert chi2 == 0.0 and p == 1.0
+
+
+# ---------------------------------------------------------------------------
+# IPCW Brier score / IBS + Uno's cumulative/dynamic AUC (round 3). Pinned
+# against fully hand-computed worked examples: the 4-subject cohort below is
+# small enough that every censoring-KM weight and every term is derived on
+# paper in the comments.
+# ---------------------------------------------------------------------------
+
+from multimodal_path_omic_tpu.train.metrics import (  # noqa: E402
+    brier_scores,
+    censoring_survival,
+    cumulative_dynamic_auc,
+    integrated_brier_score,
+    survival_at_times,
+)
+
+# worked cohort: T = [1, 2, 3, 4], events at 1 and 3, censored at 2 and 4.
+_T4 = np.array([1.0, 2.0, 3.0, 4.0])
+_E4 = np.array([True, False, True, False])
+# censoring KM G (drops at the CENSORING times 2 and 4):
+#   t=2: at risk {2,3,4} (n=3), 1 censoring -> G = 2/3
+#   t=4: at risk {4}     (n=1), 1 censoring -> G = 0
+# so G(t) = 1 on [0,2), 2/3 on [2,4), 0 on [4,inf)
+
+
+def test_censoring_survival_worked_case():
+    g_t, g_s = censoring_survival(_T4, _E4)
+    np.testing.assert_allclose(g_t, [2.0, 4.0])
+    np.testing.assert_allclose(g_s, [2.0 / 3.0, 0.0])
+
+
+def test_brier_score_hand_computed():
+    # tau = 2.5 with model survival S(2.5) = [0.2, 0.9, 0.8, 0.7]:
+    #   i=0: event by tau  -> S^2 / G(1-) = 0.04 / 1          = 0.04
+    #   i=1: censored by tau -> 0
+    #   i=2: T=3 > tau     -> (1-0.8)^2 / G(2.5) = 0.04/(2/3) = 0.06
+    #   i=3: T=4 > tau     -> (1-0.7)^2 / G(2.5) = 0.09*1.5   = 0.135
+    # BS(2.5) = (0.04 + 0 + 0.06 + 0.135) / 4 = 0.05875
+    s = np.array([[0.2], [0.9], [0.8], [0.7]])
+    bs = brier_scores(_T4, _E4, s, [2.5])
+    np.testing.assert_allclose(bs, [0.05875], rtol=1e-12)
+
+    # tau = 3.5 exercises the G(T-) case weight (event at 3 has G(3-)=2/3):
+    #   i=0: 0.1^2 / 1 = 0.01
+    #   i=1: 0
+    #   i=2: 0.4^2 / (2/3) = 0.24
+    #   i=3: (1-0.6)^2 / G(3.5)= 0.16/(2/3) = 0.24
+    # BS(3.5) = 0.49 / 4 = 0.1225
+    s2 = np.array([[0.1], [0.5], [0.4], [0.6]])
+    bs2 = brier_scores(_T4, _E4, s2, [3.5])
+    np.testing.assert_allclose(bs2, [0.1225], rtol=1e-12)
+
+
+def test_brier_score_properties():
+    # perfect knowledge on an uncensored cohort scores exactly 0; the
+    # constant-0.5 predictor scores exactly 0.25 at every time
+    t = np.array([1.0, 2.0, 3.0, 4.0, 5.0])
+    e = np.ones(5, dtype=bool)
+    taus = np.array([1.5, 2.5, 3.5])
+    perfect = (t[:, None] > taus[None, :]).astype(float)
+    np.testing.assert_allclose(brier_scores(t, e, perfect, taus), 0.0)
+    half = np.full((5, 3), 0.5)
+    np.testing.assert_allclose(brier_scores(t, e, half, taus), 0.25)
+    # IBS of the constant predictor is 0.25 too (flat integrand)
+    np.testing.assert_allclose(
+        integrated_brier_score(t, e, half, taus), 0.25, rtol=1e-12
+    )
+    # eval time beyond the censoring follow-up raises (G == 0)
+    with pytest.raises(ValueError):
+        brier_scores(_T4, _E4, np.full((4, 1), 0.5), [4.5])
+    # shape mismatch raises
+    with pytest.raises(ValueError):
+        brier_scores(t, e, np.full((5, 2), 0.5), taus)
+    with pytest.raises(ValueError):
+        integrated_brier_score(t, e, half[:, :1], taus[:1])
+
+
+def test_cumulative_dynamic_auc_hand_computed():
+    # tau = 2.5: one case (i=0, w = 1/G(1-) = 1), controls {i=2, i=3}
+    auc = cumulative_dynamic_auc(_T4, _E4, [3.0, 1.0, 2.0, 2.0], [2.5])
+    np.testing.assert_allclose(auc, [1.0])
+    # tied risk counts half: pairs (0,2) tie -> 0.5, (0,3) 2>1.5 -> 1
+    auc = cumulative_dynamic_auc(_T4, _E4, [2.0, 1.0, 2.0, 1.5], [2.5])
+    np.testing.assert_allclose(auc, [0.75])
+    # tau = 3.5: cases i=0 (w=1) and i=2 (w = 1/G(3-) = 1.5), control i=3.
+    #   (0,3): 3 > 2 -> 1 * w=1 ; (2,3): 1 < 2 -> 0 * w=1.5
+    #   AUC = 1 / ((1 + 1.5) * 1) = 0.4
+    auc = cumulative_dynamic_auc(_T4, _E4, [3.0, 1.0, 1.0, 2.0], [3.5])
+    np.testing.assert_allclose(auc, [0.4], rtol=1e-12)
+    # no cases yet (first event after tau) -> NaN
+    auc = cumulative_dynamic_auc(
+        _T4, [False, True, True, False], [1, 2, 3, 4], [1.5]
+    )
+    assert np.isnan(auc[0])
+    # outside the observed follow-up -> range error (sksurv contract)
+    with pytest.raises(ValueError):
+        cumulative_dynamic_auc(_T4, _E4, [1, 2, 3, 4], [4.0])
+
+
+def test_cumulative_dynamic_auc_uncensored_matches_plain_auc():
+    # without censoring all weights are 1 -> plain time-dependent ROC AUC;
+    # a perfectly anti-ranked risk scores 0, perfectly ranked scores 1
+    t = np.array([1.0, 2.0, 3.0, 4.0, 5.0, 6.0])
+    e = np.ones(6, dtype=bool)
+    risk_good = -t  # earlier death = higher risk
+    np.testing.assert_allclose(
+        cumulative_dynamic_auc(t, e, risk_good, [2.5, 3.5]), 1.0
+    )
+    np.testing.assert_allclose(
+        cumulative_dynamic_auc(t, e, t, [2.5, 3.5]), 0.0
+    )
+
+
+def test_survival_at_times_bin_mapping():
+    survs = np.array([[0.9, 0.7, 0.5, 0.2]])
+    edges = np.array([0.0, 10.0, 20.0, 30.0, 40.0])
+    # interior-edge convention: an exact edge belongs to the NEXT bin;
+    # times past the last edge clamp to the final bin
+    out = survival_at_times(survs, edges, [5.0, 10.0, 15.0, 25.0, 100.0])
+    np.testing.assert_allclose(out, [[0.9, 0.7, 0.7, 0.5, 0.2]])
+    with pytest.raises(ValueError):
+        survival_at_times(survs, edges[:-1], [5.0])
