@@ -217,7 +217,9 @@ def cmd_cv(args) -> int:
         if args.fold_indices
         else None
     )
-    result = cross_validate(cfg, k=args.folds, fold_indices=folds)
+    result = cross_validate(
+        cfg, k=args.folds, fold_indices=folds, save_folds=args.save_folds
+    )
     save_results(result, args.out)
     return 0
 
@@ -392,7 +394,9 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     p_pred = sub.add_parser("predict", help="batch inference -> CSV")
     common(p_pred)
-    p_pred.add_argument("--checkpoint")
+    p_pred.add_argument("--checkpoint", action="append",
+                        help="framework checkpoint; repeat to average a "
+                        "checkpoint ENSEMBLE (e.g. the cv fold models)")
     p_pred.add_argument("--out", required=True, help="output CSV path")
     p_pred.add_argument("--mc", type=int, default=0,
                         help="MC-dropout samples: add risk_mc_std / y_*_mc_std "
@@ -437,6 +441,10 @@ def main(argv: Optional[List[str]] = None) -> int:
     common(p_cv)
     p_cv.add_argument("--folds", type=int, default=5)
     p_cv.add_argument("--out", help="write per-fold + aggregate results JSON")
+    p_cv.add_argument("--save-folds", action="store_true",
+                      help="save each fold's final model checkpoint and "
+                      "report its path (feed back as repeated --checkpoint "
+                      "for ensemble inference)")
     p_cv.add_argument(
         "--fold-indices",
         help="comma list: run only these folds (one per SLURM array task); "
@@ -505,7 +513,8 @@ def main(argv: Optional[List[str]] = None) -> int:
         help="KM risk groups + log-rank test from a trained model",
     )
     common(p_strat)
-    p_strat.add_argument("--checkpoint")
+    p_strat.add_argument("--checkpoint", action="append",
+                         help="framework checkpoint; repeatable (ensemble)")
     p_strat.add_argument("--quantile", type=float, default=0.5,
                          help="risk cut point (0.5 = median split)")
     p_strat.add_argument("--split", default="val", choices=("val", "train", "all"))
@@ -522,7 +531,8 @@ def main(argv: Optional[List[str]] = None) -> int:
         help="survival metric panel: c-index + IPCW Brier/IBS + AUC(t)",
     )
     common(p_eval)
-    p_eval.add_argument("--checkpoint")
+    p_eval.add_argument("--checkpoint", action="append",
+                        help="framework checkpoint; repeatable (ensemble)")
     p_eval.add_argument("--split", default="val", choices=("val", "train", "all"))
     p_eval.add_argument("--times",
                         help="comma-separated eval months (default: the "

@@ -29,7 +29,7 @@ class Predictor:
     ``Predictor.from_config`` for the common path.
     """
 
-    def __init__(self, trainer: Trainer):
+    def __init__(self, trainer: Trainer, param_sets=None):
         self._t = trainer
         # reuse the Trainer's program: same l1_lambda (a rebuilt step without
         # it reported losses disagreeing with Trainer.validate for lambda>0)
@@ -37,6 +37,55 @@ class Predictor:
         # predicts
         self.eval_step = trainer.eval_step
         self._mc_steps: Dict[int, Any] = {}  # n_samples -> jitted MC step
+        # checkpoint ensemble: >= 2 parameter pytrees sharing one program
+        # (e.g. the k fold models from `cli cv`); outputs are the ensemble
+        # mean of the members' probabilistic outputs
+        self._param_sets = list(param_sets) if param_sets else None
+
+    @property
+    def n_members(self) -> int:
+        return len(self._param_sets) if self._param_sets else 1
+
+    def _eval(self, dev_batch) -> Dict[str, Any]:
+        """One eval-program call (or one per ensemble member, merged).
+
+        Ensemble merge averages the PROBABILISTIC outputs — hazards, survs,
+        class probabilities — and re-derives risk from the averaged curve
+        (risk = -sum survs, mcat/main.py:56), rather than averaging risks:
+        the averaged survival curve is the ensemble's predictive
+        distribution. ``risk_ens_std`` / ``y_ens_std`` report between-member
+        spread."""
+        t = self._t
+        if not self._param_sets:
+            return self.eval_step(t.state.params, dev_batch)
+        outs = [self.eval_step(p, dev_batch) for p in self._param_sets]
+        merged: Dict[str, Any] = {
+            "loss": np.mean([float(o["loss"]) for o in outs]),
+            "n_real": outs[0]["n_real"],
+            "attention": None,
+            "y": np.mean([np.asarray(o["y"]) for o in outs], axis=0),
+        }
+        if t.ge_mode:
+            # GE's y IS the class-probability vector (double-softmax quirk,
+            # ops/losses.py::cross_entropy_on_probs) — mean of probs
+            merged["y_ens_std"] = np.std(
+                [np.asarray(o["y"]) for o in outs], axis=0
+            )
+            return merged
+        survs = np.mean([np.asarray(o["survs"]) for o in outs], axis=0)
+        merged["survs"] = survs
+        merged["hazards"] = np.mean(
+            [np.asarray(o["hazards"]) for o in outs], axis=0
+        )
+        merged["risk"] = -np.sum(survs, axis=1)
+        merged["risk_ens_std"] = np.std(
+            [np.asarray(o["risk"]) for o in outs], axis=0
+        )
+        if "attn_loss" in outs[0]:
+            merged["attn_loss"] = np.mean(
+                [float(o["attn_loss"]) for o in outs]
+            )
+        return merged
 
     def _mc_step(self, n_samples: int):
         """Lazily-built MC-dropout step (train/loop.py::make_mc_eval_step),
@@ -57,6 +106,12 @@ class Predictor:
         index within a dataset scan — folded into the key so every batch
         draws INDEPENDENT noise realizations (one shared key would repeat
         dropout masks across batches by row position)."""
+        if self._param_sets:
+            raise ValueError(
+                "mc_samples with a checkpoint ensemble is not supported — "
+                "the ensemble spread (risk_ens_std / y_ens_std) is already "
+                "the uncertainty estimate"
+            )
         import jax
 
         res = self._mc_step(mc_samples)(
@@ -76,15 +131,32 @@ class Predictor:
     def from_config(
         cls,
         config: Config,
-        checkpoint: Optional[str] = None,
-        torch_checkpoint: Optional[str] = None,
+        checkpoint=None,
+        torch_checkpoint=None,
         verbose: bool = False,
     ) -> "Predictor":
+        """``checkpoint`` / ``torch_checkpoint`` accept a single path or a
+        LIST of paths — two or more build a checkpoint ensemble (one shared
+        eval program, outputs averaged across members), the natural way to
+        serve the k fold models a `cli cv` run produces."""
+        ckpts = (
+            [checkpoint] if isinstance(checkpoint, str) else list(checkpoint or [])
+        )
+        t_ckpts = (
+            [torch_checkpoint]
+            if isinstance(torch_checkpoint, str)
+            else list(torch_checkpoint or [])
+        )
         trainer = Trainer(config, verbose=verbose)
-        if checkpoint:
-            trainer.restore(checkpoint)
-        elif torch_checkpoint:
-            trainer.load_torch_checkpoint(torch_checkpoint)
+        param_sets = []
+        for path in ckpts:
+            trainer.restore(path)
+            param_sets.append(trainer.state.params)
+        for path in t_ckpts:
+            trainer.load_torch_checkpoint(path)
+            param_sets.append(trainer.state.params)
+        if len(param_sets) >= 2:
+            return cls(trainer, param_sets=param_sets)
         return cls(trainer)
 
     # ------------------------------------------------------------------ warmup
@@ -147,7 +219,7 @@ class Predictor:
             batch["censorship"] = np.zeros((1,), np.float32)
             batch["survival_months"] = np.zeros((1,), np.float32)
         dev = t._device_batch(batch)
-        out = self._debatch(self.eval_step(t.state.params, dev), 1)
+        out = self._debatch(self._eval(dev), 1)
         if mc_samples > 0:
             out = self._mc_augment(out, dev, 1, mc_samples, mc_seed)
         return out
@@ -200,7 +272,7 @@ class Predictor:
                     ]
                     batch["censorship"] = np.zeros((bsz,), np.float32)
                     batch["survival_months"] = np.zeros((bsz,), np.float32)
-                res = self.eval_step(t.state.params, t._device_batch(batch))
+                res = self._eval(t._device_batch(batch))
                 out = self._debatch(res, len(chunk))
                 for k, v in out.items():
                     slots.setdefault(k, [None] * n)
@@ -244,7 +316,7 @@ class Predictor:
             prefetch(_staged(batcher.batches()), depth=t.config.tpu.prefetch)
         ):
             real = int(batch["weight"].sum())
-            res = self.eval_step(t.state.params, dev)
+            res = self._eval(dev)
             out = self._debatch(res, real)
             if mc_samples > 0:
                 out = self._mc_augment(out, dev, real, mc_samples, mc_seed, fold=bi)
@@ -275,6 +347,11 @@ class Predictor:
                 flat["risk_mc_std"] = cols["risk_std"]
             for j in range(cols["y_std"].shape[1]):
                 flat[f"y_{j}_mc_std"] = cols["y_std"][:, j]
+        if "risk_ens_std" in cols:
+            flat["risk_ens_std"] = cols["risk_ens_std"]
+        if "y_ens_std" in cols:
+            for j in range(cols["y_ens_std"].shape[1]):
+                flat[f"y_{j}_ens_std"] = cols["y_ens_std"][:, j]
         pd.DataFrame(flat).to_csv(path, index=False)
         return path
 
@@ -285,4 +362,7 @@ class Predictor:
             out["risk"] = np.asarray(res["risk"])[:real]
             out["hazards"] = np.asarray(res["hazards"])[:real]
             out["survs"] = np.asarray(res["survs"])[:real]
+        for k in ("risk_ens_std", "y_ens_std"):  # ensemble member spread
+            if k in res:
+                out[k] = np.asarray(res[k])[:real]
         return out

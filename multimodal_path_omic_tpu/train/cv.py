@@ -18,7 +18,8 @@ import numpy as np
 
 
 def cross_validate(
-    config, k: int = 5, verbose: bool = True, fold_indices=None
+    config, k: int = 5, verbose: bool = True, fold_indices=None,
+    save_folds: bool = False,
 ) -> Dict:
     """Train ``k`` patient-level folds of ``config`` and aggregate metrics.
 
@@ -29,6 +30,11 @@ def cross_validate(
 
     ``fold_indices``: optional subset of folds to run (e.g. one fold per
     SLURM array task); the fold SPLIT is always computed over all k.
+
+    ``save_folds``: save each fold's final model under
+    ``<checkpoint_dir>/fold<i>/`` and report the paths in the result —
+    feed them back as repeated ``--checkpoint`` flags for ensemble
+    inference (serve.py::Predictor.from_config).
     """
     import copy
     import os
@@ -84,9 +90,25 @@ def cross_validate(
         trainer = Trainer(fold_cfg, verbose=False, split_rows=(tr_rows, va_rows))
         out = trainer.fit()
         row = {"fold": i, **{m: float(v) for m, v in out.items()}}
+        if save_folds:
+            if not fold_cfg.model.checkpoint_dir:
+                raise ValueError(
+                    "save_folds needs model.checkpoint_dir set in the config"
+                )
+            # save() takes the 0-indexed epoch just finished (stores +1)
+            row["checkpoint"] = trainer.save(
+                config.training.epochs - 1, row.get("val_loss", 0.0),
+                tag=f"cv{i}",
+            )
         rows.append(row)
         if verbose:
             print(f"    fold {i + 1}: {metric_key}={row[metric_key]:.4f}")
+    if save_folds:
+        # saves are async (orbax background commit) — join before returning
+        # so the reported paths exist when the caller reads them
+        from multimodal_path_omic_tpu.train import checkpoint as ckpt
+
+        ckpt.wait_for_checkpoints()
     vals = np.array([r[metric_key] for r in rows])
     result = {
         "metric": metric_key,

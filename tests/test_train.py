@@ -1548,3 +1548,99 @@ def test_patch_dropout_config_validation():
     with pytest.raises(ValueError):
         TrainingConfig(patch_dropout=-0.1)
     assert TrainingConfig(patch_dropout=0.25).patch_dropout == 0.25
+
+
+def test_predictor_checkpoint_ensemble(tmp_path):
+    """Predictor.from_config with a LIST of checkpoints averages the members'
+    probabilistic outputs: survs/hazards are the member means, risk is
+    re-derived from the averaged curve (-sum survs), and risk_ens_std
+    reports the between-member spread. MC-dropout on top is rejected."""
+    from multimodal_path_omic_tpu.serve import Predictor
+
+    cfg = _make_cfg(tmp_path, epochs=1)
+    t1 = Trainer(cfg, verbose=False)
+    t1.fit()
+    p1 = t1.save(1, 0.0, tag="m1")
+    # a second, genuinely different member: train one more epoch
+    cfg2 = _make_cfg(tmp_path, epochs=2, training_kw={"seed": 7})
+    cfg2.model.checkpoint_dir = cfg.model.checkpoint_dir
+    t2 = Trainer(cfg2, verbose=False)
+    t2.fit()
+    p2 = t2.save(2, 0.0, tag="m2")
+
+    single1 = Predictor.from_config(cfg, checkpoint=p1)
+    single2 = Predictor.from_config(cfg, checkpoint=p2)
+    ens = Predictor.from_config(cfg, checkpoint=[p1, p2])
+    assert ens.n_members == 2 and single1.n_members == 1
+
+    ds = single1._t.dataset
+    c1 = single1.predict_dataset(ds)
+    c2 = single2.predict_dataset(ds)
+    ce = ens.predict_dataset(ds)
+    assert list(ce["slide_id"]) == list(c1["slide_id"])
+    np.testing.assert_allclose(
+        ce["survs"], (c1["survs"] + c2["survs"]) / 2.0, rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        ce["hazards"], (c1["hazards"] + c2["hazards"]) / 2.0,
+        rtol=1e-5, atol=1e-6,
+    )
+    # risk = -sum of the AVERAGED curve, not the mean of member risks
+    np.testing.assert_allclose(
+        ce["risk"], -np.sum(ce["survs"], axis=1), rtol=1e-5, atol=1e-6
+    )
+    expected_std = np.std([c1["risk"], c2["risk"]], axis=0)
+    np.testing.assert_allclose(
+        ce["risk_ens_std"], expected_std, rtol=1e-4, atol=1e-6
+    )
+    assert ce["risk_ens_std"].max() > 0  # members really differ
+
+    # CSV carries the spread column
+    csv_path = os.path.join(str(tmp_path), "ens.csv")
+    ens.predict_to_csv(csv_path, ds)
+    import pandas as pd
+
+    df = pd.read_csv(csv_path)
+    assert "risk_ens_std" in df.columns and len(df) == len(ds)
+
+    # MC-dropout on an ensemble is rejected
+    with pytest.raises(ValueError):
+        ens.predict_dataset(ds, mc_samples=2)
+
+    # single-bag path merges too
+    _, _, _, omics, bag = ds[0]
+    omics = [np.asarray(o) for o in omics]
+    b1 = single1.predict_bag(bag, omics)
+    b2 = single2.predict_bag(bag, omics)
+    be = ens.predict_bag(bag, omics)
+    np.testing.assert_allclose(
+        be["survs"], (b1["survs"] + b2["survs"]) / 2.0, rtol=1e-5, atol=1e-6
+    )
+
+
+def test_cv_save_folds_roundtrip_to_ensemble(tmp_path):
+    """`cross_validate(save_folds=True)` saves each fold's final model and
+    reports the path; feeding those paths back as a checkpoint list builds
+    a working fold-ensemble Predictor."""
+    from multimodal_path_omic_tpu.serve import Predictor
+    from multimodal_path_omic_tpu.train.cv import cross_validate
+
+    cfg = _make_cfg(tmp_path, epochs=1, n_patients=12)
+    res = cross_validate(cfg, k=2, verbose=False, save_folds=True)
+    paths = [row["checkpoint"] for row in res["folds"]]
+    assert len(paths) == 2 and paths[0] != paths[1]
+    for p in paths:
+        assert os.path.isdir(p), p
+        assert f"fold{paths.index(p)}" in p  # per-fold namespace kept
+
+    ens = Predictor.from_config(cfg, checkpoint=paths)
+    assert ens.n_members == 2
+    cols = ens.predict_dataset(ens._t.dataset)
+    assert np.isfinite(cols["risk"]).all()
+    assert (cols["risk_ens_std"] >= 0).all()
+
+    # save_folds without a checkpoint_dir is a clear error
+    cfg2 = _make_cfg(tmp_path, epochs=1, n_patients=12)
+    cfg2.model.checkpoint_dir = ""
+    with pytest.raises(ValueError, match="checkpoint_dir"):
+        cross_validate(cfg2, k=2, verbose=False, save_folds=True)
