@@ -531,7 +531,9 @@ def main(argv: Optional[list] = None) -> int:
 
     ap = argparse.ArgumentParser(prog="multimodal_path_omic_tpu.server")
     ap.add_argument("--config", help="YAML config (with --checkpoint)")
-    ap.add_argument("--checkpoint")
+    ap.add_argument("--checkpoint", action="append",
+                    help="framework checkpoint; repeat to serve a "
+                    "checkpoint ENSEMBLE (member-averaged outputs)")
     ap.add_argument("--torch-checkpoint")
     ap.add_argument(
         "--bundle",

@@ -581,3 +581,54 @@ def test_predict_mc_query(served):
     except urllib.error.HTTPError as e:
         status, body = e.code, json.loads(e.read())
     assert status == 400 and "batch endpoint" in body["error"]
+
+
+def test_server_serves_checkpoint_ensemble(tmp_path):
+    """An ensemble Predictor behind the HTTP server: /predict returns the
+    member-averaged outputs, and ?mc= on an ensemble is a clear 400 (the
+    ensemble spread is the uncertainty)."""
+    csv, sig, patches = make_synthetic_cohort(
+        str(tmp_path), n_patients=8, bag_lengths=(48, 80), n_genes=24,
+        n_signatures=3, seed=3,
+    )
+    raw = synthetic_config_dict(csv, sig, patches)
+    raw["model"]["model_size"] = "small"
+    raw["tpu"] = {"bag_buckets": [128], "batch_size": 4, "use_pallas": False}
+    cfg = config_from_dict(raw)
+    # two members with genuinely different params (different init seeds)
+    t1 = Trainer(cfg, verbose=False)
+    import copy
+
+    cfg2 = copy.deepcopy(cfg)
+    cfg2.training.seed = 9
+    t2 = Trainer(cfg2, verbose=False)
+    ens = Predictor(t1, param_sets=[t1.state.params, t2.state.params])
+    server = make_server(ens, port=0)
+    th = threading.Thread(target=server.serve_forever, daemon=True)
+    th.start()
+    try:
+        base = f"http://127.0.0.1:{server.server_address[1]}"
+        rng = np.random.default_rng(1)
+        wsi = rng.normal(size=(60, 1024)).astype(np.float32)
+        omics = [rng.normal(size=(s,)).astype(np.float32)
+                 for s in t1.omic_sizes]
+        payload = json.dumps(
+            {"wsi": wsi.tolist(), "omics": [o.tolist() for o in omics]}
+        ).encode()
+        status, body = _post(base + "/predict", payload)
+        assert status == 200
+        direct = ens.predict_bag(wsi, omics=omics)
+        np.testing.assert_allclose(
+            np.asarray(body["risk"]), np.asarray(direct["risk"]), atol=1e-5
+        )
+        # and it really is the two-member average, not member 1 alone
+        solo = Predictor(t1).predict_bag(wsi, omics=omics)
+        assert abs(float(direct["risk"][0]) - float(solo["risk"][0])) > 1e-6
+        # mc + ensemble -> 400
+        try:
+            _post(base + "/predict?mc=2", payload)
+            assert False, "expected HTTP 400"
+        except urllib.request.HTTPError as exc:
+            assert exc.code == 400
+    finally:
+        server.shutdown()
