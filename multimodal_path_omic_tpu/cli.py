@@ -165,13 +165,13 @@ def cmd_evaluate(args) -> int:
     IPCW Brier scores / IBS + Uno's AUC(t) — the metric panel the survival
     literature reports beyond the reference's lone c-index."""
     from multimodal_path_omic_tpu.config import load_config
-    from multimodal_path_omic_tpu.train.analysis import evaluate_survival
+    from multimodal_path_omic_tpu.train.analysis import evaluate
 
     cfg = load_config(args.config, _parse_overrides(args.set, args))
     times = (
         [float(x) for x in args.times.split(",")] if args.times else None
     )
-    result = evaluate_survival(
+    result = evaluate(
         cfg,
         checkpoint=args.checkpoint,
         torch_checkpoint=args.torch_checkpoint,
@@ -528,7 +528,8 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     p_eval = sub.add_parser(
         "evaluate",
-        help="survival metric panel: c-index + IPCW Brier/IBS + AUC(t)",
+        help="metric panel: c-index + IPCW Brier/IBS + AUC(t) (survival) "
+        "or per-class P/R/F1 + confusion (GE)",
     )
     common(p_eval)
     p_eval.add_argument("--checkpoint", action="append",

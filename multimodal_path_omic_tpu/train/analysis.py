@@ -37,6 +37,84 @@ def _resolve_split(t, split: str):
     return ds
 
 
+def evaluate(
+    config,
+    checkpoint: Optional[str] = None,
+    torch_checkpoint: Optional[str] = None,
+    split: str = "val",
+    eval_times=None,
+    verbose: bool = True,
+    trainer=None,
+) -> Dict[str, Any]:
+    """Family-dispatching metric panel: survival models get the IPCW panel
+    (:func:`evaluate_survival`), GE classification models get the
+    per-class precision/recall/F1 + confusion panel
+    (:func:`evaluate_classification`)."""
+    from multimodal_path_omic_tpu.train.trainer import _is_ge
+
+    if _is_ge(config.model.name):
+        if eval_times is not None:
+            raise ValueError("--times applies to survival models only")
+        return evaluate_classification(
+            config, checkpoint=checkpoint, torch_checkpoint=torch_checkpoint,
+            split=split, verbose=verbose, trainer=trainer,
+        )
+    return evaluate_survival(
+        config, checkpoint=checkpoint, torch_checkpoint=torch_checkpoint,
+        split=split, eval_times=eval_times, verbose=verbose, trainer=trainer,
+    )
+
+
+def evaluate_classification(
+    config,
+    checkpoint: Optional[str] = None,
+    torch_checkpoint: Optional[str] = None,
+    split: str = "val",
+    verbose: bool = True,
+    trainer=None,
+) -> Dict[str, Any]:
+    """GE-model metric panel: accuracy, per-class precision/recall/F1 with
+    support, macro-F1, and the confusion matrix — the reference's GE runs
+    report top-1 accuracy only (ge_nacagat/main.py's correct-count loop)."""
+    from multimodal_path_omic_tpu.serve import Predictor
+    from multimodal_path_omic_tpu.train.metrics import classification_report
+
+    predictor = (
+        Predictor(trainer)
+        if trainer is not None
+        else Predictor.from_config(
+            config, checkpoint=checkpoint, torch_checkpoint=torch_checkpoint
+        )
+    )
+    t = predictor._t
+    if not t.ge_mode:
+        raise ValueError("evaluate_classification needs a GE model")
+    ds = _resolve_split(t, split)
+    cols = predictor.predict_dataset(ds)
+    probs = np.asarray(cols["y"], dtype=float)
+    table = ds.table
+    pos = {sid: i for i, sid in enumerate(table.slide_ids)}
+    rows = np.array([pos[sid] for sid in cols["slide_id"]], dtype=int)
+    labels = np.asarray(table.gene_expr_class, dtype=int)[rows]
+
+    report = classification_report(labels, probs)
+    result: Dict[str, Any] = {"split": split, "n": int(len(labels)), **report}
+    if verbose:
+        print(
+            f"evaluate[{split}]: n={result['n']}\n"
+            f"  accuracy = {report['accuracy']:.4f}  "
+            f"macro-F1 = {report['macro_f1']:.4f}"
+        )
+        for c in range(len(report["f1"])):
+            print(
+                f"  class {c}: precision={report['precision'][c]:.4f} "
+                f"recall={report['recall'][c]:.4f} f1={report['f1'][c]:.4f} "
+                f"(n={report['support'][c]})"
+            )
+        print(f"  confusion (rows=true): {report['confusion']}")
+    return result
+
+
 def evaluate_survival(
     config,
     checkpoint: Optional[str] = None,

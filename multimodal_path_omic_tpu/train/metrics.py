@@ -519,3 +519,43 @@ def survival_at_times(
         )
     idx = np.clip(np.searchsorted(edges[1:-1], taus, side="right"), 0, q - 1)
     return survs[:, idx]
+
+
+def classification_report(
+    labels: np.ndarray, probs: np.ndarray
+) -> dict:
+    """Multi-class metric panel from predicted class probabilities.
+
+    Returns accuracy, per-class precision/recall/F1 + support, macro-F1,
+    and the confusion matrix (rows = true class, cols = predicted). The
+    GE family's training metric is top-1 accuracy only
+    (train/trainer.py::val_accuracy); this is the full panel for
+    `cli evaluate` on GE models. Pure numpy — pinned against a
+    hand-computed worked example in tests/test_metrics.py."""
+    y_true = np.asarray(labels, dtype=int)
+    p = np.asarray(probs, dtype=float)
+    if p.ndim != 2 or len(p) != len(y_true):
+        raise ValueError(f"probs must be [n={len(y_true)}, n_classes], got {p.shape}")
+    n_classes = p.shape[1]
+    if y_true.min() < 0 or y_true.max() >= n_classes:
+        raise ValueError("labels out of range for the probability columns")
+    y_pred = np.argmax(p, axis=1)
+    cm = np.zeros((n_classes, n_classes), dtype=int)
+    np.add.at(cm, (y_true, y_pred), 1)
+    tp = np.diag(cm).astype(float)
+    pred_tot = cm.sum(axis=0).astype(float)  # column sums
+    true_tot = cm.sum(axis=1).astype(float)  # row sums
+    with np.errstate(divide="ignore", invalid="ignore"):
+        precision = np.where(pred_tot > 0, tp / pred_tot, 0.0)
+        recall = np.where(true_tot > 0, tp / true_tot, 0.0)
+        denom = precision + recall
+        f1 = np.where(denom > 0, 2 * precision * recall / denom, 0.0)
+    return {
+        "accuracy": float(tp.sum() / len(y_true)),
+        "precision": precision.tolist(),
+        "recall": recall.tolist(),
+        "f1": f1.tolist(),
+        "support": true_tot.astype(int).tolist(),
+        "macro_f1": float(f1.mean()),
+        "confusion": cm.tolist(),
+    }
