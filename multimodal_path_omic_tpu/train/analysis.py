@@ -197,9 +197,8 @@ def evaluate_survival(
         surv_at = M.survival_at_times(survs, approx_edges, taus)
 
     bs = M.brier_scores(months, event, surv_at, taus)
-    trapezoid = getattr(np, "trapezoid", None) or np.trapz
     ibs = (
-        float(trapezoid(bs, taus) / (taus[-1] - taus[0]))
+        M.integrated_brier_score(months, event, surv_at, taus)
         if len(taus) >= 2
         else float(bs[0])
     )

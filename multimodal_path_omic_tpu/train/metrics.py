@@ -464,8 +464,11 @@ def cumulative_dynamic_auc(
     """Uno's IPCW cumulative/dynamic time-dependent AUC(t).
 
     AUC(t) = P(risk_i > risk_j | T_i <= t < T_j) with the case set weighted
-    by 1/G(T_i-) (G = censoring KM); tied risks count 0.5. Cases are
-    subjects with an observed event by t; controls are subjects still at
+    by 1/G(T_i) (G = censoring KM, evaluated right-continuously — Uno's
+    estimator and sksurv's convention; the left limit G(T_i-) belongs to the
+    Brier score, where Graf specifies it). The two differ exactly when an
+    event time coincides with a censoring time. Tied risks count 0.5. Cases
+    are subjects with an observed event by t; controls are subjects still at
     risk after t. Returns one AUC per eval time (NaN where there are no
     cases or no controls)."""
     t = np.asarray(event_time, dtype=float)
@@ -474,7 +477,7 @@ def cumulative_dynamic_auc(
     taus = np.atleast_1d(np.asarray(eval_times, dtype=float))
     _check_eval_times_in_followup(t, taus)
     g_times, g_surv = censoring_survival(t, e)
-    g_left = _km_step_eval(g_times, g_surv, t, left=True)
+    g_at_event = _km_step_eval(g_times, g_surv, t)  # G(T_i), right-continuous
     out = np.empty(len(taus), dtype=float)
     for k, tau in enumerate(taus):
         cases = (t <= tau) & e
@@ -482,12 +485,12 @@ def cumulative_dynamic_auc(
         if not cases.any() or not controls.any():
             out[k] = np.nan
             continue
-        if np.any(cases & (g_left <= 0)):
+        if np.any(cases & (g_at_event <= 0)):
             raise ValueError(
                 f"censoring survival G is 0 at an event time <= {tau}; "
                 "pick eval times inside the censoring follow-up range"
             )
-        w = 1.0 / g_left[cases]  # [n_cases]
+        w = 1.0 / g_at_event[cases]  # [n_cases]
         rc, rk = r[cases], r[controls]
         # pairwise comparison matrix [n_cases, n_controls]
         greater = (rc[:, None] > rk[None, :]).astype(float)
@@ -507,7 +510,13 @@ def survival_at_times(
     survival_head); the curve is a step function: S(t) for t inside bin j is
     ``survs[:, j]`` (probability of surviving through bin j). ``bin_edges``
     are the q+1 qcut boundaries; times beyond the last edge clamp to the
-    final bin."""
+    final bin.
+
+    qcut bins are right-closed — bin j covers (e_j, e_{j+1}] — so a time
+    exactly on an interior edge e_{j+1} belongs to bin j and returns
+    ``survs[:, j]`` (searchsorted side='left'). This matters because
+    evaluate_survival's default eval grid IS the interior qcut edges: the
+    wrong side would shift every default Brier/IBS one full bin pessimistic."""
     survs = np.asarray(survs, dtype=float)
     edges = np.asarray(bin_edges, dtype=float)
     taus = np.atleast_1d(np.asarray(eval_times, dtype=float))
@@ -517,7 +526,7 @@ def survival_at_times(
             f"bin_edges must have {q + 1} entries for {q}-bin curves, "
             f"got {len(edges)}"
         )
-    idx = np.clip(np.searchsorted(edges[1:-1], taus, side="right"), 0, q - 1)
+    idx = np.clip(np.searchsorted(edges[1:-1], taus, side="left"), 0, q - 1)
     return survs[:, idx]
 
 

@@ -318,6 +318,22 @@ def test_cumulative_dynamic_auc_hand_computed():
         cumulative_dynamic_auc(_T4, _E4, [1, 2, 3, 4], [4.0])
 
 
+def test_cumulative_dynamic_auc_tied_event_and_censoring_time():
+    # An event tied with a censoring time is where 1/G(T_i) (Uno / sksurv)
+    # and 1/G(T_i-) diverge. Censorings at t=2,4,5: G = 1 on [0,2),
+    # 0.8 on [2,4), 0.4 on [4,5), 0 after. Cases at tau=3.5: i=0 (event at
+    # t=2, tied with a censoring -> w = 1/G(2) = 1.25, NOT 1/G(2-) = 1)
+    # and i=2 (event at 3, w = 1/G(3) = 1.25). Controls i=3, i=4.
+    #   case 0 (risk 3): beats both controls (2, 0.5) -> 2 wins * 1.25
+    #   case 2 (risk 1): beats 0.5, loses to 2     -> 1 win  * 1.25
+    #   AUC = 3.75 / ((1.25 + 1.25) * 2) = 0.75
+    # (the left-limit convention would give 3.25 / 4.5 = 0.7222...)
+    t = np.array([2.0, 2.0, 3.0, 4.0, 5.0])
+    e = np.array([True, False, True, False, False])
+    auc = cumulative_dynamic_auc(t, e, [3.0, 9.9, 1.0, 2.0, 0.5], [3.5])
+    np.testing.assert_allclose(auc, [0.75], rtol=1e-12)
+
+
 def test_cumulative_dynamic_auc_uncensored_matches_plain_auc():
     # without censoring all weights are 1 -> plain time-dependent ROC AUC;
     # a perfectly anti-ranked risk scores 0, perfectly ranked scores 1
@@ -335,9 +351,11 @@ def test_cumulative_dynamic_auc_uncensored_matches_plain_auc():
 def test_survival_at_times_bin_mapping():
     survs = np.array([[0.9, 0.7, 0.5, 0.2]])
     edges = np.array([0.0, 10.0, 20.0, 30.0, 40.0])
-    # interior-edge convention: an exact edge belongs to the NEXT bin;
-    # times past the last edge clamp to the final bin
+    # qcut bins are right-closed: bin j covers (e_j, e_{j+1}], so a time
+    # exactly on an interior edge belongs to the PREVIOUS bin — S(10) is
+    # survs[:, 0] = P(T > bin 0), the model-implied survival through bin 0.
+    # Times past the last edge clamp to the final bin.
     out = survival_at_times(survs, edges, [5.0, 10.0, 15.0, 25.0, 100.0])
-    np.testing.assert_allclose(out, [[0.9, 0.7, 0.7, 0.5, 0.2]])
+    np.testing.assert_allclose(out, [[0.9, 0.9, 0.7, 0.5, 0.2]])
     with pytest.raises(ValueError):
         survival_at_times(survs, edges[:-1], [5.0])
