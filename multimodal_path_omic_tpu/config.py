@@ -131,6 +131,15 @@ class TrainingConfig:
     # equivalent). Bags whose every real patch would be hidden keep their
     # full mask instead.
     patch_dropout: float = 0.0
+    # NaN debugging: enables jax_debug_nans, which re-runs the offending
+    # computation op-by-op when any jit output goes non-finite and raises
+    # pinpointing the exact primitive. Opt-in: it synchronizes every
+    # dispatch (the headline throughput config is dispatch-bound). The
+    # always-on guard is cheaper and coarser: every epoch's losses are
+    # finiteness-checked on the host and a non-finite one aborts the run
+    # naming epoch + step (trainer.py::_train_epoch) — the survival losses
+    # are log/clamp minefields by heritage (reference: loss.py:21-25).
+    debug_nans: bool = False
 
     def __post_init__(self):
         if self.loss not in VALID_LOSSES:

@@ -174,6 +174,22 @@ class MultiheadAttention(nn.Module):
             self.ring_mesh is not None
             and dict(self.ring_mesh.shape).get("seq", 1) > 1
         )
+        # pallas_call has no GSPMD partitioning rule: on a multi-device mesh
+        # the fused-kernel branches engage only through the shard_map-composed
+        # wrapper (coattn.py::fused_attention_sharded, batch over the data
+        # axis), never by calling pallas under the partitioner directly —
+        # that would all-gather the sharded operands and run replicated.
+        mesh_size = (
+            1 if self.ring_mesh is None else int(self.ring_mesh.devices.size)
+        )
+        if self.use_pallas and mesh_size > 1:
+            from multimodal_path_omic_tpu.ops.coattn import sharded_eligible
+
+            pallas_sharded = sharded_eligible(self.ring_mesh, query.shape[0])
+            pallas_ok = pallas_sharded
+        else:
+            pallas_sharded = False
+            pallas_ok = self.use_pallas
         ssq = None
         if (
             on_seq_mesh
@@ -210,28 +226,48 @@ class MultiheadAttention(nn.Module):
             )
             out_h, ssq = res if want_ssq else (res, None)
             weights = None
-        elif self.use_pallas and (
+        elif pallas_ok and (
             need_weights is False or (want_ssq and self.num_heads == 1)
         ) and not (dropout_active and huge):
-            from multimodal_path_omic_tpu.ops.coattn import fused_attention
+            from multimodal_path_omic_tpu.ops.coattn import (
+                fused_attention,
+                fused_attention_sharded,
+            )
 
-            res = fused_attention(
-                qh, kh, vh, key_mask,
+            kw = dict(
                 pre_gate=self.pre_gate,
                 dropout_rate=self.dropout_rate if dropout_active else 0.0,
                 dropout_rng=rng,
                 need_ssq=want_ssq,
             )
+            if pallas_sharded:
+                res = fused_attention_sharded(
+                    qh, kh, vh, key_mask, mesh=self.ring_mesh, **kw
+                )
+            else:
+                res = fused_attention(qh, kh, vh, key_mask, **kw)
             out_h, ssq = res if want_ssq else (res, None)
             weights = None
-        elif self.use_pallas and need_weights is False and dropout_active and huge:
+        elif pallas_ok and need_weights is False and dropout_active and huge:
             # giant self-attention: flash path, dropout site dropped (see above)
-            from multimodal_path_omic_tpu.ops.coattn import fused_attention
+            from multimodal_path_omic_tpu.ops.coattn import (
+                fused_attention,
+                fused_attention_sharded,
+            )
 
-            out_h = fused_attention(qh, kh, vh, key_mask, pre_gate=self.pre_gate)
+            if pallas_sharded:
+                out_h = fused_attention_sharded(
+                    qh, kh, vh, key_mask, mesh=self.ring_mesh,
+                    pre_gate=self.pre_gate,
+                )
+            else:
+                out_h = fused_attention(
+                    qh, kh, vh, key_mask, pre_gate=self.pre_gate
+                )
             weights = None
         elif (
             self.use_pallas
+            and mesh_size == 1  # export path: un-shard_map'd pallas kernels
             and need_weights is True
             and not dropout_active
             and not self_attn

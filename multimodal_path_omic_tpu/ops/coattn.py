@@ -771,3 +771,79 @@ def fused_attention(
         q, k, v, key_mask, pre_gate,
         dropout_rate=dropout_rate, dropout_rng=dropout_rng, need_ssq=need_ssq,
     )
+
+
+def sharded_eligible(mesh, batch: int) -> bool:
+    """Gate for the shard_map-composed dispatch of :func:`fused_attention`
+    on a mesh: a pure data-parallel layout (every non-``data`` axis of size
+    1 — a sharded patch axis goes through parallel/ring.py instead) whose
+    batch splits evenly over the data axis."""
+    if mesh is None:
+        return False
+    shape = dict(mesh.shape)
+    data = shape.get("data", 1)
+    other = 1
+    for name, size in shape.items():
+        if name != "data":
+            other *= size
+    return data > 1 and other == 1 and batch % data == 0
+
+
+def fused_attention_sharded(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    key_mask: Optional[jnp.ndarray] = None,
+    *,
+    mesh,
+    pre_gate: bool = False,
+    dropout_rate: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
+    need_ssq: bool = False,
+):
+    """:func:`fused_attention` composed onto a data-parallel mesh.
+
+    GSPMD has no partitioning rule for ``pallas_call``: under a multi-device
+    mesh the partitioner all-gathers the sharded operands and runs the kernel
+    replicated on every device, undoing the data sharding exactly at the big
+    buckets the kernel targets. ``shard_map`` is the composition rule instead
+    (same pattern as ops/gather.py::take_rows_sharded): attention is
+    batch-independent, so each device runs the full dispatch (custom kernel /
+    flash / XLA by local shape) on its local [B/data, ...] shard with zero
+    collectives. Dropout keys fold in the device's data-axis index so shards
+    draw independent masks. Callers gate on :func:`sharded_eligible`.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    bspec = P("data", None, None, None)
+    dropout_active = dropout_rate > 0.0
+    have_mask = key_mask is not None
+
+    def local_fn(*args):
+        it = iter(args)
+        ql, kl, vl = next(it), next(it), next(it)
+        ml = next(it) if have_mask else None
+        rngl = next(it) if dropout_active else None
+        if rngl is not None:
+            rngl = jax.random.fold_in(rngl, jax.lax.axis_index("data"))
+        return fused_attention(
+            ql, kl, vl, ml, pre_gate=pre_gate, dropout_rate=dropout_rate,
+            dropout_rng=rngl, need_ssq=need_ssq,
+        )
+
+    in_specs = [bspec, bspec, bspec]
+    args = [q, k, v]
+    if have_mask:
+        in_specs.append(P("data", None))
+        args.append(key_mask)
+    if dropout_active:
+        in_specs.append(P())
+        args.append(dropout_rng)
+    out_specs = (bspec, P("data", None, None)) if need_ssq else bspec
+    return jax.shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=tuple(in_specs),
+        out_specs=out_specs,
+        check_vma=False,
+    )(*args)

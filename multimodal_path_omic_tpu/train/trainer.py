@@ -291,6 +291,16 @@ class Trainer:
             self.train_batcher.host_slice = hs
             self.val_batcher.host_slice = hs
 
+        # ----- NaN debugging (training.debug_nans) ---------------------------
+        # jax_debug_nans re-runs the offending dispatch op-by-op when any jit
+        # output is non-finite and raises at the exact primitive. Opt-in (it
+        # synchronizes every dispatch); the always-on epoch-granularity guard
+        # is the host-side loss finiteness check in _train_epoch.
+        if c.training.debug_nans:
+            jax.config.update("jax_debug_nans", True)
+            if verbose:
+                print("debug_nans: jax_debug_nans enabled (per-op NaN localization)")
+
         # ----- backend report ------------------------------------------------
         # The reference prints its CUDA device names (mcat/main.py:228-237).
         # The TPU-native equivalent matters MORE here: on a held/contended
@@ -340,11 +350,13 @@ class Trainer:
         )
         self.compute_dtype = compute_dtype
         dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else None
-        # bags sharded over a seq axis: GE self-attention rotates K/V around
-        # the ring; survival co-attention merges shard-local softmax stats
-        ring_mesh = (
-            self.mesh if (self.mesh is not None and c.tpu.seq_axis > 1) else None
-        )
+        # The mesh reaches the model for two distinct compositions
+        # (ops/attention.py dispatch): with a seq axis > 1, bags shard over
+        # it — GE self-attention rotates K/V around the ring, survival
+        # co-attention merges shard-local softmax stats (parallel/ring.py);
+        # with a data-only mesh, the fused Pallas kernels run per-shard via
+        # shard_map (coattn.py::fused_attention_sharded).
+        ring_mesh = self.mesh
         self.model = build_model(
             c.model.name,
             omic_sizes=self.omic_sizes,
@@ -353,14 +365,11 @@ class Trainer:
             n_classes=c.model.n_classes if not self.ge_mode else 3,
             dropout=c.model.dropout,
             dtype=dtype,
-            # pallas_call has no GSPMD partitioning rule: on a multi-device
-            # mesh the partitioner all-gathers the sharded operands and runs
-            # the kernel replicated on every device (verified on the 8-device
-            # CPU mesh — output comes back fully replicated), undoing the
-            # data/seq sharding exactly at the big buckets the kernel targets.
-            # The XLA core partitions cleanly, and the seq-parallel/ring paths
-            # (which shard_map their kernels) are not gated on this flag.
-            use_pallas=c.tpu.use_pallas and self.mesh is None,
+            # On a multi-device mesh the fused kernels engage only through
+            # their shard_map composition (no GSPMD rule for pallas_call —
+            # ops/attention.py gates the direct calls to mesh_size == 1 and
+            # routes data-parallel meshes to fused_attention_sharded).
+            use_pallas=c.tpu.use_pallas,
             ring_mesh=ring_mesh,
             bug_compat=c.training.bug_compat,
         )

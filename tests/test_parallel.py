@@ -147,15 +147,13 @@ def test_ring_attention_no_mask():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
 
 
-def test_mesh_trainer_disables_module_level_pallas(tmp_path):
-    """pallas_call has no GSPMD partitioning rule: on a multi-device mesh the
-    partitioner all-gathers the sharded operands and runs the kernel
-    replicated on every device (verified empirically — the output comes back
-    with spec=PartitionSpec()), undoing the sharding at exactly the big
-    buckets the kernel targets. The Trainer must therefore build mesh models
-    with use_pallas=False (the seq-parallel/ring paths shard_map their
-    kernels and are not gated on the flag); single-chip trainers keep the
-    kernel dispatch."""
+def test_mesh_trainer_keeps_pallas_via_shard_map(tmp_path):
+    """pallas_call has no GSPMD partitioning rule, but that no longer costs
+    mesh runs the fused kernels: the Trainer now builds mesh models with
+    use_pallas intact and plumbs the mesh through, and the attention dispatch
+    routes data-parallel meshes to the shard_map composition
+    (coattn.py::fused_attention_sharded) instead of calling pallas under the
+    partitioner (VERDICT r3 #1; the force-disable lived at trainer.py:363)."""
     import os
 
     from multimodal_path_omic_tpu.config import config_from_dict
@@ -180,13 +178,137 @@ def test_mesh_trainer_disables_module_level_pallas(tmp_path):
     cfg.model.checkpoint_dir = os.path.join(str(tmp_path), "ck")
     mesh_trainer = Trainer(cfg, verbose=False)
     assert mesh_trainer.mesh is not None
-    assert mesh_trainer.model.use_pallas is False
+    assert mesh_trainer.model.use_pallas is True
+    assert mesh_trainer.model.ring_mesh is mesh_trainer.mesh
 
     raw["tpu"] = {"bag_buckets": [64], "batch_size": 8, "use_pallas": True}
     cfg1 = config_from_dict(raw)
     cfg1.model.checkpoint_dir = os.path.join(str(tmp_path), "ck1")
     single = Trainer(cfg1, verbose=False)
     assert single.mesh is None and single.model.use_pallas is True
+
+
+@pytest.mark.slow
+def test_fused_attention_sharded_matches_local():
+    """shard_map-composed kernel dispatch on a data=8 mesh == the local
+    fused_attention call, bit-for-bit per batch element (each shard runs the
+    identical kernel tiling on its local rows; no collectives)."""
+    from multimodal_path_omic_tpu.ops import coattn
+
+    rng = np.random.default_rng(21)
+    b, h, n, m, d = 8, 1, 128, 4096, 128
+    q = jnp.asarray(rng.normal(size=(b, h, n, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, h, m, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, h, m, d)), jnp.float32)
+    mask = jnp.asarray(
+        np.arange(m)[None, :] < rng.integers(m // 2, m, size=b)[:, None]
+    )
+    mesh = make_mesh(data=8, seq=1)
+    assert coattn.sharded_eligible(mesh, b)
+    for pre_gate in (False, True):
+        ref = np.asarray(
+            coattn.fused_attention(q, k, v, mask, pre_gate=pre_gate)
+        )
+        before = coattn.DISPATCH_COUNTS["kernel"]
+        with mesh:
+            got = jax.jit(
+                lambda q, k, v, mask, pg=pre_gate: coattn.fused_attention_sharded(
+                    q, k, v, mask, mesh=mesh, pre_gate=pg
+                )
+            )(q, k, v, mask)
+        assert coattn.DISPATCH_COUNTS["kernel"] > before
+        np.testing.assert_allclose(np.asarray(got), ref, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_fused_attention_sharded_ssq_and_grads():
+    """cesar's fused ssq side output + the custom-VJP backward survive the
+    shard_map composition: value and grads match the local kernel call."""
+    from multimodal_path_omic_tpu.ops import coattn
+
+    rng = np.random.default_rng(22)
+    b, h, n, m, d = 8, 1, 128, 4096, 128
+    q = jnp.asarray(rng.normal(size=(b, h, n, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, h, m, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, h, m, d)), jnp.float32)
+    mask = jnp.asarray(
+        np.arange(m)[None, :] < rng.integers(m // 2, m, size=b)[:, None]
+    )
+    mesh = make_mesh(data=8, seq=1)
+
+    def local_loss(q, k, v):
+        out, ssq = coattn.fused_attention(
+            q, k, v, mask, pre_gate=True, need_ssq=True
+        )
+        return jnp.sum(out * out) + jnp.sum(ssq)
+
+    def sharded_loss(q, k, v):
+        out, ssq = coattn.fused_attention_sharded(
+            q, k, v, mask, mesh=mesh, pre_gate=True, need_ssq=True
+        )
+        return jnp.sum(out * out) + jnp.sum(ssq)
+
+    ref_val, ref_grads = jax.value_and_grad(local_loss, argnums=(0, 1, 2))(q, k, v)
+    with mesh:
+        got_val, got_grads = jax.jit(
+            jax.value_and_grad(sharded_loss, argnums=(0, 1, 2))
+        )(q, k, v)
+    np.testing.assert_allclose(float(got_val), float(ref_val), rtol=1e-6)
+    for g_ref, g_got in zip(ref_grads, got_grads):
+        np.testing.assert_allclose(
+            np.asarray(g_got), np.asarray(g_ref), atol=2e-5
+        )
+
+
+@pytest.mark.slow
+def test_mcat_mesh_pallas_matches_xla_mesh_path():
+    """Model-level parity on the 8-virtual-device mesh: an MCAT eval forward
+    with use_pallas=True (shard_map'd kernel dispatch at the kernel-eligible
+    bucket) matches the pure-XLA mesh path (VERDICT r3 #1 'done' bar)."""
+    from multimodal_path_omic_tpu.ops import coattn
+
+    mesh = make_mesh(data=8, seq=1)
+    b, m = 8, 4096
+    rng = np.random.default_rng(23)
+    wsi = rng.normal(size=(b, m, 1024)).astype(np.float32)
+    lengths = rng.integers(m // 2, m, size=b)
+    mask = np.arange(m)[None, :] < lengths[:, None]
+    omics = [rng.normal(size=(b, s)).astype(np.float32) for s in OMIC_SIZES]
+
+    xla = MCAT(n_signatures=len(OMIC_SIZES), model_size="small", use_pallas=False)
+    params = jax.jit(
+        lambda r: xla.init(
+            r, jnp.asarray(wsi[:1]), [jnp.asarray(o[:1]) for o in omics]
+        )
+    )(jax.random.key(0))["params"]
+    kern = MCAT(
+        n_signatures=len(OMIC_SIZES), model_size="small", use_pallas=True,
+        ring_mesh=mesh,
+    )
+
+    def fwd(model):
+        def fn(p, wsi, omics, mask):
+            out = model.apply(
+                {"params": p}, wsi, list(omics), mask, deterministic=True
+            )
+            return -out.survs.sum(axis=-1)  # risk (mcat/main.py:56)
+        return fn
+
+    batch = {"wsi": wsi, "mask": mask, "omics": omics}
+    sharded = shard_batch(batch, mesh)
+    with mesh:
+        p_mesh = replicate(params, mesh)
+        risk_xla = np.asarray(
+            jax.jit(fwd(xla))(p_mesh, sharded["wsi"], sharded["omics"], sharded["mask"])
+        )
+        before = coattn.DISPATCH_COUNTS["kernel"]
+        risk_kern = np.asarray(
+            jax.jit(fwd(kern))(p_mesh, sharded["wsi"], sharded["omics"], sharded["mask"])
+        )
+    assert coattn.DISPATCH_COUNTS["kernel"] > before, (
+        "mesh forward did not dispatch the shard_map'd kernel"
+    )
+    np.testing.assert_allclose(risk_kern, risk_xla, atol=2e-5)
 
 
 def test_trainer_data_parallel_e2e(tmp_path):

@@ -1644,3 +1644,51 @@ def test_cv_save_folds_roundtrip_to_ensemble(tmp_path):
     cfg2.model.checkpoint_dir = ""
     with pytest.raises(ValueError, match="checkpoint_dir"):
         cross_validate(cfg2, k=2, verbose=False, save_folds=True)
+
+
+# ---------------------------------------------------------------------------
+# NaN guard rail (VERDICT r3 #3): training must ABORT on divergence, naming
+# the failing epoch + step, instead of silently fitting garbage. The losses
+# are log/clamp minefields by heritage (reference: loss.py:21-25).
+# ---------------------------------------------------------------------------
+
+
+def test_nan_in_bag_aborts_with_step_identified(tmp_path):
+    """A NaN anywhere in an input bag propagates to a non-finite loss; the
+    epoch guard (trainer.py::_train_epoch) must raise FloatingPointError
+    identifying the epoch and step — default-on, no config required."""
+    cfg = _make_cfg(tmp_path, epochs=2)
+    # poison one bag on disk: every patch of the first slide becomes NaN
+    patches_dir = cfg.dataset.patches_dir
+    victim = sorted(
+        f for f in os.listdir(patches_dir) if f.endswith(".npy")
+    )[0]
+    path = os.path.join(patches_dir, victim)
+    bag = np.load(path)
+    np.save(path, np.full_like(bag, np.nan))
+
+    trainer = Trainer(cfg, verbose=False)
+    with pytest.raises(FloatingPointError, match=r"epoch \d+ step \d+"):
+        trainer.fit()
+
+
+def test_nan_guard_zero_cost_and_clean_runs_unaffected(tmp_path):
+    """The guard reuses the loss values the epoch already fetches for its
+    train_loss average (one bulk D2H round, no extra device sync) — a clean
+    run completes normally with the guard active."""
+    cfg = _make_cfg(tmp_path, epochs=1)
+    out = Trainer(cfg, verbose=False).fit()
+    assert np.isfinite(out["train_loss"])
+
+
+def test_debug_nans_config_plumbs_to_jax(tmp_path):
+    """training.debug_nans enables jax_debug_nans (per-op NaN localization:
+    jax re-runs the offending dispatch op-by-op and raises at the exact
+    primitive). Opt-in — it synchronizes every dispatch."""
+    assert not jax.config.jax_debug_nans
+    cfg = _make_cfg(tmp_path, epochs=1, training_kw={"debug_nans": True})
+    try:
+        Trainer(cfg, verbose=False)
+        assert jax.config.jax_debug_nans
+    finally:
+        jax.config.update("jax_debug_nans", False)
