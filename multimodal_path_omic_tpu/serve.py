@@ -46,6 +46,14 @@ class Predictor:
     def n_members(self) -> int:
         return len(self._param_sets) if self._param_sets else 1
 
+    @property
+    def _min_rows(self) -> int:
+        """Smallest servable batch: rows shard over the mesh data axis
+        (parallel/mesh.py::batch_spec), so single-bag requests pad to
+        ``data_axis`` zero-weight rows; 1 off-mesh."""
+        t = self._t
+        return t.config.tpu.data_axis if t.mesh is not None else 1
+
     def _eval(self, dev_batch) -> Dict[str, Any]:
         """One eval-program call (or one per ensemble member, merged).
 
@@ -169,9 +177,10 @@ class Predictor:
         dim = int(t.state.params["H"]["fc"]["kernel"].shape[0])
         warmed = []
         for bucket in sorted(set(buckets or t.buckets)):
-            # jit caches per SHAPE: predict_bag runs B=1, predict_bags runs
-            # B=batch_size — warm both programs
-            for n in sorted({1, t.batch_size}):
+            # jit caches per SHAPE: predict_bag runs B=_min_rows (1, or
+            # data_axis on a mesh), predict_bags runs B=batch_size — warm
+            # both programs
+            for n in sorted({self._min_rows, t.batch_size}):
                 batch: Dict[str, Any] = {
                     "wsi": np.zeros((n, bucket, dim), np.float32),
                     "mask": np.zeros((n, bucket), bool),
@@ -198,26 +207,40 @@ class Predictor:
     ) -> Dict[str, np.ndarray]:
         """Score one bag [M, 1024] (+ omics signature list for survival models).
 
-        The bag is padded to its bucket; outputs are de-batched.
+        The bag is padded to its bucket; outputs are de-batched. On a
+        data-parallel mesh the batch is additionally padded to ``data_axis``
+        zero-weight rows (batch rows shard over the data axis, so B=1 cannot
+        be laid out) — the de-batch drops the padding rows.
         ``mc_samples`` > 0 adds MC-dropout predictive uncertainty columns
         (risk_mean/risk_std/... — see make_mc_eval_step) from that many
         stochastic forwards seeded by ``mc_seed``.
         """
         t = self._t
+        n = self._min_rows
         bucket = bucket_for(bag.shape[0], t.buckets)
         padded, mask = pad_bag(np.asarray(bag, np.float32), bucket)
+        wsi = np.zeros((n,) + padded.shape, np.float32)
+        wsi[0] = padded
+        msk = np.zeros((n,) + mask.shape, bool)
+        msk[0] = mask
         batch: Dict[str, Any] = {
-            "wsi": padded[None],
-            "mask": mask[None],
-            "label": np.zeros((1,), np.int32),
-            "weight": np.ones((1,), np.float32),
+            "wsi": wsi,
+            "mask": msk,
+            "label": np.zeros((n,), np.int32),
+            "weight": (np.arange(n) < 1).astype(np.float32),
         }
         if not t.ge_mode:
             if omics is None:
                 raise ValueError("survival models need the omics signature list")
-            batch["omics"] = [np.asarray(o, np.float32)[None] for o in omics]
-            batch["censorship"] = np.zeros((1,), np.float32)
-            batch["survival_months"] = np.zeros((1,), np.float32)
+            batch["omics"] = [
+                np.concatenate(
+                    [np.asarray(o, np.float32)[None],
+                     np.zeros((n - 1, np.asarray(o).shape[-1]), np.float32)]
+                )
+                for o in omics
+            ]
+            batch["censorship"] = np.zeros((n,), np.float32)
+            batch["survival_months"] = np.zeros((n,), np.float32)
         dev = t._device_batch(batch)
         out = self._debatch(self._eval(dev), 1)
         if mc_samples > 0:

@@ -327,6 +327,15 @@ class Trainer:
             from multimodal_path_omic_tpu.parallel.mesh import make_mesh
 
             self.mesh = make_mesh(data=c.tpu.data_axis, seq=c.tpu.seq_axis)
+            if self.batch_size % c.tpu.data_axis != 0:
+                # batches shard their row axis over the data axis
+                # (parallel/mesh.py::batch_spec); an indivisible batch fails
+                # deep inside device_put — make it a config error instead
+                raise ValueError(
+                    f"tpu.batch_size={self.batch_size} must be divisible by "
+                    f"tpu.data_axis={c.tpu.data_axis} (batch rows shard over "
+                    "the data axis)"
+                )
             if verbose:
                 print(
                     f"Mesh: data={c.tpu.data_axis} x seq={c.tpu.seq_axis} "
