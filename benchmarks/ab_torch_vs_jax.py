@@ -30,7 +30,8 @@ from multimodal_path_omic_tpu.train.metrics import (  # noqa: E402
 )
 
 
-def build_cohort(out_dir: str, n_patients: int, seed: int):
+def build_cohort(out_dir: str, n_patients: int, seed: int,
+                 cohort: str = "dense"):
     from multimodal_path_omic_tpu.config import config_from_dict
     from multimodal_path_omic_tpu.data.dataset import MultimodalDataset
     from multimodal_path_omic_tpu.data.synthetic import (
@@ -38,6 +39,17 @@ def build_cohort(out_dir: str, n_patients: int, seed: int):
         synthetic_config_dict,
     )
 
+    # 'dense' plants the risk signal on EVERY patch (easy pooled signal —
+    # regularizers can't discriminate there, see docs/ab_torch_vs_jax.md).
+    # 'sparse' is the MIL-attention regime: 5% informative patches at 4x
+    # per-patch magnitude + 10% broken survival labels.
+    hardness = (
+        {}
+        if cohort == "dense"
+        else {"informative_patch_frac": 0.05,
+              "informative_patch_scale": 4.0,
+              "label_noise": 0.1}
+    )
     csv, sig, patches = make_synthetic_cohort(
         out_dir,
         n_patients=n_patients,
@@ -46,6 +58,7 @@ def build_cohort(out_dir: str, n_patients: int, seed: int):
         n_signatures=6,
         seed=seed,
         signal_strength=2.0,
+        **hardness,
     )
     raw = synthetic_config_dict(csv, sig, patches)
     raw["model"]["model_size"] = "small"
@@ -265,6 +278,17 @@ def jax_arm_ge(cfg, epochs: int):
     return jax_arm(cfg, epochs, ge=True)
 
 
+def _emit(summary: dict, args) -> None:
+    summary["cohort"] = args.cohort
+    if args.patch_dropout > 0.0:
+        summary["patch_dropout"] = args.patch_dropout
+    line = json.dumps(summary)
+    print(line, flush=True)
+    if args.log:
+        with open(args.log, "a") as f:
+            f.write(line + "\n")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=20)
@@ -280,6 +304,16 @@ def main():
         "f32 matmuls (the ambient plugin overrides the JAX_PLATFORMS env "
         "var, so an env var alone is NOT enough); default = ambient backend")
     ap.add_argument("--arm", default="both", choices=["both", "torch", "jax"])
+    ap.add_argument(
+        "--cohort", default="dense", choices=["dense", "sparse"],
+        help="dense = signal on every patch; sparse = 5%% informative "
+        "patches at 4x magnitude + 10%% label noise (MIL-attention regime)")
+    ap.add_argument(
+        "--patch-dropout", type=float, default=0.0,
+        help="jax arm only: training.patch_dropout (regularizer A/B)")
+    ap.add_argument(
+        "--log", default=None,
+        help="append the summary JSON line to this file (multi-seed sweeps)")
     args = ap.parse_args()
 
     if args.platform == "cpu":
@@ -290,8 +324,12 @@ def main():
         # defaults to bf16-like precision)
         jax.config.update("jax_default_matmul_precision", "highest")
 
-    cfg, dataset = build_cohort(args.out_dir, args.patients, args.seed)
+    cfg, dataset = build_cohort(
+        args.out_dir, args.patients, args.seed, cohort=args.cohort
+    )
     cfg.training.seed = args.seed
+    if args.patch_dropout > 0.0:
+        cfg.training.patch_dropout = args.patch_dropout
     if args.model == "ge":
         cfg.model.name = "GeneExpr-NaCAGaT"
         cfg.model.gene = args.gene
@@ -330,7 +368,7 @@ def main():
             "patients": args.patients,
             "split_seed": args.seed,
         }
-        print(json.dumps(summary), flush=True)
+        _emit(summary, args)
         return
 
     cfg.model.name = "NaCAGaT" if args.model == "nacagat" else "MCAT"
@@ -369,8 +407,10 @@ def main():
         "epochs": args.epochs,
         "patients": args.patients,
         "split_seed": args.seed,
+        "model": args.model,
+        "loss": args.loss,
     }
-    print(json.dumps(summary), flush=True)
+    _emit(summary, args)
 
 
 if __name__ == "__main__":

@@ -32,12 +32,27 @@ def make_synthetic_cohort(
     bag_format: str = "npy",
     seed: int = 0,
     signal_strength: float = 1.0,
+    informative_patch_frac: float = 1.0,
+    informative_patch_scale: float = 1.0,
+    label_noise: float = 0.0,
 ) -> Tuple[str, str, str]:
     """Write a synthetic cohort; returns (csv_path, signatures_path, patches_dir).
 
     Schema matches what the reference expects (dataset/dataset.py:13-114):
     columns patient, slide_id (.svs names), survival_months, censorship,
     is_decider, source, plus <gene>_rnaseq/_cnv/_mut feature columns.
+
+    Cohort hardness knobs (defaults reproduce the original dense cohort,
+    bit-identically — the extra RNG draws only happen when engaged):
+
+    * ``informative_patch_frac`` < 1.0 plants the WSI risk signal on only
+      that fraction of each bag's patches (min 1) instead of every patch —
+      the MIL-attention regime real WSIs live in, where regularizers like
+      patch_dropout can actually matter.
+    * ``informative_patch_scale`` multiplies the per-patch signal on those
+      informative patches (compensates the pooled-signal dilution).
+    * ``label_noise`` resamples that fraction of patients' survival times
+      independently of their risk (broken labels).
     """
     rng = np.random.default_rng(seed)
     os.makedirs(out_dir, exist_ok=True)
@@ -55,6 +70,9 @@ def make_synthetic_cohort(
         # planted signal: risk driven by the first 10 genes
         risk = signal_strength * rnaseq[:10].mean() + 0.3 * rng.normal()
         survival = float(np.exp(2.0 - risk) * 10.0)
+        if label_noise > 0.0 and rng.random() < label_noise:
+            # broken label: survival independent of this patient's risk
+            survival = float(np.exp(2.0 - rng.normal(scale=0.8)) * 10.0)
         censorship = float(rng.random() < 0.3)
         for s in range(slides_per_patient):
             slide = f"{patient}_S{s}.svs"
@@ -89,10 +107,20 @@ def make_synthetic_cohort(
     sig_path = os.path.join(out_dir, "signatures.csv")
     pd.DataFrame(sig).to_csv(sig_path, index=False)
 
+    def _plant(bag: np.ndarray, m: int, risk: float) -> None:
+        # visual/risk signal in channel 0: every patch (dense cohort) or a
+        # sparse informative subset (MIL-attention regime)
+        if informative_patch_frac >= 1.0:
+            bag[:, 0] += risk
+        else:
+            k = max(1, int(round(informative_patch_frac * m)))
+            idx = rng.choice(m, size=k, replace=False)
+            bag[idx, 0] += risk * informative_patch_scale
+
     # bags: embeddings whose mean encodes the planted risk weakly
     for slide, m, risk in bag_specs:
         bag = rng.normal(size=(m, embedding_dim)).astype(np.float32)
-        bag[:, 0] += risk  # visual/risk signal in channel 0
+        _plant(bag, m, risk)
         stem = slide[:-4]
         if bag_format == "npy":
             np.save(os.path.join(patches_dir, stem + ".npy"), bag)
@@ -112,7 +140,7 @@ def make_synthetic_cohort(
         with h5py.File(h5_path, "w") as f:
             for slide, m, risk in bag_specs:
                 bag = rng.normal(size=(m, embedding_dim)).astype(np.float32)
-                bag[:, 0] += risk
+                _plant(bag, m, risk)
                 f.create_dataset(slide[:-4], data=bag)
         return csv_path, sig_path, h5_path
 
