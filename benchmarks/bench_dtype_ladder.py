@@ -50,6 +50,8 @@ def main():
     ap.add_argument("--windows", type=int, default=5)
     ap.add_argument("--calls", type=int, default=16)
     ap.add_argument("--k", type=int, default=8, help="optimizer steps per dispatch")
+    ap.add_argument("--remat", action="store_true", help="tpu.remat: recompute "
+                    "[B,M,d] patch-axis residuals in backward (loop.py policy)")
     args = ap.parse_args()
     K = args.k
 
@@ -103,7 +105,9 @@ def main():
     state = TrainState(
         params, optimizer.init(params), jax.random.key(1), jnp.zeros((), jnp.int32)
     )
-    step = make_multi_train_step(model, "ces", optimizer, donate_state=True)
+    step = make_multi_train_step(
+        model, "ces", optimizer, donate_state=True, remat=args.remat
+    )
     stacked = {
         k: (
             [jnp.broadcast_to(o, (K,) + o.shape) for o in v]
@@ -131,6 +135,7 @@ def main():
                 "batch": B,
                 "wsi": args.wsi,
                 "compute": args.compute,
+                "remat": args.remat,
                 "bags_per_sec": round(best, 1),
                 "tflops": round(best * gflop_per_bag / 1000.0, 1),
                 "mfu_pct": round(best * gflop_per_bag / 1000.0 / 197.0 * 100, 1),

@@ -243,6 +243,15 @@ class TpuConfig:
     seq_axis: int = 1
     # Use Pallas fused kernels where available.
     use_pallas: bool = True
+    # Rematerialize the [B, M, d] patch-axis intermediates in the backward
+    # pass (jax.checkpoint with a save_anything_except_these_names policy
+    # over the 'remat_big' tensors tagged in ops/blocks.py + ops/attention.py:
+    # WSI-encoder activations and attention q/k/v projections). Trades one
+    # extra MXU pass for not round-tripping the model's largest residuals
+    # through HBM — lets bigger B*M fit patch_budget. Off by default: at the
+    # shipping batch shapes the step is not memory-bound and remat only adds
+    # FLOPs; turn on for huge-bag / huge-batch configs that OOM or spill.
+    remat: bool = False
     # Host pipeline prefetch depth.
     prefetch: int = 2
     # C++ pipelined epoch executor (native slot ring). The Trainer closes the

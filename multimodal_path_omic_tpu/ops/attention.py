@@ -143,9 +143,23 @@ class MultiheadAttention(nn.Module):
         # bias cast matters: an f32 bias would silently promote q/k/v (and
         # with them the whole attention chain over up to 24k-patch keys) back
         # to f32 on the bf16 compute path — same pattern as TorchLinear
-        q = jnp.dot(query.astype(self.dtype), wq.astype(self.dtype)) + bq.astype(self.dtype)
-        k = jnp.dot(key.astype(self.dtype), wk.astype(self.dtype)) + bk.astype(self.dtype)
-        v = jnp.dot(value.astype(self.dtype), wv.astype(self.dtype)) + bv.astype(self.dtype)
+        from jax.ad_checkpoint import checkpoint_name
+
+        # 'remat_big': under tpu.remat (train/loop.py policy) the backward
+        # recomputes the projections instead of storing them — k/v over the
+        # patch axis are the model's largest residuals. Inert otherwise.
+        q = checkpoint_name(
+            jnp.dot(query.astype(self.dtype), wq.astype(self.dtype))
+            + bq.astype(self.dtype), "remat_big",
+        )
+        k = checkpoint_name(
+            jnp.dot(key.astype(self.dtype), wk.astype(self.dtype))
+            + bk.astype(self.dtype), "remat_big",
+        )
+        v = checkpoint_name(
+            jnp.dot(value.astype(self.dtype), wv.astype(self.dtype))
+            + bv.astype(self.dtype), "remat_big",
+        )
 
         qh = _split_heads(q, self.num_heads)
         kh = _split_heads(k, self.num_heads)

@@ -169,9 +169,19 @@ class WSIEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, wsi: jnp.ndarray, deterministic: bool = True):
-        h = jax.nn.relu(TorchLinear(self.dim, dtype=self.dtype, name="fc")(wsi))
+        from jax.ad_checkpoint import checkpoint_name
+
+        # 'remat_big' names the [B, M, d] intermediates for tpu.remat:
+        # under the save_anything_except_these_names policy (train/loop.py)
+        # the backward recomputes them from wsi (one extra MXU pass) instead
+        # of round-tripping ~67 MB/tensor through HBM at B=256. Inert
+        # without the policy.
+        h = checkpoint_name(
+            TorchLinear(self.dim, dtype=self.dtype, name="fc")(wsi), "remat_big"
+        )
+        h = jax.nn.relu(h)
         h = FastDropout(self.dropout_rate)(h, deterministic=deterministic)
-        return h
+        return checkpoint_name(h, "remat_big")
 
 
 class OmicEncoderStack(nn.Module):

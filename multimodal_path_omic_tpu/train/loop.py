@@ -111,6 +111,7 @@ def make_train_step(
     omic_sizes: Optional[Tuple[int, ...]] = None,
     donate_state: bool = False,
     patch_dropout: float = 0.0,
+    remat: bool = False,
 ) -> Callable:
     """Build the jitted train step.
 
@@ -135,7 +136,7 @@ def make_train_step(
         model, loss_name, optimizer, alpha=alpha, l1_lambda=l1_lambda,
         patch_budget=patch_budget, ge_mode=ge_mode, omic_sizes=omic_sizes,
         donate_state=donate_state, need_attention=need_attention, multi=False,
-        patch_dropout=patch_dropout,
+        patch_dropout=patch_dropout, remat=remat,
     )
 
 
@@ -151,6 +152,7 @@ def make_multi_train_step(
     omic_sizes: Optional[Tuple[int, ...]] = None,
     donate_state: bool = False,
     patch_dropout: float = 0.0,
+    remat: bool = False,
 ) -> Callable:
     """Multi-step dispatch: ONE jitted call runs K sequential optimizer steps
     (``lax.scan``) over a stacked batch dict whose arrays carry a leading
@@ -163,7 +165,7 @@ def make_multi_train_step(
         model, loss_name, optimizer, alpha=alpha, l1_lambda=l1_lambda,
         patch_budget=patch_budget, ge_mode=ge_mode, omic_sizes=omic_sizes,
         donate_state=donate_state, need_attention=need_attention, multi=True,
-        patch_dropout=patch_dropout,
+        patch_dropout=patch_dropout, remat=remat,
     )
 
 
@@ -181,6 +183,7 @@ def make_cached_train_step(
     patch_dropout: float = 0.0,
     multi: bool = False,
     mesh=None,
+    remat: bool = False,
 ) -> Callable:
     """Train step over a DEVICE-RESIDENT dataset cache (data/device_cache.py).
 
@@ -197,7 +200,7 @@ def make_cached_train_step(
         model, loss_name, optimizer, alpha=alpha, l1_lambda=l1_lambda,
         patch_budget=patch_budget, ge_mode=ge_mode, omic_sizes=omic_sizes,
         donate_state=donate_state, need_attention=need_attention, multi=multi,
-        cached=True, mesh=mesh, patch_dropout=patch_dropout,
+        cached=True, mesh=mesh, patch_dropout=patch_dropout, remat=remat,
     )
 
 
@@ -294,7 +297,7 @@ def stack_batches(batches):
 def _build_step(
     model, loss_name, optimizer, *, alpha, l1_lambda, patch_budget, ge_mode,
     omic_sizes, donate_state, need_attention, multi, cached=False, mesh=None,
-    patch_dropout=0.0,
+    patch_dropout=0.0, remat=False,
 ):
     def forward_loss(params, rng, wsi, mask, omics, label, censorship, months, weight):
         if patch_dropout:
@@ -337,6 +340,21 @@ def _build_step(
         w_sum = jnp.sum(weight)
         return loss * w_sum, (attn_loss * w_sum, risk, w_sum)
 
+    if remat:
+        # tpu.remat: recompute the 'remat_big' [B, M, d] tensors (WSI-encoder
+        # activations, attention q/k/v projections — tagged via
+        # checkpoint_name in ops/blocks.py / ops/attention.py) in the
+        # backward instead of storing them. Everything else (small omic
+        # branches, 6-token transformer, heads) stays saved, so the cost is
+        # one extra MXU pass over the patch-axis matmuls while the backward's
+        # HBM residual footprint drops from O(B*M*d) per tagged tensor to the
+        # model inputs.
+        forward_loss = jax.checkpoint(
+            forward_loss,
+            policy=jax.checkpoint_policies.save_anything_except_these_names(
+                "remat_big"
+            ),
+        )
     grad_fn = jax.value_and_grad(forward_loss, has_aux=True)
 
     def _step_impl(state: TrainState, batch: Dict[str, Any]) -> Tuple[TrainState, StepMetrics]:

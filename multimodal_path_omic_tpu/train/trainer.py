@@ -431,6 +431,7 @@ class Trainer:
             omic_sizes=tuple(self.omic_sizes),
             donate_state=True,  # Trainer steps form a linear state chain
             patch_dropout=c.training.patch_dropout,
+            remat=c.tpu.remat,
         )
         self.eval_step = make_eval_step(
             self.model, c.training.loss, alpha=c.training.alpha,
@@ -463,6 +464,7 @@ class Trainer:
                 omic_sizes=tuple(self.omic_sizes),
                 donate_state=True,
                 patch_dropout=c.training.patch_dropout,
+                remat=c.tpu.remat,
             )
             if self.steps_per_dispatch > 1
             else None
@@ -621,6 +623,7 @@ class Trainer:
             donate_state=True,
             patch_dropout=c.training.patch_dropout,
             mesh=self.mesh,
+            remat=c.tpu.remat,
         )
         self._cached_steps = (
             make_cached_train_step(

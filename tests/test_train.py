@@ -438,6 +438,75 @@ def test_padded_samples_do_not_affect_gradients():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
+def test_remat_step_matches_default():
+    """tpu.remat recomputes the 'remat_big'-tagged [B, M, d] tensors
+    (ops/blocks.py WSIEncoder, ops/attention.py q/k/v) in the backward via
+    jax.checkpoint(save_anything_except_these_names). Must be semantically
+    inert: same loss, same update — including under active dropout (the
+    recompute replays the same rng-derived masks)."""
+    from multimodal_path_omic_tpu.models import MCAT
+
+    rng = np.random.default_rng(11)
+    omic_sizes = [10, 20, 30, 40, 50, 60]
+    b, m = 4, 32
+    batch = {
+        "wsi": jnp.array(rng.normal(size=(b, m, 1024)), jnp.float32),
+        "mask": jnp.ones((b, m), bool),
+        "omics": [jnp.array(rng.normal(size=(b, s)), jnp.float32) for s in omic_sizes],
+        "label": jnp.array(rng.integers(0, 4, b), jnp.int32),
+        "censorship": jnp.array(rng.integers(0, 2, b), jnp.float32),
+        "survival_months": jnp.array(rng.uniform(1, 100, b), jnp.float32),
+        "weight": jnp.ones((b,), jnp.float32),
+    }
+    model = MCAT(n_signatures=6, model_size="small", dropout_rate=0.25)
+    opt = make_optimizer("sgd", 1e-2)
+    state = _tiny_state(model, opt, batch)
+    base = make_train_step(model, "ces", opt)
+    remat = make_train_step(model, "ces", opt, remat=True)
+    s0, m0 = base(state, batch)
+    s1, m1 = remat(state, batch)
+    assert np.isclose(float(m0.loss), float(m1.loss), atol=1e-6)
+    for a, c in zip(
+        jax.tree_util.tree_leaves(s0.params), jax.tree_util.tree_leaves(s1.params)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=1e-6)
+
+
+def test_remat_composes_with_accum_chunking():
+    """remat + lax.scan gradient accumulation must still equal single-pass.
+
+    dropout_rate=0 here: chunked accumulation legitimately draws per-chunk
+    dropout rngs, so single-pass vs chunked only agree dropout-free (same
+    reason test_grad_accum_chunks_match_single_pass uses a dropout-free
+    model) — this test isolates the remat wrapper under the scan."""
+    from multimodal_path_omic_tpu.models import MCAT
+
+    rng = np.random.default_rng(12)
+    omic_sizes = [10, 20, 30, 40, 50, 60]
+    b, m = 4, 32
+    batch = {
+        "wsi": jnp.array(rng.normal(size=(b, m, 1024)), jnp.float32),
+        "mask": jnp.ones((b, m), bool),
+        "omics": [jnp.array(rng.normal(size=(b, s)), jnp.float32) for s in omic_sizes],
+        "label": jnp.array(rng.integers(0, 4, b), jnp.int32),
+        "censorship": jnp.array(rng.integers(0, 2, b), jnp.float32),
+        "survival_months": jnp.array(rng.uniform(1, 100, b), jnp.float32),
+        "weight": jnp.ones((b,), jnp.float32),
+    }
+    model = MCAT(n_signatures=6, model_size="small", dropout_rate=0.0)
+    opt = make_optimizer("sgd", 1e-2)
+    state = _tiny_state(model, opt, batch)
+    one = make_train_step(model, "ces", opt, patch_budget=None, remat=True)
+    many = make_train_step(model, "ces", opt, patch_budget=m, remat=True)  # chunk=1
+    s1, m1 = one(state, batch)
+    s2, m2 = many(state, batch)
+    assert np.isclose(float(m1.loss), float(m2.loss), atol=1e-6)
+    for a, c in zip(
+        jax.tree_util.tree_leaves(s1.params), jax.tree_util.tree_leaves(s2.params)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=1e-6)
+
+
 def test_mcat_learns_planted_signal_well(tmp_path):
     """Quality bar: training on a strong planted signal must push validation
     c-index well past chance (the reference's quality metric, mcat/main.py:148)."""
