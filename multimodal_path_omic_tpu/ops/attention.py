@@ -60,6 +60,51 @@ def _merge_heads(x: jnp.ndarray) -> jnp.ndarray:
     return x.transpose(0, 2, 1, 3).reshape(b, l, h * d)
 
 
+def tiny_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    key_mask: Optional[jnp.ndarray],
+    num_heads: int,
+    *,
+    dropout_rate: float = 0.0,
+    dropout_rng=None,
+) -> jnp.ndarray:
+    """Few-token attention as VPU elementwise fusions (no MXU, no transposes).
+
+    q: [B, N, E]; k, v: [B, M, E] with N, M tiny — the 6-token branch
+    transformers (reference: mcat.py:51-53, 60-62). The [B, H, L, D] head
+    layout ``attention_core`` feeds the MXU is tiling poison at these shapes:
+    D=32 in lanes and L=6 in sublanes pad ~5x, and the layout-constrained
+    transposes around each matmul surface as pure HBM copies (12 recurring
+    copies, ~310 us/step at the B=256 K=16 ladder). Computing scores and PV
+    as broadcast-multiply-reduce instead keeps the whole chain inside XLA
+    loop fusions, where index permutations are free; at these sizes the
+    attention is ~2.4 MFLOP total, so losing the MXU costs nothing. Math is
+    identical to ``attention_core`` (same 1/sqrt(D) scale, masked softmax
+    over keys, torch dropout-on-probs semantics); only reduction order and
+    the dropout mask's draw layout differ.
+    """
+    b, n, e = q.shape
+    m = k.shape[1]
+    d = e // num_heads
+    q4 = q.reshape(b, n, num_heads, d)
+    k4 = k.reshape(b, m, num_heads, d)
+    v4 = v.reshape(b, m, num_heads, d)
+    # scores [B, N, M, H]: keys on axis 2, heads trailing — no layout demand
+    scores = jnp.sum(
+        (q4 * (1.0 / math.sqrt(d)))[:, :, None, :, :] * k4[:, None, :, :, :],
+        axis=-1,
+    )
+    mask4 = None if key_mask is None else key_mask[:, None, :, None]
+    weights = masked_softmax(scores, mask4, axis=2)
+    if dropout_rate > 0.0:
+        keep, keep_prob = fast_keep_mask(dropout_rng, dropout_rate, weights.shape)
+        weights = jnp.where(keep, weights / keep_prob, 0.0)
+    out = jnp.sum(weights[..., None] * v4[:, None, :, :, :], axis=2)  # [B,N,H,D]
+    return out.reshape(b, n, e)
+
+
 def attention_core(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -137,8 +182,6 @@ class MultiheadAttention(nn.Module):
         e = self.embed_dim
         in_kernel = self.param("in_proj_kernel", xavier_uniform_packed_init, (e, 3 * e))
         in_bias = self.param("in_proj_bias", nn.initializers.zeros, (3 * e,))
-        wq, wk, wv = jnp.split(in_kernel, 3, axis=1)
-        bq, bk, bv = jnp.split(in_bias, 3)
 
         # bias cast matters: an f32 bias would silently promote q/k/v (and
         # with them the whole attention chain over up to 24k-patch keys) back
@@ -148,18 +191,32 @@ class MultiheadAttention(nn.Module):
         # 'remat_big': under tpu.remat (train/loop.py policy) the backward
         # recomputes the projections instead of storing them — k/v over the
         # patch axis are the model's largest residuals. Inert otherwise.
-        q = checkpoint_name(
-            jnp.dot(query.astype(self.dtype), wq.astype(self.dtype))
-            + bq.astype(self.dtype), "remat_big",
-        )
-        k = checkpoint_name(
-            jnp.dot(key.astype(self.dtype), wk.astype(self.dtype))
-            + bk.astype(self.dtype), "remat_big",
-        )
-        v = checkpoint_name(
-            jnp.dot(value.astype(self.dtype), wv.astype(self.dtype))
-            + bv.astype(self.dtype), "remat_big",
-        )
+        #
+        # Projection FUSION (MXU shape, not math): whenever inputs alias, the
+        # separate q/k/v dots collapse into one dot against a contiguous slice
+        # of the packed [E, 3E] kernel (torch packs qkv the same way, so the
+        # slices need no concat). Per output column the contraction is
+        # identical, so results match the split dots; the payoff is the
+        # BACKWARD, where dX becomes one well-tiled [.., 2E/3E] matmul instead
+        # of 2-3 narrow ones (profiled 675 -> ~250 us/step at the B=256
+        # ladder, the k/v dX fusions were running at ~18% MXU efficiency).
+        def proj(x, lo, hi):
+            w = in_kernel[:, lo * e : hi * e]
+            b = in_bias[lo * e : hi * e]
+            return checkpoint_name(
+                jnp.dot(x.astype(self.dtype), w.astype(self.dtype))
+                + b.astype(self.dtype), "remat_big",
+            )
+
+        if query is key and key is value:
+            q, k, v = jnp.split(proj(query, 0, 3), 3, axis=-1)
+        elif key is value:
+            q = proj(query, 0, 1)
+            k, v = jnp.split(proj(key, 1, 3), 2, axis=-1)
+        else:
+            q = proj(query, 0, 1)
+            k = proj(key, 1, 2)
+            v = proj(value, 2, 3)
 
         qh = _split_heads(q, self.num_heads)
         kh = _split_heads(k, self.num_heads)
@@ -240,6 +297,21 @@ class MultiheadAttention(nn.Module):
             )
             out_h, ssq = res if want_ssq else (res, None)
             weights = None
+        elif (
+            need_weights is False
+            and not self.pre_gate
+            and query.shape[1] <= 32
+            and key.shape[1] <= 32
+        ):
+            # few-token fast path (6-token branch transformers): elementwise
+            # formulation, no head-split transposes — see tiny_attention
+            out_flat = tiny_attention(
+                q, k, v, key_mask, self.num_heads,
+                dropout_rate=self.dropout_rate if dropout_active else 0.0,
+                dropout_rng=rng,
+            )
+            out_h = None
+            weights = None
         elif pallas_ok and (
             need_weights is False or (want_ssq and self.num_heads == 1)
         ) and not (dropout_active and huge):
@@ -314,7 +386,7 @@ class MultiheadAttention(nn.Module):
                 w = weights.mean(axis=1)
                 ssq = jnp.sum(w * w, axis=-1)  # [B, N]
                 weights = None
-        out = _merge_heads(out_h)
+        out = out_flat if out_h is None else _merge_heads(out_h)
         # torch MHA zero-inits out_proj.bias (_reset_parameters / blocks.py:86)
         out = TorchLinear(
             e, dtype=self.dtype, bias_init=nn.initializers.zeros, name="out_proj"
