@@ -52,6 +52,13 @@ def main():
     ap.add_argument("--k", type=int, default=8, help="optimizer steps per dispatch")
     ap.add_argument("--remat", action="store_true", help="tpu.remat: recompute "
                     "[B,M,d] patch-axis residuals in backward (loop.py policy)")
+    ap.add_argument("--flops", action="store_true", help="also report the "
+                    "EXECUTED GFLOP/bag of this arm's compiled program (XLA "
+                    "cost_analysis). mfu_pct stays pinned to the standard-"
+                    "formulation 1.056 GFLOP/bag (PaLM-style model-FLOPs "
+                    "convention) so rows remain comparable across arms that "
+                    "reassociate math away, e.g. lean_single_head_cross_"
+                    "attention")
     args = ap.parse_args()
     K = args.k
 
@@ -129,19 +136,25 @@ def main():
         float(m.loss[-1])  # hard sync (block_until_ready lies on this backend)
         best = max(best, args.calls * K * B / (time.perf_counter() - t0))
     gflop_per_bag = 1.056  # XLA cost_analysis, single 32-bag step / 32
-    print(
-        json.dumps(
-            {
-                "batch": B,
-                "wsi": args.wsi,
-                "compute": args.compute,
-                "remat": args.remat,
-                "bags_per_sec": round(best, 1),
-                "tflops": round(best * gflop_per_bag / 1000.0, 1),
-                "mfu_pct": round(best * gflop_per_bag / 1000.0 / 197.0 * 100, 1),
-            }
-        )
-    )
+    out = {
+        "batch": B,
+        "wsi": args.wsi,
+        "compute": args.compute,
+        "remat": args.remat,
+        "bags_per_sec": round(best, 1),
+        "tflops": round(best * gflop_per_bag / 1000.0, 1),
+        "mfu_pct": round(best * gflop_per_bag / 1000.0 / 197.0 * 100, 1),
+    }
+    if args.flops:
+        # a SINGLE-step program: cost_analysis counts a lax.scan body once,
+        # not K times, so the multi-step program would under-report by ~K
+        from multimodal_path_omic_tpu.train.loop import make_train_step
+
+        step1 = make_train_step(model, "ces", optimizer)
+        ca = step1.lower(state, batch).compile().cost_analysis()
+        ca = ca[0] if isinstance(ca, list) else ca
+        out["executed_gflop_per_bag"] = round(float(ca["flops"]) / B / 1e9, 4)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

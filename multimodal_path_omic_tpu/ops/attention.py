@@ -24,6 +24,7 @@ computed by a fused Pallas kernel (ops/coattn.py) instead of XLA einsums.
 from __future__ import annotations
 
 import math
+import os
 from typing import Any, Optional, Tuple
 
 import jax
@@ -103,6 +104,65 @@ def tiny_attention(
         weights = jnp.where(keep, weights / keep_prob, 0.0)
     out = jnp.sum(weights[..., None] * v4[:, None, :, :, :], axis=2)  # [B,N,H,D]
     return out.reshape(b, n, e)
+
+
+def lean_single_head_cross_attention(
+    q: jnp.ndarray,
+    kv: jnp.ndarray,
+    wk: jnp.ndarray,
+    bk: jnp.ndarray,
+    wv: jnp.ndarray,
+    bv: jnp.ndarray,
+    key_mask: Optional[jnp.ndarray],
+    *,
+    dropout_rate: float = 0.0,
+    dropout_rng=None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Few-query single-head cross-attention with the K/V projections
+    reassociated OFF the patch axis.
+
+    The standard path projects the [B, M, F] patch side twice
+    (``k = kv@wk + bk``, ``v = kv@wv + bv`` — 2·B·M·F·E FLOPs each) before
+    the cheap [B, N, M] score/PV einsums; at the headline ladder those two
+    projections plus their backward (dX, dW, and a full-tensor bias-grad
+    reduce) are ~1/3 of the whole train step. With ONE head and N ≪ M the
+    same math factors through the queries instead:
+
+        scores = (q/√d)·(kv@wk + bk)ᵀ = ((q/√d)@wkᵀ)·kvᵀ + ((q/√d)·bk)
+        out    = w·(kv@wv + bv)       = (w·kv)@wv + bv·Σₘw
+
+    so every patch-axis matmul contracts against N=6 queries rather than
+    E=256 output features — ~0.4 GFLOP replaces ~34.4 GFLOP of kv-side
+    projection per co-attention (B=256, M=512), and the [B, M, E] k/v
+    activations (plus their backward) never exist. Exact reassociation:
+    bias-through-softmax and bias-through-dropped-weights terms are kept
+    (``Σₘw ≠ 1`` under dropout/padding), and the dropout mask is drawn with
+    the same [B, 1, N, M] layout as ``attention_core``. Valid only for
+    num_heads == 1 (per-head slices of wk would make the q-side contraction
+    H× wider); the single-head genomic-guided co-attention is exactly the
+    reference's configuration (mcat.py:48, nacagat.py:51).
+
+    q: [B, N, E] (already projected, bias included, pre-scaled by caller's
+    convention: raw — scaling happens here); kv: [B, M, F] raw patch-side
+    input; wk/wv: [F, E]; bk/bv: [E]. Returns (out [B, N, E],
+    weights [B, N, M] — the post-dropout attention map, reference
+    blocks.py:188-201 semantics).
+    """
+    b, n, e = q.shape
+    qs = q * (1.0 / math.sqrt(e))
+    qk = jnp.dot(qs, wk.T)  # [B, N, F] — tiny
+    scores = jnp.einsum("bnf,bmf->bnm", qk, kv) + jnp.dot(qs, bk)[..., None]
+    mask3 = None if key_mask is None else key_mask[:, None, :]
+    weights = masked_softmax(scores, mask3)
+    if dropout_rate > 0.0:
+        keep, keep_prob = fast_keep_mask(
+            dropout_rng, dropout_rate, (b, 1, n, weights.shape[-1])
+        )
+        weights = jnp.where(keep[:, 0], weights / keep_prob, 0.0)
+    pooled = jnp.einsum("bnm,bmf->bnf", weights, kv)
+    sumw = jnp.sum(weights, axis=-1, keepdims=True)  # [B, N, 1]
+    out = jnp.dot(pooled, wv) + bv * sumw
+    return out, weights
 
 
 def attention_core(
@@ -208,20 +268,6 @@ class MultiheadAttention(nn.Module):
                 + b.astype(self.dtype), "remat_big",
             )
 
-        if query is key and key is value:
-            q, k, v = jnp.split(proj(query, 0, 3), 3, axis=-1)
-        elif key is value:
-            q = proj(query, 0, 1)
-            k, v = jnp.split(proj(key, 1, 3), 2, axis=-1)
-        else:
-            q = proj(query, 0, 1)
-            k = proj(key, 1, 2)
-            v = proj(value, 2, 3)
-
-        qh = _split_heads(q, self.num_heads)
-        kh = _split_heads(k, self.num_heads)
-        vh = _split_heads(v, self.num_heads)
-
         rng = None
         if self.dropout_rate > 0.0 and not deterministic:
             rng = self.make_rng("dropout")
@@ -245,6 +291,50 @@ class MultiheadAttention(nn.Module):
             self.ring_mesh is not None
             and dict(self.ring_mesh.shape).get("seq", 1) > 1
         )
+        # Single-head few-query CROSS-attention (the genomic-guided
+        # co-attention, mcat.py:48): reassociate the K/V projections off the
+        # patch axis — see lean_single_head_cross_attention. Supersedes both
+        # the XLA core and the fused kernel here (the kernel still pays the
+        # [B, M, E] projections outside itself; lean deletes them). Excluded
+        # on a seq-sharded mesh (parallel/ring.py owns that layout).
+        lean = (
+            self.num_heads == 1
+            and not self_attn
+            and key is value
+            and not self.pre_gate
+            and query.shape[1] <= 32
+            and key.shape[1] > 32
+            and not on_seq_mesh
+            # benchmarking escape hatch (A/B the reassociation in one window)
+            and os.environ.get("MPO_NO_LEAN_ATTENTION") != "1"
+        )
+        if lean:
+            q = proj(query, 0, 1)
+            out_flat, w_lean = lean_single_head_cross_attention(
+                q,
+                key.astype(self.dtype),
+                in_kernel[:, e : 2 * e].astype(self.dtype),
+                in_bias[e : 2 * e].astype(self.dtype),
+                in_kernel[:, 2 * e : 3 * e].astype(self.dtype),
+                in_bias[2 * e : 3 * e].astype(self.dtype),
+                key_mask,
+                dropout_rate=self.dropout_rate if dropout_active else 0.0,
+                dropout_rng=rng,
+            )
+        else:
+            if query is key and key is value:
+                q, k, v = jnp.split(proj(query, 0, 3), 3, axis=-1)
+            elif key is value:
+                q = proj(query, 0, 1)
+                k, v = jnp.split(proj(key, 1, 3), 2, axis=-1)
+            else:
+                q = proj(query, 0, 1)
+                k = proj(key, 1, 2)
+                v = proj(value, 2, 3)
+
+            qh = _split_heads(q, self.num_heads)
+            kh = _split_heads(k, self.num_heads)
+            vh = _split_heads(v, self.num_heads)
         # pallas_call has no GSPMD partitioning rule: on a multi-device mesh
         # the fused-kernel branches engage only through the shard_map-composed
         # wrapper (coattn.py::fused_attention_sharded, batch over the data
@@ -262,7 +352,13 @@ class MultiheadAttention(nn.Module):
             pallas_sharded = False
             pallas_ok = self.use_pallas
         ssq = None
-        if (
+        if lean:
+            out_h = None
+            weights = w_lean[:, None] if need_weights is True else None
+            if want_ssq:
+                # 1 head: the head-averaged weights ARE the weights
+                ssq = jnp.sum(w_lean * w_lean, axis=-1)  # [B, N]
+        elif (
             on_seq_mesh
             and self_attn
             and not self.pre_gate  # ring_self_attention has no pre-gate path

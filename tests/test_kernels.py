@@ -102,9 +102,13 @@ def test_fused_attention_dispatch_xla_fallback():
 
 
 def test_mcat_with_pallas_coattention_matches_xla_path():
-    """End-to-end: MCAT with use_pallas must equal the XLA model in eval —
-    at M >= 4096 so the dispatcher actually ENGAGES the kernel (asserted),
-    not the XLA fallback testing itself."""
+    """End-to-end: MCAT with use_pallas must equal the XLA model in eval at
+    M >= 4096. Since round 4 the single-head co-attention takes the LEAN
+    reassociated path on BOTH settings (ops/attention.py::
+    lean_single_head_cross_attention supersedes the fused kernel there — the
+    kernel still pays the [B, M, E] k/v projections outside itself), so this
+    additionally pins that the kernel is NOT dispatched; model-level kernel
+    engagement is covered by the NaCAGaT (pre-gated) dispatch tests below."""
     from multimodal_path_omic_tpu.models import MCAT
     from multimodal_path_omic_tpu.ops import coattn
 
@@ -121,8 +125,8 @@ def test_mcat_with_pallas_coattention_matches_xla_path():
     pal_model = MCAT(n_signatures=2, model_size="small", use_pallas=True)
     before = dict(coattn.DISPATCH_COUNTS)
     out_pal = pal_model.apply(params, wsi, omics, mask)
-    assert coattn.DISPATCH_COUNTS["kernel"] > before["kernel"], (
-        "pallas MCAT did not dispatch the co-attention kernel"
+    assert coattn.DISPATCH_COUNTS["kernel"] == before["kernel"], (
+        "MCAT's 1-head co-attention should take the lean path, not the kernel"
     )
     np.testing.assert_allclose(
         np.asarray(out_pal.hazards), np.asarray(out_ref.hazards), atol=5e-5

@@ -215,6 +215,104 @@ def test_attention_bf16_path_stays_bf16():
     assert qp.dtype == jnp.bfloat16, qp.dtype
 
 
+def test_lean_cross_attention_matches_projected_core():
+    """Round-4 lean rewrite (ops/attention.py::lean_single_head_cross_
+    attention): single-head few-query cross-attention reassociates the K/V
+    projections off the patch axis — ``(q·wkᵀ)·kvᵀ + q·bk`` and
+    ``(w·kv)·wv + bv·Σw`` — and must equal projecting k/v then running
+    attention_core, for every output mode (weights / None / ssq), with and
+    without a mask, to f32 precision."""
+    from multimodal_path_omic_tpu.ops.attention import (
+        MultiheadAttention,
+        attention_core,
+    )
+
+    rng = np.random.default_rng(11)
+    B, N, M, E = 3, 6, 100, 64  # M > 32 so the lean gate engages
+    q_in = jnp.asarray(rng.standard_normal((B, N, E)), jnp.float32)
+    kv_in = jnp.asarray(rng.standard_normal((B, M, E)), jnp.float32)
+    mask = jnp.asarray(rng.random((B, M)) > 0.3)
+
+    mha = MultiheadAttention(embed_dim=E, num_heads=1, dropout_rate=0.0)
+    params = mha.init(jax.random.key(0), q_in, kv_in, kv_in, mask, need_weights=True)
+    p = params["params"]
+    wq, wk, wv = jnp.split(p["in_proj_kernel"], 3, axis=1)
+    bq, bk, bv = jnp.split(p["in_proj_bias"], 3)
+    q = q_in @ wq + bq
+
+    out_masked = None
+    for m in (mask, None):
+        out, w = mha.apply(params, q_in, kv_in, kv_in, m, need_weights=True)
+        if m is mask:
+            out_masked = out
+        oh, wh = attention_core(
+            q[:, None], (kv_in @ wk + bk)[:, None], (kv_in @ wv + bv)[:, None],
+            m, pre_gate=False, dropout_rate=0.0, deterministic=True,
+        )
+        ref = oh[:, 0] @ p["out_proj"]["kernel"] + p["out_proj"]["bias"]
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(w), np.asarray(wh[:, 0]), atol=1e-6)
+
+    # need_weights=False and "ssq" ride the same lean weights
+    out2, w2 = mha.apply(params, q_in, kv_in, kv_in, mask, need_weights=False)
+    assert w2 is None
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(out_masked), atol=1e-6)
+    _, ssq = mha.apply(params, q_in, kv_in, kv_in, mask, need_weights="ssq")
+    oh, wh = attention_core(
+        q[:, None], (kv_in @ wk + bk)[:, None], (kv_in @ wv + bv)[:, None],
+        mask, pre_gate=False, dropout_rate=0.0, deterministic=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(ssq), np.asarray(jnp.sum(wh[:, 0] ** 2, -1)), atol=1e-6
+    )
+
+
+def test_lean_cross_attention_dropout_is_draw_identical_to_core():
+    """The lean path draws its dropout mask with the same [B, 1, N, M]
+    layout and rng as attention_core, so a seeded training forward is
+    bit-identical between the two formulations (torch dropout-on-probs
+    semantics, blocks.py:188-201): same kept set, same 1/keep_prob scaling,
+    and the bias-through-dropped-weights term ``bv·Σw`` stays exact."""
+    from multimodal_path_omic_tpu.ops.attention import (
+        attention_core,
+        lean_single_head_cross_attention,
+    )
+
+    rng = np.random.default_rng(12)
+    B, N, M, E = 2, 4, 64, 32
+    q = jnp.asarray(rng.standard_normal((B, N, E)), jnp.float32)
+    kv = jnp.asarray(rng.standard_normal((B, M, E)), jnp.float32)
+    wk = jnp.asarray(rng.standard_normal((E, E)) * 0.1, jnp.float32)
+    wv = jnp.asarray(rng.standard_normal((E, E)) * 0.1, jnp.float32)
+    bk = jnp.asarray(rng.standard_normal((E,)) * 0.1, jnp.float32)
+    bv = jnp.asarray(rng.standard_normal((E,)) * 0.1, jnp.float32)
+    mask = jnp.asarray(rng.random((B, M)) > 0.3)
+    drop = jax.random.key(7)
+
+    out_lean, w_lean = lean_single_head_cross_attention(
+        q, kv, wk, bk, wv, bv, mask, dropout_rate=0.25, dropout_rng=drop
+    )
+    oh, wh = attention_core(
+        q[:, None], (kv @ wk + bk)[:, None], (kv @ wv + bv)[:, None],
+        mask, pre_gate=False, dropout_rate=0.25, deterministic=False,
+        dropout_rng=drop,
+    )
+    assert int(np.asarray((w_lean == 0) & mask[:, None, :]).sum()) > 0, (
+        "dropout did not drop any valid weight"
+    )
+    # identical rng stream => identical kept set (exact); kept values carry
+    # only the reassociation's fp noise
+    np.testing.assert_array_equal(
+        np.asarray(w_lean == 0), np.asarray(wh[:, 0] == 0)
+    )
+    np.testing.assert_allclose(
+        np.asarray(w_lean), np.asarray(wh[:, 0]), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_lean), np.asarray(oh[:, 0]), atol=1e-5
+    )
+
+
 def test_pre_gated_self_attention_on_seq_mesh_keeps_the_gate():
     """ring_self_attention has no pre-gate path: a pre-gated self-attention
     on a seq mesh must fall back to a gated path (XLA core under GSPMD), not

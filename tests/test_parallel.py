@@ -263,8 +263,12 @@ def test_fused_attention_sharded_ssq_and_grads():
 @pytest.mark.slow
 def test_mcat_mesh_pallas_matches_xla_mesh_path():
     """Model-level parity on the 8-virtual-device mesh: an MCAT eval forward
-    with use_pallas=True (shard_map'd kernel dispatch at the kernel-eligible
-    bucket) matches the pure-XLA mesh path (VERDICT r3 #1 'done' bar)."""
+    with use_pallas=True matches the pure-XLA mesh path. Since round 4 the
+    single-head co-attention takes the LEAN reassociated path on both
+    settings (it deletes the [B, M, E] k/v projections the kernel would
+    still pay outside itself), so the kernel must NOT dispatch here; the
+    model-level shard_map'd-kernel bar (VERDICT r3 #1) moved to the
+    pre-gated NaCAGaT forward below."""
     from multimodal_path_omic_tpu.ops import coattn
 
     mesh = make_mesh(data=8, seq=1)
@@ -305,8 +309,66 @@ def test_mcat_mesh_pallas_matches_xla_mesh_path():
         risk_kern = np.asarray(
             jax.jit(fwd(kern))(p_mesh, sharded["wsi"], sharded["omics"], sharded["mask"])
         )
+    assert coattn.DISPATCH_COUNTS["kernel"] == before, (
+        "MCAT mesh forward should take the lean path, not the kernel"
+    )
+    np.testing.assert_allclose(risk_kern, risk_xla, atol=2e-5)
+
+
+@pytest.mark.slow
+def test_nacagat_mesh_pallas_dispatches_kernel_and_matches_xla():
+    """The model-level shard_map'd-kernel bar (VERDICT r3 #1 'done'): a
+    pre-gated NaCAGaT eval forward on a pure data-parallel 8-virtual-device
+    mesh with use_pallas=True must DISPATCH the fused co-attention kernel
+    (pre-gating needs tanh of the projected K, so the lean reassociation
+    cannot supersede it) and match the pure-XLA mesh path."""
+    from multimodal_path_omic_tpu.models import NaCAGaT
+    from multimodal_path_omic_tpu.ops import coattn
+
+    mesh = make_mesh(data=8, seq=1)
+    b, m = 8, 4096
+    rng = np.random.default_rng(24)
+    wsi = rng.normal(size=(b, m, 1024)).astype(np.float32)
+    lengths = rng.integers(m // 2, m, size=b)
+    mask = np.arange(m)[None, :] < lengths[:, None]
+    omics = [rng.normal(size=(b, s)).astype(np.float32) for s in [32, 48]]
+
+    xla = NaCAGaT(n_signatures=2, model_size="small", use_pallas=False)
+    params = jax.jit(
+        lambda r: xla.init(
+            r, jnp.asarray(wsi[:1]), [jnp.asarray(o[:1]) for o in omics]
+        )
+    )(jax.random.key(0))["params"]
+    kern = NaCAGaT(
+        n_signatures=2, model_size="small", use_pallas=True, ring_mesh=mesh,
+    )
+
+    def fwd(model):
+        def fn(p, wsi, omics, mask):
+            # need_attention=False: the fused kernel serves the no-weights
+            # forward (training / risk-only eval); need_attention=True must
+            # materialize the [B, N, M] map and so takes the XLA core on a
+            # mesh (attention-map export is a single-device path).
+            out = model.apply(
+                {"params": p}, wsi, list(omics), mask,
+                deterministic=True, need_attention=False,
+            )
+            return -out.survs.sum(axis=-1)
+        return fn
+
+    batch = {"wsi": wsi, "mask": mask, "omics": omics}
+    sharded = shard_batch(batch, mesh)
+    with mesh:
+        p_mesh = replicate(params, mesh)
+        risk_xla = np.asarray(
+            jax.jit(fwd(xla))(p_mesh, sharded["wsi"], sharded["omics"], sharded["mask"])
+        )
+        before = coattn.DISPATCH_COUNTS["kernel"]
+        risk_kern = np.asarray(
+            jax.jit(fwd(kern))(p_mesh, sharded["wsi"], sharded["omics"], sharded["mask"])
+        )
     assert coattn.DISPATCH_COUNTS["kernel"] > before, (
-        "mesh forward did not dispatch the shard_map'd kernel"
+        "NaCAGaT mesh forward did not dispatch the shard_map'd kernel"
     )
     np.testing.assert_allclose(risk_kern, risk_xla, atol=2e-5)
 
