@@ -121,9 +121,10 @@ def main():
     # of device compute per step; docs/performance.md).
     from multimodal_path_omic_tpu.train.loop import make_multi_train_step
 
-    # K=32 measured best on this backend (41.9k @ K=8, 48.9k @ K=16,
-    # 56.0k @ K=32, K=64 regressed on the 2.1 GB stacked-operand staging)
-    K = int(os.environ.get("BENCH_K", "32"))
+    # K=64 measured best on this backend post lean co-attention (round 4:
+    # 64.5k @ K=32, 72.3k @ K=64; K=128 only +2.4% more on 4.2 GB staging).
+    # Pre-lean round 3: 41.9k @ K=8, 48.9k @ K=16, 56.0k @ K=32.
+    K = int(os.environ.get("BENCH_K", "64"))
     step = make_multi_train_step(model, "ces", optimizer, donate_state=True)
     stacked = {
         k: (
@@ -146,7 +147,7 @@ def main():
 
     # timed: best of several windows (the device may be time-shared; the best
     # window reflects the hardware, the others reflect contention)
-    n_calls = 16  # x BENCH_K steps each (512 at the default K=32)
+    n_calls = 16  # x BENCH_K steps each (1024 at the default K=64)
     best = 0.0
     for _ in range(5):
         t0 = time.perf_counter()

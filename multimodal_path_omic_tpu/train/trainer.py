@@ -448,10 +448,13 @@ class Trainer:
         self._spd_auto = spd <= 0
         if spd <= 0:
             # auto: measured 1.5-2x over K=1 on tunneled backends at K=8
-            # (round 2), and a further +34% at K=32 on the headline bench
-            # (round 3: 41.9k -> 56.0k bags/sec; K=64 regressed on operand
-            # staging). Host-fed paths stay byte-capped by _host_k_cap.
-            spd = 32
+            # (round 2), +34% at K=32 (round 3: 41.9k -> 56.0k bags/sec).
+            # Round 4 re-tune: lean co-attention cut per-step device time
+            # ~40%, making the step MORE dispatch-bound — K=64 now wins
+            # (64.5k @ K=32 -> 72.3k bags/sec on the headline bench; K=128
+            # only +2.4% more on 4.2 GB staging, rejected). Host-fed paths
+            # stay byte-capped by _host_k_cap (K<=16 at the 512 bucket).
+            spd = 64
         self.steps_per_dispatch = max(1, spd)
         self.multi_step = (
             make_multi_train_step(
