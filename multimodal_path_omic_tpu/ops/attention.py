@@ -308,6 +308,25 @@ class MultiheadAttention(nn.Module):
             # benchmarking escape hatch (A/B the reassociation in one window)
             and os.environ.get("MPO_NO_LEAN_ATTENTION") != "1"
         )
+        # Pre-gated variant (NaCAGaT, blocks.py:184-188): the pre-gate needs
+        # tanh(K) so the K projection cannot reassociate, but the V projection
+        # still can — out = (w·kv)@wv + bv·Σw. The Σw (sum of the final
+        # post-dropout weights) comes from the materialized weights on the
+        # XLA path or from the kernel's sumw side output at large M, so the
+        # [B, M, E] v activation and its backward never exist. Excluded for
+        # need_weights=True (export wants out == einsum(weights, v) exactly
+        # consistent via attention_with_weights).
+        lean_v = (
+            self.num_heads == 1
+            and not self_attn
+            and key is value
+            and self.pre_gate
+            and need_weights is not True
+            and query.shape[1] <= 32
+            and key.shape[1] > 32
+            and not on_seq_mesh
+            and os.environ.get("MPO_NO_LEAN_ATTENTION") != "1"
+        )
         if lean:
             q = proj(query, 0, 1)
             out_flat, w_lean = lean_single_head_cross_attention(
@@ -321,6 +340,12 @@ class MultiheadAttention(nn.Module):
                 dropout_rate=self.dropout_rate if dropout_active else 0.0,
                 dropout_rng=rng,
             )
+        elif lean_v:
+            q = proj(query, 0, 1)
+            k = proj(key, 1, 2)
+            qh = _split_heads(q, 1)
+            kh = _split_heads(k, 1)
+            vh = None  # v is never projected; the raw kv rides through
         else:
             if query is key and key is value:
                 q, k, v = jnp.split(proj(query, 0, 3), 3, axis=-1)
@@ -358,6 +383,43 @@ class MultiheadAttention(nn.Module):
             if want_ssq:
                 # 1 head: the head-averaged weights ARE the weights
                 ssq = jnp.sum(w_lean * w_lean, axis=-1)  # [B, N]
+        elif lean_v:
+            from multimodal_path_omic_tpu.ops.coattn import (
+                _xla_fused,
+                fused_attention,
+                fused_attention_sharded,
+            )
+
+            kvh = key.astype(self.dtype)[:, None]  # [B, 1, M, F] raw patches
+            kw = dict(
+                pre_gate=True,
+                dropout_rate=self.dropout_rate if dropout_active else 0.0,
+                dropout_rng=rng,
+                need_ssq=want_ssq,
+                need_sumw=True,
+            )
+            if pallas_sharded:
+                res = fused_attention_sharded(
+                    qh, kh, kvh, key_mask, mesh=self.ring_mesh, **kw
+                )
+            elif pallas_ok:
+                res = fused_attention(qh, kh, kvh, key_mask, **kw)
+            else:
+                res = _xla_fused(qh, kh, kvh, key_mask, **kw)
+            if want_ssq:
+                out_raw, ssq, sumw = res
+            else:
+                out_raw, sumw = res
+            wv = in_kernel[:, 2 * e : 3 * e].astype(self.dtype)
+            bv = in_bias[2 * e : 3 * e].astype(self.dtype)
+            # V-projection applied AFTER the patch-axis contraction: [B, N, F]
+            # @ [F, E] + bias weighted by the row's surviving weight mass
+            out_flat = (
+                jnp.dot(_merge_heads(out_raw).astype(self.dtype), wv)
+                + bv * sumw[:, 0, :, None].astype(self.dtype)
+            )
+            out_h = None
+            weights = None
         elif (
             on_seq_mesh
             and self_attn

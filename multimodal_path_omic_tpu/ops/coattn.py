@@ -77,7 +77,7 @@ def _dropout_threshold(rate: float) -> int:
 
 
 def _make_fwd_kernel(*, sm_scale: float, pre_gate: bool, dropout_rate: float,
-                     emit_ssq: bool):
+                     emit_ssq: bool, emit_sumw: bool = False):
     use_dropout = dropout_rate > 0.0
 
     def kernel(*refs):
@@ -94,9 +94,17 @@ def _make_fwd_kernel(*, sm_scale: float, pre_gate: bool, dropout_rate: float,
         if emit_ssq:
             ssq_ref = refs[i]
             i += 1
+        sumw_ref = None
+        if emit_sumw:
+            sumw_ref = refs[i]
+            i += 1
         m_scr, l_scr, acc_scr = refs[i : i + 3]
         i += 3
-        ssq_scr = refs[i] if emit_ssq else None
+        ssq_scr = None
+        if emit_ssq:
+            ssq_scr = refs[i]
+            i += 1
+        sumw_scr = refs[i] if emit_sumw else None
 
         b = pl.program_id(0)
         j = pl.program_id(1)
@@ -108,6 +116,8 @@ def _make_fwd_kernel(*, sm_scale: float, pre_gate: bool, dropout_rate: float,
             acc_scr[...] = jnp.zeros_like(acc_scr)
             if emit_ssq:
                 ssq_scr[...] = jnp.zeros_like(ssq_scr)
+            if emit_sumw:
+                sumw_scr[...] = jnp.zeros_like(sumw_scr)
 
         q = q_ref[0]  # [NP, D]
         k = k_ref[0]  # [BK, D]
@@ -160,6 +170,14 @@ def _make_fwd_kernel(*, sm_scale: float, pre_gate: bool, dropout_rate: float,
             ssq_scr[...] = ssq_scr[...] * (alpha * alpha) + jnp.broadcast_to(
                 ssq_curr, ssq_scr.shape
             )
+        if emit_sumw:
+            # sum of DROPPED probabilities — after the final l_inv scaling
+            # this is sum_m w_nm of the final (post-dropout) weights. Exactly
+            # 1 for fully-valid rows without dropout; != 1 under dropout.
+            sumw_curr = jnp.sum(pd, axis=1, keepdims=True)
+            sumw_scr[...] = sumw_scr[...] * alpha + jnp.broadcast_to(
+                sumw_curr, sumw_scr.shape
+            )
 
         @pl.when(j == pl.num_programs(1) - 1)
         def _store():
@@ -170,13 +188,15 @@ def _make_fwd_kernel(*, sm_scale: float, pre_gate: bool, dropout_rate: float,
             m_ref[0, 0] = m_scr[:, 0]
             if emit_ssq:
                 ssq_ref[0, 0] = ssq_scr[:, 0] * (l_inv * l_inv)[:, 0]
+            if emit_sumw:
+                sumw_ref[0, 0] = sumw_scr[:, 0] * l_inv[:, 0]
 
     return kernel
 
 
 def _coattn_fwd_impl(
     q, k, v, mask_f, seed, *, pre_gate: bool, block_k: int, interpret: bool,
-    dropout_rate: float, emit_ssq: bool,
+    dropout_rate: float, emit_ssq: bool, emit_sumw: bool = False,
 ):
     b, np_, d = q.shape
     m_len = k.shape[1]
@@ -185,7 +205,7 @@ def _coattn_fwd_impl(
     use_dropout = dropout_rate > 0.0
     kernel = _make_fwd_kernel(
         sm_scale=sm_scale, pre_gate=pre_gate, dropout_rate=dropout_rate,
-        emit_ssq=emit_ssq,
+        emit_ssq=emit_ssq, emit_sumw=emit_sumw,
     )
     in_specs = [
         pl.BlockSpec((1, np_, d), lambda b_, j: (b_, 0, 0)),
@@ -210,12 +230,17 @@ def _coattn_fwd_impl(
     if emit_ssq:
         out_specs.append(pl.BlockSpec((1, 1, np_), lambda b_, j: (b_, 0, 0)))
         out_shape.append(jax.ShapeDtypeStruct((b, 1, np_), jnp.float32))
+    if emit_sumw:
+        out_specs.append(pl.BlockSpec((1, 1, np_), lambda b_, j: (b_, 0, 0)))
+        out_shape.append(jax.ShapeDtypeStruct((b, 1, np_), jnp.float32))
     scratch_shapes = [
         pltpu.VMEM((np_, LANES), jnp.float32),
         pltpu.VMEM((np_, LANES), jnp.float32),
         pltpu.VMEM((np_, d), jnp.float32),
     ]
     if emit_ssq:
+        scratch_shapes.append(pltpu.VMEM((np_, LANES), jnp.float32))
+    if emit_sumw:
         scratch_shapes.append(pltpu.VMEM((np_, LANES), jnp.float32))
     outs = pl.pallas_call(
         kernel,
@@ -229,12 +254,15 @@ def _coattn_fwd_impl(
         ),
         interpret=interpret,
     )(*inputs)
+    outs = list(outs)
+    o, l, m = outs[:3]
+    i = 3
+    ssq = None
     if emit_ssq:
-        o, l, m, ssq = outs
-    else:
-        o, l, m = outs
-        ssq = None
-    return o, l, m, ssq
+        ssq = outs[i]
+        i += 1
+    sumw = outs[i] if emit_sumw else None
+    return o, l, m, ssq, sumw
 
 
 # =============================================================================
@@ -243,7 +271,7 @@ def _coattn_fwd_impl(
 
 
 def _make_bwd_kernel(*, sm_scale: float, pre_gate: bool, dropout_rate: float,
-                     emit_ssq: bool):
+                     emit_ssq: bool, emit_sumw: bool = False):
     use_dropout = dropout_rate > 0.0
 
     def kernel(*refs):
@@ -259,6 +287,10 @@ def _make_bwd_kernel(*, sm_scale: float, pre_gate: bool, dropout_rate: float,
         dssq_ref = None
         if emit_ssq:
             dssq_ref = refs[i]
+            i += 1
+        dsumw_ref = None
+        if emit_sumw:
+            dsumw_ref = refs[i]
             i += 1
         dq_ref, dk_ref, dv_ref = refs[i : i + 3]
         i += 3
@@ -331,6 +363,12 @@ def _make_bwd_kernel(*, sm_scale: float, pre_gate: bool, dropout_rate: float,
         if emit_ssq:
             dssq = dssq_ref[0, 0][:, None]  # [NP, 1]
             ds = ds + 2.0 * dssq * pd * pd
+        if emit_sumw:
+            # sumw = sum_m D_nm is LINEAR in the dropped normalized weights:
+            # ds += dsumw * D (and di gains + dsumw * sumw on the host side,
+            # the linear analogue of the ssq chain terms)
+            dsumw = dsumw_ref[0, 0][:, None]  # [NP, 1]
+            ds = ds + dsumw * pd
         ds = jnp.where(mask[None, :] > 0, ds, 0.0)
 
         if pre_gate:
@@ -372,8 +410,9 @@ def _make_bwd_kernel(*, sm_scale: float, pre_gate: bool, dropout_rate: float,
 
 
 def _coattn_bwd_impl(
-    q, k, v, mask_f, seed, do, l, m, di, dssq, *, pre_gate: bool, block_k: int,
-    interpret: bool, dropout_rate: float, emit_ssq: bool,
+    q, k, v, mask_f, seed, do, l, m, di, dssq, dsumw=None, *, pre_gate: bool,
+    block_k: int, interpret: bool, dropout_rate: float, emit_ssq: bool,
+    emit_sumw: bool = False,
 ):
     b, np_, d = q.shape
     m_len = k.shape[1]
@@ -382,7 +421,7 @@ def _coattn_bwd_impl(
     use_dropout = dropout_rate > 0.0
     kernel = _make_bwd_kernel(
         sm_scale=sm_scale, pre_gate=pre_gate, dropout_rate=dropout_rate,
-        emit_ssq=emit_ssq,
+        emit_ssq=emit_ssq, emit_sumw=emit_sumw,
     )
     in_specs = [
         pl.BlockSpec((1, np_, d), lambda b_, j: (b_, 0, 0)),
@@ -404,6 +443,9 @@ def _coattn_bwd_impl(
     if emit_ssq:
         in_specs.append(pl.BlockSpec((1, 1, np_), lambda b_, j: (b_, 0, 0)))
         inputs.append(dssq)
+    if emit_sumw:
+        in_specs.append(pl.BlockSpec((1, 1, np_), lambda b_, j: (b_, 0, 0)))
+        inputs.append(dsumw)
     dq, dk, dv = pl.pallas_call(
         kernel,
         grid=grid,
@@ -432,42 +474,67 @@ def _coattn_bwd_impl(
 # =============================================================================
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+def _coattn_out(o, ssq, sumw, emit_ssq, emit_sumw):
+    """Output pytree: o alone, or a tuple extended by the requested extras
+    (ssq then sumw, each [B, NP] rows)."""
+    if not emit_ssq and not emit_sumw:
+        return o
+    extras = []
+    if emit_ssq:
+        extras.append(ssq[:, 0, :])
+    if emit_sumw:
+        extras.append(sumw[:, 0, :])
+    return tuple([o] + extras)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
 def _coattn(q, k, v, mask_f, seed, pre_gate, block_k, interpret, dropout_rate,
-            emit_ssq):
-    o, _, _, ssq = _coattn_fwd_impl(
+            emit_ssq, emit_sumw=False):
+    o, _, _, ssq, sumw = _coattn_fwd_impl(
         q, k, v, mask_f, seed, pre_gate=pre_gate, block_k=block_k,
         interpret=interpret, dropout_rate=dropout_rate, emit_ssq=emit_ssq,
+        emit_sumw=emit_sumw,
     )
-    return (o, ssq[:, 0, :]) if emit_ssq else o
+    return _coattn_out(o, ssq, sumw, emit_ssq, emit_sumw)
 
 
 def _coattn_fwd(q, k, v, mask_f, seed, pre_gate, block_k, interpret,
-                dropout_rate, emit_ssq):
-    o, l, m, ssq = _coattn_fwd_impl(
+                dropout_rate, emit_ssq, emit_sumw=False):
+    o, l, m, ssq, sumw = _coattn_fwd_impl(
         q, k, v, mask_f, seed, pre_gate=pre_gate, block_k=block_k,
         interpret=interpret, dropout_rate=dropout_rate, emit_ssq=emit_ssq,
+        emit_sumw=emit_sumw,
     )
-    res = (q, k, v, mask_f, seed, o, l, m, ssq)
-    return ((o, ssq[:, 0, :]) if emit_ssq else o), res
+    res = (q, k, v, mask_f, seed, o, l, m, ssq, sumw)
+    return _coattn_out(o, ssq, sumw, emit_ssq, emit_sumw), res
 
 
-def _coattn_bwd(pre_gate, block_k, interpret, dropout_rate, emit_ssq, res, ct):
-    q, k, v, mask_f, seed, o, l, m, ssq = res
-    if emit_ssq:
-        do, dssq_rows = ct
-        dssq = dssq_rows[:, None, :].astype(jnp.float32)  # [B, 1, NP]
+def _coattn_bwd(pre_gate, block_k, interpret, dropout_rate, emit_ssq,
+                emit_sumw, res, ct):
+    q, k, v, mask_f, seed, o, l, m, ssq, sumw = res
+    dssq = dsumw = None
+    if emit_ssq or emit_sumw:
+        cts = list(ct)
+        do = cts[0]
+        i = 1
+        if emit_ssq:
+            dssq = cts[i][:, None, :].astype(jnp.float32)  # [B, 1, NP]
+            i += 1
+        if emit_sumw:
+            dsumw = cts[i][:, None, :].astype(jnp.float32)  # [B, 1, NP]
     else:
         do = ct
-        dssq = None
     di = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1)[:, None, :]
     if emit_ssq:
         # the ssq cotangent's softmax-backward row term (see module docstring)
         di = di + 2.0 * dssq * ssq
+    if emit_sumw:
+        # linear analogue for the sum-of-weights output: di += dsumw * sumw
+        di = di + dsumw * sumw
     dq, dk, dv = _coattn_bwd_impl(
-        q, k, v, mask_f, seed, do, l, m, di, dssq,
+        q, k, v, mask_f, seed, do, l, m, di, dssq, dsumw,
         pre_gate=pre_gate, block_k=block_k, interpret=interpret,
-        dropout_rate=dropout_rate, emit_ssq=emit_ssq,
+        dropout_rate=dropout_rate, emit_ssq=emit_ssq, emit_sumw=emit_sumw,
     )
     return dq, dk, dv, None, None
 
@@ -489,15 +556,21 @@ def coattention(
     dropout_rate: float = 0.0,
     dropout_seed: Optional[jnp.ndarray] = None,
     need_ssq: bool = False,
+    need_sumw: bool = False,
     block_k: int = DEFAULT_BLOCK_K,
     interpret: Optional[bool] = None,
 ):
     """Fused few-query attention. q: [B, N, D]; k, v: [B, M, D];
-    key_mask: [B, M] bool. Returns [B, N, D], or (out, ssq [B, N]) with
-    ``need_ssq`` (ssq = per-row sum of squares of the final attention
-    weights). Differentiable (custom VJP). ``dropout_rate`` > 0 applies
-    torch-style attention dropout in-kernel; it requires a [1] int32
-    ``dropout_seed`` and a real TPU (the PRNG has no interpret-mode path).
+    key_mask: [B, M] bool. Returns [B, N, D], extended to a tuple by the
+    requested side outputs in order: ``need_ssq`` appends ssq [B, N]
+    (per-row sum of squares of the final attention weights, for the cesar
+    penalty), ``need_sumw`` appends sumw [B, N] (per-row SUM of the final
+    post-dropout weights — the bias-through-dropped-weights term that lets
+    the caller reassociate the V projection off the patch axis, see
+    ops/attention.py lean-V). Differentiable (custom VJP). ``dropout_rate``
+    > 0 applies torch-style attention dropout in-kernel; it requires a [1]
+    int32 ``dropout_seed`` and a real TPU (the PRNG has no interpret-mode
+    path).
     """
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
@@ -534,11 +607,11 @@ def coattention(
     )
     out = _coattn(
         q, k, v, mask_f, seed, pre_gate, bk, interpret, float(dropout_rate),
-        need_ssq,
+        need_ssq, need_sumw,
     )
-    if need_ssq:
-        o, ssq = out
-        return o[:, :n, :], ssq[:, :n]
+    if need_ssq or need_sumw:
+        o = out[0][:, :n, :]
+        return tuple([o] + [extra[:, :n] for extra in out[1:]])
     return out[:, :n, :]
 
 
@@ -618,7 +691,7 @@ def coattention_weights(
 
     # pass 1: (l, m) stats from the fused forward (values V are not needed —
     # pass a zero-strided dummy of K's shape)
-    _, l, m_stat, _ = _coattn_fwd_impl(
+    _, l, m_stat, _, _ = _coattn_fwd_impl(
         q, k, jnp.zeros_like(k), mask_f, None, pre_gate=pre_gate, block_k=bk,
         interpret=interpret, dropout_rate=0.0, emit_ssq=False,
     )
@@ -682,7 +755,7 @@ def attention_with_weights(
 
 
 def _xla_fused(q, k, v, key_mask, pre_gate, dropout_rate=0.0, dropout_rng=None,
-               need_ssq=False):
+               need_ssq=False, need_sumw=False):
     out, weights = attention_core(
         q,
         k,
@@ -692,11 +765,16 @@ def _xla_fused(q, k, v, key_mask, pre_gate, dropout_rate=0.0, dropout_rng=None,
         dropout_rate=dropout_rate,
         deterministic=dropout_rate <= 0.0,
         dropout_rng=dropout_rng,
-        need_weights=need_ssq,
+        need_weights=need_ssq or need_sumw,
     )
+    if not need_ssq and not need_sumw:
+        return out
+    extras = []
     if need_ssq:
-        return out, jnp.sum(weights * weights, axis=-1)  # [B, H, N]
-    return out
+        extras.append(jnp.sum(weights * weights, axis=-1))  # [B, H, N]
+    if need_sumw:
+        extras.append(jnp.sum(weights, axis=-1))  # [B, H, N]
+    return tuple([out] + extras)
 
 
 def kernel_eligible(n: int, m_len: int, d: int) -> bool:
@@ -716,13 +794,17 @@ def fused_attention(
     dropout_rate: float = 0.0,
     dropout_rng: Optional[jax.Array] = None,
     need_ssq: bool = False,
+    need_sumw: bool = False,
 ):
     """Masked (pre-gated) attention without materializing scores in HBM.
 
     q: [B, H, N, D]; k, v: [B, H, M, D]; key_mask: [B, M] bool or None.
-    Returns [B, H, N, D], or (out, ssq [B, H, N]) with ``need_ssq``.
-    ``dropout_rate`` applies torch-style attention-probability dropout
-    (in-kernel on TPU; XLA fallback elsewhere), seeded from ``dropout_rng``.
+    Returns [B, H, N, D], extended to a tuple by the requested side outputs
+    in order: ``need_ssq`` appends ssq [B, H, N], ``need_sumw`` appends the
+    per-row sum of the final post-dropout weights [B, H, N] (the lean-V
+    bias-through-weights term — ops/attention.py). ``dropout_rate`` applies
+    torch-style attention-probability dropout (in-kernel on TPU; XLA
+    fallback elsewhere), seeded from ``dropout_rng``.
     """
     b, h, n, d = q.shape
     m_len = k.shape[2]
@@ -751,15 +833,15 @@ def fused_attention(
             )
         out = coattention(
             qf, kf, vf, mf, pre_gate=pre_gate, dropout_rate=dropout_rate,
-            dropout_seed=seed, need_ssq=need_ssq,
+            dropout_seed=seed, need_ssq=need_ssq, need_sumw=need_sumw,
         )
-        if need_ssq:
-            o, ssq = out
-            return o.reshape(b, h, n, d), ssq.reshape(b, h, n)
+        if need_ssq or need_sumw:
+            o = out[0].reshape(b, h, n, d)
+            return tuple([o] + [e.reshape(b, h, n) for e in out[1:]])
         return out.reshape(b, h, n, d)
 
     # Long-query self-attention path: library flash kernel (no pre-gate).
-    if not pre_gate and not dropout_active and not need_ssq:
+    if not pre_gate and not dropout_active and not need_ssq and not need_sumw:
         from multimodal_path_omic_tpu.ops import flash
 
         if flash.supported(q, k, v):
@@ -770,6 +852,7 @@ def fused_attention(
     return _xla_fused(
         q, k, v, key_mask, pre_gate,
         dropout_rate=dropout_rate, dropout_rng=dropout_rng, need_ssq=need_ssq,
+        need_sumw=need_sumw,
     )
 
 
@@ -800,6 +883,7 @@ def fused_attention_sharded(
     dropout_rate: float = 0.0,
     dropout_rng: Optional[jax.Array] = None,
     need_ssq: bool = False,
+    need_sumw: bool = False,
 ):
     """:func:`fused_attention` composed onto a data-parallel mesh.
 
@@ -828,7 +912,7 @@ def fused_attention_sharded(
             rngl = jax.random.fold_in(rngl, jax.lax.axis_index("data"))
         return fused_attention(
             ql, kl, vl, ml, pre_gate=pre_gate, dropout_rate=dropout_rate,
-            dropout_rng=rngl, need_ssq=need_ssq,
+            dropout_rng=rngl, need_ssq=need_ssq, need_sumw=need_sumw,
         )
 
     in_specs = [bspec, bspec, bspec]
@@ -839,7 +923,11 @@ def fused_attention_sharded(
     if dropout_active:
         in_specs.append(P())
         args.append(dropout_rng)
-    out_specs = (bspec, P("data", None, None)) if need_ssq else bspec
+    n_extras = int(need_ssq) + int(need_sumw)
+    if n_extras:
+        out_specs = tuple([bspec] + [P("data", None, None)] * n_extras)
+    else:
+        out_specs = bspec
     return jax.shard_map(
         local_fn,
         mesh=mesh,

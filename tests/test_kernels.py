@@ -189,6 +189,108 @@ def test_coattention_ssq_grads_match_xla(pre_gate):
 
 
 # ---------------------------------------------------------------------------
+# sumw side-output (lean-V's bias-through-dropped-weights term: Σ of the
+# final post-dropout weights per query row, ops/attention.py lean_v)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("pre_gate", [False, True])
+def test_coattention_sumw_matches_weight_sum(pre_gate):
+    q, k, v, mask = _data(b=2, m=1024, seed=16)
+    _, w = _xla_weights(q, k, v, mask, pre_gate)
+    ref_sumw = jnp.sum(w, axis=-1)  # [B, N] — exactly 1 per valid row here
+    out, sumw = coattention(
+        q, k, v, mask, pre_gate=pre_gate, need_sumw=True, interpret=True
+    )
+    ref_out = _xla(q, k, v, mask, pre_gate)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(sumw), np.asarray(ref_sumw), atol=2e-5)
+
+
+def test_coattention_ssq_and_sumw_together_in_order():
+    """Both side outputs at once (the cesar + lean-V training combination):
+    returned as (out, ssq, sumw)."""
+    q, k, v, mask = _data(b=2, m=1024, seed=17)
+    _, w = _xla_weights(q, k, v, mask, True)
+    out, ssq, sumw = coattention(
+        q, k, v, mask, pre_gate=True, need_ssq=True, need_sumw=True,
+        interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(ssq), np.asarray(jnp.sum(w * w, axis=-1)), atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(sumw), np.asarray(jnp.sum(w, axis=-1)), atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(_xla(q, k, v, mask, True)), atol=2e-5
+    )
+
+
+@pytest.mark.parametrize("pre_gate", [False, True])
+def test_coattention_sumw_grads_match_xla(pre_gate):
+    """Gradients through BOTH outputs (out and sumw) — the lean-V epilogue
+    ``bv·Σw`` differentiates the weight mass wrt q and k (dv must stay
+    untouched: sumw does not depend on v)."""
+    q, k, v, mask = _data(b=1, m=1024, seed=18)
+    rng = np.random.default_rng(19)
+    c_out = jnp.array(rng.normal(size=(1, 6, D)), jnp.float32)
+    c_sumw = jnp.array(rng.normal(size=(1, 6)), jnp.float32)
+
+    def loss_ref(q, k, v):
+        out, w = _xla_weights(q, k, v, mask, pre_gate)
+        return jnp.sum(out * c_out) + jnp.sum(jnp.sum(w, axis=-1) * c_sumw)
+
+    def loss_ker(q, k, v):
+        out, sumw = coattention(
+            q, k, v, mask, pre_gate=pre_gate, need_sumw=True, interpret=True
+        )
+        return jnp.sum(out * c_out) + jnp.sum(sumw * c_sumw)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    g_ker = jax.grad(loss_ker, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g_ref, g_ker, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=5e-4, rtol=1e-3,
+            err_msg=f"grad d{name} mismatch",
+        )
+
+
+def test_coattention_ssq_and_sumw_joint_grads_match_xla():
+    """All three cotangents live simultaneously in a cesar + lean-V step."""
+    q, k, v, mask = _data(b=1, m=1024, seed=20)
+    rng = np.random.default_rng(21)
+    c_out = jnp.array(rng.normal(size=(1, 6, D)), jnp.float32)
+    c_ssq = jnp.array(rng.normal(size=(1, 6)), jnp.float32)
+    c_sumw = jnp.array(rng.normal(size=(1, 6)), jnp.float32)
+
+    def loss_ref(q, k, v):
+        out, w = _xla_weights(q, k, v, mask, True)
+        return (
+            jnp.sum(out * c_out)
+            + jnp.sum(jnp.sum(w * w, axis=-1) * c_ssq)
+            + jnp.sum(jnp.sum(w, axis=-1) * c_sumw)
+        )
+
+    def loss_ker(q, k, v):
+        out, ssq, sumw = coattention(
+            q, k, v, mask, pre_gate=True, need_ssq=True, need_sumw=True,
+            interpret=True,
+        )
+        return (
+            jnp.sum(out * c_out) + jnp.sum(ssq * c_ssq) + jnp.sum(sumw * c_sumw)
+        )
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    g_ker = jax.grad(loss_ker, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g_ref, g_ker, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=5e-4, rtol=1e-3,
+            err_msg=f"grad d{name} mismatch",
+        )
+
+
+# ---------------------------------------------------------------------------
 # Dispatch assertions: the kernel must actually ENGAGE in model train steps
 # at production shapes (VERDICT r1: "built" vs "wired")
 # ---------------------------------------------------------------------------

@@ -313,6 +313,134 @@ def test_lean_cross_attention_dropout_is_draw_identical_to_core():
     )
 
 
+def test_lean_v_pre_gated_cross_attention_matches_projected_core():
+    """Round-4 lean-V (ops/attention.py lean_v branch): the PRE-GATED
+    single-head co-attention (NaCAGaT, blocks.py:184-188) cannot lean its K
+    projection (the pre-gate needs tanh(K)) but reassociates the V
+    projection off the patch axis via ``out = (w·kv)@wv + bv·Σw``. Both
+    training output modes (None and "ssq") must equal projecting v then
+    running the pre-gated attention_core, to f32 precision; need_weights=
+    True must be untouched (it keeps the exact weights/out consistency of
+    the export path)."""
+    from multimodal_path_omic_tpu.ops.attention import (
+        MultiheadAttention,
+        attention_core,
+    )
+
+    rng = np.random.default_rng(13)
+    B, N, M, E = 3, 6, 100, 64
+    q_in = jnp.asarray(rng.standard_normal((B, N, E)), jnp.float32)
+    kv_in = jnp.asarray(rng.standard_normal((B, M, E)), jnp.float32)
+    mask = jnp.asarray(rng.random((B, M)) > 0.3)
+
+    mha = MultiheadAttention(embed_dim=E, num_heads=1, dropout_rate=0.0,
+                             pre_gate=True)
+    params = mha.init(jax.random.key(0), q_in, kv_in, kv_in, mask,
+                      need_weights=True)
+    p = params["params"]
+    wq, wk, wv = jnp.split(p["in_proj_kernel"], 3, axis=1)
+    bq, bk, bv = jnp.split(p["in_proj_bias"], 3)
+    q = q_in @ wq + bq
+
+    for m in (mask, None):
+        oh, wh = attention_core(
+            q[:, None], (kv_in @ wk + bk)[:, None], (kv_in @ wv + bv)[:, None],
+            m, pre_gate=True, dropout_rate=0.0, deterministic=True,
+        )
+        ref = oh[:, 0] @ p["out_proj"]["kernel"] + p["out_proj"]["bias"]
+        out, w_none = mha.apply(params, q_in, kv_in, kv_in, m,
+                                need_weights=False)
+        assert w_none is None
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+        out_s, ssq = mha.apply(params, q_in, kv_in, kv_in, m,
+                               need_weights="ssq")
+        np.testing.assert_allclose(np.asarray(out_s), np.asarray(ref), atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(ssq), np.asarray(jnp.sum(wh[:, 0] ** 2, -1)), atol=1e-6
+        )
+        # export mode still materializes weights (non-lean path)
+        out_w, w = mha.apply(params, q_in, kv_in, kv_in, m, need_weights=True)
+        np.testing.assert_allclose(np.asarray(out_w), np.asarray(ref), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(w), np.asarray(wh[:, 0]), atol=1e-6)
+
+
+def test_lean_v_matches_disabled_path_under_dropout(monkeypatch):
+    """Seeded training forward (dropout 0.25 active) must be draw-identical
+    between the lean-V branch and the MPO_NO_LEAN_ATTENTION=1 projected
+    path: both route the same rng through attention_core's [B, 1, N, M]
+    mask draw, so outputs differ only by the reassociation's fp noise."""
+    from multimodal_path_omic_tpu.ops.attention import MultiheadAttention
+
+    rng = np.random.default_rng(14)
+    B, N, M, E = 2, 6, 80, 32
+    q_in = jnp.asarray(rng.standard_normal((B, N, E)), jnp.float32)
+    kv_in = jnp.asarray(rng.standard_normal((B, M, E)), jnp.float32)
+    mask = jnp.asarray(rng.random((B, M)) > 0.2)
+
+    mha = MultiheadAttention(embed_dim=E, num_heads=1, dropout_rate=0.25,
+                             pre_gate=True)
+    params = mha.init(jax.random.key(0), q_in, kv_in, kv_in, mask,
+                      need_weights=False)
+
+    def run():
+        return mha.apply(
+            params, q_in, kv_in, kv_in, mask, need_weights="ssq",
+            deterministic=False, rngs={"dropout": jax.random.key(5)},
+        )
+
+    out_lean, ssq_lean = run()
+    monkeypatch.setenv("MPO_NO_LEAN_ATTENTION", "1")
+    out_ref, ssq_ref = run()
+    np.testing.assert_allclose(
+        np.asarray(out_lean), np.asarray(out_ref), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(ssq_lean), np.asarray(ssq_ref), atol=1e-5
+    )
+
+
+def test_nacagat_grads_match_with_lean_v_disabled(monkeypatch):
+    """End-to-end NaCAGaT: parameter gradients of a ces loss must agree
+    between the lean-V co-attention and the projected path — the V
+    projection's weight/bias gradients flow through the reassociated
+    epilogue (dwv from [B,N,F] pooled, dbv from Σw)."""
+    import optax
+
+    from multimodal_path_omic_tpu.models import NaCAGaT
+    from multimodal_path_omic_tpu.ops.losses import cross_entropy_survival
+
+    rng = np.random.default_rng(15)
+    b, m = 2, 96
+    wsi = jnp.asarray(rng.standard_normal((b, m, 1024)), jnp.float32)
+    omics = [jnp.asarray(rng.standard_normal((b, 16)), jnp.float32)]
+    mask = jnp.asarray(np.arange(m)[None, :] < np.array([90, 96])[:, None])
+    label = jnp.array([1, 2], jnp.int32)
+    cens = jnp.array([0.0, 1.0], jnp.float32)
+
+    model = NaCAGaT(n_signatures=1, model_size="small", dropout_rate=0.0)
+    params = model.init(jax.random.key(0), wsi, omics, mask,
+                        deterministic=True)
+
+    def loss_fn(p):
+        out = model.apply(p, wsi, omics, mask, deterministic=True,
+                          need_attention=False)
+        return jnp.mean(cross_entropy_survival(
+            out.hazards, out.survs, label, cens
+        ))
+
+    g_lean = jax.grad(loss_fn)(params)
+    monkeypatch.setenv("MPO_NO_LEAN_ATTENTION", "1")
+    g_ref = jax.grad(loss_fn)(params)
+    flat_lean = jax.tree_util.tree_leaves_with_path(g_lean)
+    flat_ref = jax.tree_util.tree_leaves(g_ref)
+    assert len(flat_lean) == len(flat_ref)
+    for (path, a), bb in zip(flat_lean, flat_ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(bb), atol=5e-5, rtol=1e-4,
+            err_msg=jax.tree_util.keystr(path),
+        )
+
+
 def test_pre_gated_self_attention_on_seq_mesh_keeps_the_gate():
     """ring_self_attention has no pre-gate path: a pre-gated self-attention
     on a seq mesh must fall back to a gated path (XLA core under GSPMD), not
