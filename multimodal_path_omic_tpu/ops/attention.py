@@ -341,11 +341,12 @@ class MultiheadAttention(nn.Module):
                 dropout_rng=rng,
             )
         elif lean_v:
+            # lean-K + lean-V: NEITHER patch-axis projection happens here.
+            # The K projection moves into the fused kernel (eligible shapes;
+            # coattn.py fuse_k) or to the dispatcher's XLA fallback; the V
+            # projection reassociates onto the [B, N, F] pooled result below.
             q = proj(query, 0, 1)
-            k = proj(key, 1, 2)
-            qh = _split_heads(q, 1)
-            kh = _split_heads(k, 1)
-            vh = None  # v is never projected; the raw kv rides through
+            qh = kh = vh = None
         else:
             if query is key and key is value:
                 q, k, v = jnp.split(proj(query, 0, 3), 3, axis=-1)
@@ -385,29 +386,34 @@ class MultiheadAttention(nn.Module):
                 ssq = jnp.sum(w_lean * w_lean, axis=-1)  # [B, N]
         elif lean_v:
             from multimodal_path_omic_tpu.ops.coattn import (
-                _xla_fused,
-                fused_attention,
-                fused_attention_sharded,
+                fused_attention_leank,
+                fused_attention_leank_sharded,
             )
 
-            kvh = key.astype(self.dtype)[:, None]  # [B, 1, M, F] raw patches
+            kv_flat = key.astype(self.dtype)  # [B, M, F] raw patches
             kw = dict(
-                pre_gate=True,
+                # allow_kernel=False still routes through the dispatcher so
+                # the XLA fallback shows up in DISPATCH_COUNTS like every
+                # other path (ADVICE r4)
+                allow_kernel=pallas_ok or pallas_sharded,
                 dropout_rate=self.dropout_rate if dropout_active else 0.0,
                 dropout_rng=rng,
                 need_ssq=want_ssq,
                 need_sumw=True,
             )
+            wk_mat = in_kernel[:, e : 2 * e].astype(self.dtype)
+            bk_vec = in_bias[e : 2 * e].astype(self.dtype)
             if pallas_sharded:
-                res = fused_attention_sharded(
-                    qh, kh, kvh, key_mask, mesh=self.ring_mesh, **kw
+                res = fused_attention_leank_sharded(
+                    q, kv_flat, wk_mat, bk_vec, key_mask,
+                    mesh=self.ring_mesh, **kw,
                 )
-            elif pallas_ok:
-                res = fused_attention(qh, kh, kvh, key_mask, **kw)
             else:
-                res = _xla_fused(qh, kh, kvh, key_mask, **kw)
+                res = fused_attention_leank(
+                    q, kv_flat, wk_mat, bk_vec, key_mask, **kw
+                )
             if want_ssq:
-                out_raw, ssq, sumw = res
+                out_raw, ssq, sumw = res  # [B, N, F], [B, N], [B, N]
             else:
                 out_raw, sumw = res
             wv = in_kernel[:, 2 * e : 3 * e].astype(self.dtype)
@@ -415,8 +421,8 @@ class MultiheadAttention(nn.Module):
             # V-projection applied AFTER the patch-axis contraction: [B, N, F]
             # @ [F, E] + bias weighted by the row's surviving weight mass
             out_flat = (
-                jnp.dot(_merge_heads(out_raw).astype(self.dtype), wv)
-                + bv * sumw[:, 0, :, None].astype(self.dtype)
+                jnp.dot(out_raw.astype(self.dtype), wv)
+                + bv * sumw[:, :, None].astype(self.dtype)
             )
             out_h = None
             weights = None

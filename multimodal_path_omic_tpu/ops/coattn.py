@@ -38,6 +38,7 @@ dropout needs the hardware PRNG, so the dropout path dispatches on TPU only
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -77,13 +78,25 @@ def _dropout_threshold(rate: float) -> int:
 
 
 def _make_fwd_kernel(*, sm_scale: float, pre_gate: bool, dropout_rate: float,
-                     emit_ssq: bool, emit_sumw: bool = False):
+                     emit_ssq: bool, emit_sumw: bool = False,
+                     fuse_k: bool = False):
+    """``fuse_k``: the K side arrives as RAW patch features ``kv [BK, F]``
+    plus the projection ``wk [F, E]`` / ``bk [1, E]``; the kernel computes
+    ``k = kv @ wk + bk`` tile-locally in VMEM, so the [B, M, E] k activation
+    never exists in HBM (VERDICT r4 #1 — the NaCAGaT lean-K move; the
+    reference materializes it at blocks.py:156). V is the raw ``kv`` itself
+    (the caller reassociates the V projection off the patch axis, see
+    ops/attention.py lean-V), so the output accumulator is [NP, F]."""
     use_dropout = dropout_rate > 0.0
 
     def kernel(*refs):
         i = 0
-        q_ref, k_ref, v_ref, mask_ref = refs[i : i + 4]
-        i += 4
+        if fuse_k:
+            q_ref, kv_ref, wk_ref, bk_ref, mask_ref = refs[i : i + 5]
+            i += 5
+        else:
+            q_ref, k_ref, v_ref, mask_ref = refs[i : i + 4]
+            i += 4
         seed_ref = None
         if use_dropout:
             seed_ref = refs[i]
@@ -120,7 +133,18 @@ def _make_fwd_kernel(*, sm_scale: float, pre_gate: bool, dropout_rate: float,
                 sumw_scr[...] = jnp.zeros_like(sumw_scr)
 
         q = q_ref[0]  # [NP, D]
-        k = k_ref[0]  # [BK, D]
+        if fuse_k:
+            kv = kv_ref[0]  # [BK, F] raw patch features
+            # k projected tile-locally; cast back to the input dtype so the
+            # numerics match the XLA path's compute-dtype projection
+            k = (
+                jax.lax.dot(
+                    kv, wk_ref[...], preferred_element_type=jnp.float32
+                )
+                + bk_ref[...]
+            ).astype(kv.dtype)
+        else:
+            k = k_ref[0]  # [BK, D]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # [NP, BK]
@@ -162,7 +186,7 @@ def _make_fwd_kernel(*, sm_scale: float, pre_gate: bool, dropout_rate: float,
         else:
             pd = p
 
-        v = v_ref[0]  # [BK, D]
+        v = kv if fuse_k else v_ref[0]  # [BK, D] (fuse_k: raw kv, [BK, F])
         o_curr = jax.lax.dot(pd, v, preferred_element_type=jnp.float32)
         acc_scr[...] = acc_scr[...] * alpha + o_curr
         if emit_ssq:
@@ -197,33 +221,50 @@ def _make_fwd_kernel(*, sm_scale: float, pre_gate: bool, dropout_rate: float,
 def _coattn_fwd_impl(
     q, k, v, mask_f, seed, *, pre_gate: bool, block_k: int, interpret: bool,
     dropout_rate: float, emit_ssq: bool, emit_sumw: bool = False,
+    wk=None, bk=None,
 ):
+    """``wk``/``bk`` non-None selects the fuse_k variant: ``k`` is the RAW
+    patch tensor kv [B, M, F] (``v`` is ignored — it IS kv), the output o is
+    the [B, NP, F] raw-value pooling, and the k projection happens in-kernel."""
+    fuse_k = wk is not None
     b, np_, d = q.shape
     m_len = k.shape[1]
+    f_dim = k.shape[2]  # == d unless fuse_k (raw feature width F)
     sm_scale = 1.0 / (d**0.5)
     grid = (b, m_len // block_k)
     use_dropout = dropout_rate > 0.0
     kernel = _make_fwd_kernel(
         sm_scale=sm_scale, pre_gate=pre_gate, dropout_rate=dropout_rate,
-        emit_ssq=emit_ssq, emit_sumw=emit_sumw,
+        emit_ssq=emit_ssq, emit_sumw=emit_sumw, fuse_k=fuse_k,
     )
-    in_specs = [
-        pl.BlockSpec((1, np_, d), lambda b_, j: (b_, 0, 0)),
-        pl.BlockSpec((1, block_k, d), lambda b_, j: (b_, j, 0)),
-        pl.BlockSpec((1, block_k, d), lambda b_, j: (b_, j, 0)),
-        pl.BlockSpec((1, 1, block_k), lambda b_, j: (b_, 0, j)),
-    ]
-    inputs = [q, k, v, mask_f]
+    if fuse_k:
+        in_specs = [
+            pl.BlockSpec((1, np_, d), lambda b_, j: (b_, 0, 0)),
+            pl.BlockSpec((1, block_k, f_dim), lambda b_, j: (b_, j, 0)),
+            pl.BlockSpec((f_dim, d), lambda b_, j: (0, 0)),
+            pl.BlockSpec((1, d), lambda b_, j: (0, 0)),
+            pl.BlockSpec((1, 1, block_k), lambda b_, j: (b_, 0, j)),
+        ]
+        inputs = [q, k, wk, bk, mask_f]
+    else:
+        in_specs = [
+            pl.BlockSpec((1, np_, d), lambda b_, j: (b_, 0, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b_, j: (b_, j, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b_, j: (b_, j, 0)),
+            pl.BlockSpec((1, 1, block_k), lambda b_, j: (b_, 0, j)),
+        ]
+        inputs = [q, k, v, mask_f]
     if use_dropout:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
         inputs.append(seed)
+    o_dim = f_dim if fuse_k else d
     out_specs = [
-        pl.BlockSpec((1, np_, d), lambda b_, j: (b_, 0, 0)),
+        pl.BlockSpec((1, np_, o_dim), lambda b_, j: (b_, 0, 0)),
         pl.BlockSpec((1, 1, np_), lambda b_, j: (b_, 0, 0)),
         pl.BlockSpec((1, 1, np_), lambda b_, j: (b_, 0, 0)),
     ]
     out_shape = [
-        jax.ShapeDtypeStruct((b, np_, d), q.dtype),
+        jax.ShapeDtypeStruct((b, np_, o_dim), q.dtype),
         jax.ShapeDtypeStruct((b, 1, np_), jnp.float32),
         jax.ShapeDtypeStruct((b, 1, np_), jnp.float32),
     ]
@@ -236,7 +277,7 @@ def _coattn_fwd_impl(
     scratch_shapes = [
         pltpu.VMEM((np_, LANES), jnp.float32),
         pltpu.VMEM((np_, LANES), jnp.float32),
-        pltpu.VMEM((np_, d), jnp.float32),
+        pltpu.VMEM((np_, o_dim), jnp.float32),
     ]
     if emit_ssq:
         scratch_shapes.append(pltpu.VMEM((np_, LANES), jnp.float32))
@@ -271,13 +312,26 @@ def _coattn_fwd_impl(
 
 
 def _make_bwd_kernel(*, sm_scale: float, pre_gate: bool, dropout_rate: float,
-                     emit_ssq: bool, emit_sumw: bool = False):
+                     emit_ssq: bool, emit_sumw: bool = False,
+                     fuse_k: bool = False):
+    """fuse_k backward: recompute ``k = kv @ wk + bk`` per tile, then fold
+    the projection backward in-kernel — dkv carries BOTH chain terms
+    (the value path ``pd^T dO`` and the key path ``dk wk^T``) in one write,
+    and the weight grads accumulate across the whole grid into the dwk/dbk
+    output blocks (their index_map is constant, so the blocks stay VMEM-
+    resident; both grid dims run 'arbitrary' = sequential). The [B, M, E]
+    dk tensor never exists in HBM."""
     use_dropout = dropout_rate > 0.0
 
     def kernel(*refs):
         i = 0
-        q_ref, k_ref, v_ref, mask_ref = refs[i : i + 4]
-        i += 4
+        wk_ref = bk_ref = None
+        if fuse_k:
+            q_ref, kv_ref, wk_ref, bk_ref, mask_ref = refs[i : i + 5]
+            i += 5
+        else:
+            q_ref, k_ref, v_ref, mask_ref = refs[i : i + 4]
+            i += 4
         seed_ref = None
         if use_dropout:
             seed_ref = refs[i]
@@ -292,8 +346,12 @@ def _make_bwd_kernel(*, sm_scale: float, pre_gate: bool, dropout_rate: float,
         if emit_sumw:
             dsumw_ref = refs[i]
             i += 1
-        dq_ref, dk_ref, dv_ref = refs[i : i + 3]
-        i += 3
+        if fuse_k:
+            dq_ref, dkv_ref, dwk_ref, dbk_ref = refs[i : i + 4]
+            i += 4
+        else:
+            dq_ref, dk_ref, dv_ref = refs[i : i + 3]
+            i += 3
         dq_scr = refs[i]
 
         b = pl.program_id(0)
@@ -303,9 +361,26 @@ def _make_bwd_kernel(*, sm_scale: float, pre_gate: bool, dropout_rate: float,
         def _init():
             dq_scr[...] = jnp.zeros_like(dq_scr)
 
+        if fuse_k:
+
+            @pl.when((b == 0) & (j == 0))
+            def _init_w():
+                dwk_ref[...] = jnp.zeros_like(dwk_ref)
+                dbk_ref[...] = jnp.zeros_like(dbk_ref)
+
         q = q_ref[0]
-        k = k_ref[0]
-        v = v_ref[0]
+        if fuse_k:
+            kv = kv_ref[0]  # [BK, F]
+            k = (
+                jax.lax.dot(
+                    kv, wk_ref[...], preferred_element_type=jnp.float32
+                )
+                + bk_ref[...]
+            ).astype(kv.dtype)
+            v = kv
+        else:
+            k = k_ref[0]
+            v = v_ref[0]
         do = do_ref[0]  # [NP, D]
         l_vec = l_ref[0, 0][:, None]  # [NP, 1]
         m_vec = m_ref[0, 0][:, None]
@@ -347,10 +422,12 @@ def _make_bwd_kernel(*, sm_scale: float, pre_gate: bool, dropout_rate: float,
         else:
             pd = p
 
-        # dV = W_dropped^T dO
-        dv_ref[0] = jax.lax.dot_general(
+        # dV = W_dropped^T dO ([BK, D]; fuse_k: the value-path term of dkv)
+        dv_tile = jax.lax.dot_general(
             pd, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        ).astype(dv_ref.dtype)
+        )
+        if not fuse_k:
+            dv_ref[0] = dv_tile.astype(dv_ref.dtype)
 
         # softmax backward with post-softmax dropout (+ optional ssq output):
         #   ds = D*(do V^T) + 2*dssq*D*D - p*di
@@ -381,7 +458,7 @@ def _make_bwd_kernel(*, sm_scale: float, pre_gate: bool, dropout_rate: float,
                 du, tk, preferred_element_type=jnp.float32
             )
             # dk = sm_scale * da^T q + (1 - tanh(k)^2) * (du^T tanh(q))
-            dk_ref[0] = (
+            dk_tile = (
                 sm_scale
                 * jax.lax.dot_general(
                     da, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
@@ -390,17 +467,36 @@ def _make_bwd_kernel(*, sm_scale: float, pre_gate: bool, dropout_rate: float,
                 * jax.lax.dot_general(
                     du, tq, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
                 )
-            ).astype(dk_ref.dtype)
+            )
         else:
             dq_scr[...] += sm_scale * jax.lax.dot(
                 ds, k, preferred_element_type=jnp.float32
             )
-            dk_ref[0] = (
-                sm_scale
-                * jax.lax.dot_general(
-                    ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            dk_tile = sm_scale * jax.lax.dot_general(
+                ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )
+
+        if fuse_k:
+            # projection backward, folded per tile: dkv = dv + dk wk^T,
+            # dwk += kv^T dk, dbk += colsum(dk) — dk never leaves VMEM
+            dkv_ref[0] = (
+                dv_tile
+                + jax.lax.dot_general(
+                    dk_tile,
+                    wk_ref[...],
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
                 )
-            ).astype(dk_ref.dtype)
+            ).astype(dkv_ref.dtype)
+            dwk_ref[...] += jax.lax.dot_general(
+                kv, dk_tile, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(dwk_ref.dtype)
+            dbk_ref[...] += jnp.sum(dk_tile, axis=0, keepdims=True).astype(
+                dbk_ref.dtype
+            )
+        else:
+            dk_ref[0] = dk_tile.astype(dk_ref.dtype)
 
         @pl.when(j == pl.num_programs(1) - 1)
         def _store():
@@ -412,29 +508,45 @@ def _make_bwd_kernel(*, sm_scale: float, pre_gate: bool, dropout_rate: float,
 def _coattn_bwd_impl(
     q, k, v, mask_f, seed, do, l, m, di, dssq, dsumw=None, *, pre_gate: bool,
     block_k: int, interpret: bool, dropout_rate: float, emit_ssq: bool,
-    emit_sumw: bool = False,
+    emit_sumw: bool = False, wk=None, bk=None,
 ):
+    """fuse_k (``wk``/``bk`` non-None): ``k`` is raw kv [B, M, F], ``v`` is
+    ignored, ``do`` is [B, NP, F]; returns (dq, dkv, dwk, dbk) instead of
+    (dq, dk, dv)."""
+    fuse_k = wk is not None
     b, np_, d = q.shape
     m_len = k.shape[1]
+    f_dim = k.shape[2]
     sm_scale = 1.0 / (d**0.5)
     grid = (b, m_len // block_k)
     use_dropout = dropout_rate > 0.0
     kernel = _make_bwd_kernel(
         sm_scale=sm_scale, pre_gate=pre_gate, dropout_rate=dropout_rate,
-        emit_ssq=emit_ssq, emit_sumw=emit_sumw,
+        emit_ssq=emit_ssq, emit_sumw=emit_sumw, fuse_k=fuse_k,
     )
-    in_specs = [
-        pl.BlockSpec((1, np_, d), lambda b_, j: (b_, 0, 0)),
-        pl.BlockSpec((1, block_k, d), lambda b_, j: (b_, j, 0)),
-        pl.BlockSpec((1, block_k, d), lambda b_, j: (b_, j, 0)),
-        pl.BlockSpec((1, 1, block_k), lambda b_, j: (b_, 0, j)),
-    ]
-    inputs = [q, k, v, mask_f]
+    if fuse_k:
+        in_specs = [
+            pl.BlockSpec((1, np_, d), lambda b_, j: (b_, 0, 0)),
+            pl.BlockSpec((1, block_k, f_dim), lambda b_, j: (b_, j, 0)),
+            pl.BlockSpec((f_dim, d), lambda b_, j: (0, 0)),
+            pl.BlockSpec((1, d), lambda b_, j: (0, 0)),
+            pl.BlockSpec((1, 1, block_k), lambda b_, j: (b_, 0, j)),
+        ]
+        inputs = [q, k, wk, bk, mask_f]
+    else:
+        in_specs = [
+            pl.BlockSpec((1, np_, d), lambda b_, j: (b_, 0, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b_, j: (b_, j, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b_, j: (b_, j, 0)),
+            pl.BlockSpec((1, 1, block_k), lambda b_, j: (b_, 0, j)),
+        ]
+        inputs = [q, k, v, mask_f]
     if use_dropout:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
         inputs.append(seed)
+    o_dim = f_dim if fuse_k else d
     in_specs += [
-        pl.BlockSpec((1, np_, d), lambda b_, j: (b_, 0, 0)),
+        pl.BlockSpec((1, np_, o_dim), lambda b_, j: (b_, 0, 0)),
         pl.BlockSpec((1, 1, np_), lambda b_, j: (b_, 0, 0)),
         pl.BlockSpec((1, 1, np_), lambda b_, j: (b_, 0, 0)),
         pl.BlockSpec((1, 1, np_), lambda b_, j: (b_, 0, 0)),
@@ -446,27 +558,47 @@ def _coattn_bwd_impl(
     if emit_sumw:
         in_specs.append(pl.BlockSpec((1, 1, np_), lambda b_, j: (b_, 0, 0)))
         inputs.append(dsumw)
-    dq, dk, dv = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=[
+    if fuse_k:
+        out_specs = [
+            pl.BlockSpec((1, np_, d), lambda b_, j: (b_, 0, 0)),
+            pl.BlockSpec((1, block_k, f_dim), lambda b_, j: (b_, j, 0)),
+            pl.BlockSpec((f_dim, d), lambda b_, j: (0, 0)),
+            pl.BlockSpec((1, d), lambda b_, j: (0, 0)),
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((b, np_, d), q.dtype),
+            jax.ShapeDtypeStruct((b, m_len, f_dim), k.dtype),
+            jax.ShapeDtypeStruct((f_dim, d), jnp.float32),
+            jax.ShapeDtypeStruct((1, d), jnp.float32),
+        ]
+        # the dwk/dbk blocks accumulate across BOTH grid dims — sequential
+        # execution required, so the batch dim cannot be 'parallel' here
+        semantics = ("arbitrary", "arbitrary")
+    else:
+        out_specs = [
             pl.BlockSpec((1, np_, d), lambda b_, j: (b_, 0, 0)),
             pl.BlockSpec((1, block_k, d), lambda b_, j: (b_, j, 0)),
             pl.BlockSpec((1, block_k, d), lambda b_, j: (b_, j, 0)),
-        ],
-        out_shape=[
+        ]
+        out_shape = [
             jax.ShapeDtypeStruct((b, np_, d), q.dtype),
             jax.ShapeDtypeStruct((b, m_len, d), k.dtype),
             jax.ShapeDtypeStruct((b, m_len, d), v.dtype),
-        ],
+        ]
+        semantics = ("parallel", "arbitrary")
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((np_, d), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
+            dimension_semantics=semantics,
         ),
         interpret=interpret,
     )(*inputs)
-    return dq, dk, dv
+    return tuple(outs)
 
 
 # =============================================================================
@@ -542,6 +674,63 @@ def _coattn_bwd(pre_gate, block_k, interpret, dropout_rate, emit_ssq,
 _coattn.defvjp(_coattn_fwd, _coattn_bwd)
 
 
+# ----- fuse_k variant: in-kernel K projection (raw kv + wk/bk inputs) -------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11))
+def _coattn_fk(q, kv, wk, bk, mask_f, seed, pre_gate, block_k, interpret,
+               dropout_rate, emit_ssq, emit_sumw):
+    o, _, _, ssq, sumw = _coattn_fwd_impl(
+        q, kv, None, mask_f, seed, pre_gate=pre_gate, block_k=block_k,
+        interpret=interpret, dropout_rate=dropout_rate, emit_ssq=emit_ssq,
+        emit_sumw=emit_sumw, wk=wk, bk=bk,
+    )
+    return _coattn_out(o, ssq, sumw, emit_ssq, emit_sumw)
+
+
+def _coattn_fk_fwd(q, kv, wk, bk, mask_f, seed, pre_gate, block_k, interpret,
+                   dropout_rate, emit_ssq, emit_sumw):
+    o, l, m, ssq, sumw = _coattn_fwd_impl(
+        q, kv, None, mask_f, seed, pre_gate=pre_gate, block_k=block_k,
+        interpret=interpret, dropout_rate=dropout_rate, emit_ssq=emit_ssq,
+        emit_sumw=emit_sumw, wk=wk, bk=bk,
+    )
+    res = (q, kv, wk, bk, mask_f, seed, o, l, m, ssq, sumw)
+    return _coattn_out(o, ssq, sumw, emit_ssq, emit_sumw), res
+
+
+def _coattn_fk_bwd(pre_gate, block_k, interpret, dropout_rate, emit_ssq,
+                   emit_sumw, res, ct):
+    q, kv, wk, bk, mask_f, seed, o, l, m, ssq, sumw = res
+    dssq = dsumw = None
+    if emit_ssq or emit_sumw:
+        cts = list(ct)
+        do = cts[0]
+        i = 1
+        if emit_ssq:
+            dssq = cts[i][:, None, :].astype(jnp.float32)
+            i += 1
+        if emit_sumw:
+            dsumw = cts[i][:, None, :].astype(jnp.float32)
+    else:
+        do = ct
+    di = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1)[:, None, :]
+    if emit_ssq:
+        di = di + 2.0 * dssq * ssq
+    if emit_sumw:
+        di = di + dsumw * sumw
+    dq, dkv, dwk, dbk = _coattn_bwd_impl(
+        q, kv, None, mask_f, seed, do, l, m, di, dssq, dsumw,
+        pre_gate=pre_gate, block_k=block_k, interpret=interpret,
+        dropout_rate=dropout_rate, emit_ssq=emit_ssq, emit_sumw=emit_sumw,
+        wk=wk, bk=bk,
+    )
+    return dq, dkv, dwk.astype(wk.dtype), dbk.astype(bk.dtype), None, None
+
+
+_coattn_fk.defvjp(_coattn_fk_fwd, _coattn_fk_bwd)
+
+
 def _round_up(x: int, mult: int) -> int:
     return ((x + mult - 1) // mult) * mult
 
@@ -608,6 +797,74 @@ def coattention(
     out = _coattn(
         q, k, v, mask_f, seed, pre_gate, bk, interpret, float(dropout_rate),
         need_ssq, need_sumw,
+    )
+    if need_ssq or need_sumw:
+        o = out[0][:, :n, :]
+        return tuple([o] + [extra[:, :n] for extra in out[1:]])
+    return out[:, :n, :]
+
+
+def coattention_fused_k(
+    q: jnp.ndarray,
+    kv: jnp.ndarray,
+    k_weight: jnp.ndarray,
+    k_bias: jnp.ndarray,
+    key_mask: Optional[jnp.ndarray],
+    *,
+    pre_gate: bool = True,
+    dropout_rate: float = 0.0,
+    dropout_seed: Optional[jnp.ndarray] = None,
+    need_ssq: bool = False,
+    need_sumw: bool = False,
+    block_k: int = DEFAULT_BLOCK_K,
+    interpret: Optional[bool] = None,
+):
+    """Fused few-query PRE-GATED attention with the K projection computed
+    in-kernel and the V projection reassociated off the patch axis.
+
+    q: [B, N, E] (projected queries); kv: [B, M, F] RAW patch-side input;
+    k_weight: [F, E]; k_bias: [E]. The kernel computes ``k = kv @ wk + bk``
+    tile-locally — the [B, M, E] k activation (and its backward dk) never
+    exist in HBM (the reference materializes both, blocks.py:156,184-187).
+    Returns the raw-value pooling ``w·kv`` [B, N, F] (the caller applies the
+    V projection to the N-row result — ops/attention.py lean-V), extended to
+    a tuple by ``need_ssq`` (ssq [B, N]) then ``need_sumw`` (sumw [B, N]).
+    Differentiable in q, kv, k_weight, k_bias (custom VJP: recompute per
+    tile, in-kernel dwk/dbk accumulation)."""
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    b, n, d = q.shape
+    m_len = kv.shape[1]
+    # tighter cap than the plain kernel: the fuse_k backward additionally
+    # holds kv/k/tanh(k)/dkv/dk tiles + the [F, E] accumulator in VMEM
+    block_k = min(block_k, 512)
+    np_ = max(LANES, _round_up(n, LANES))
+    if np_ != n:
+        q = jnp.pad(q, ((0, 0), (0, np_ - n), (0, 0)))
+    bk_tile = min(block_k, m_len)
+    if m_len % bk_tile != 0:
+        pad_m = _round_up(m_len, bk_tile) - m_len
+        kv = jnp.pad(kv, ((0, 0), (0, pad_m), (0, 0)))
+        if key_mask is None:
+            key_mask = jnp.concatenate(
+                [jnp.ones((b, m_len), bool), jnp.zeros((b, pad_m), bool)], axis=1
+            )
+        else:
+            key_mask = jnp.pad(key_mask, ((0, 0), (0, pad_m)))
+    if key_mask is None:
+        mask_f = jnp.ones((b, 1, kv.shape[1]), jnp.float32)
+    else:
+        mask_f = key_mask.astype(jnp.float32)[:, None, :]
+    if dropout_rate > 0.0 and dropout_seed is None:
+        raise ValueError("dropout_rate > 0 requires a dropout_seed")
+    seed = (
+        jnp.asarray(dropout_seed, jnp.int32).reshape(1)
+        if dropout_seed is not None
+        else jnp.zeros((1,), jnp.int32)
+    )
+    out = _coattn_fk(
+        q, kv, k_weight, k_bias.reshape(1, -1), mask_f, seed, pre_gate,
+        bk_tile, interpret, float(dropout_rate), need_ssq, need_sumw,
     )
     if need_ssq or need_sumw:
         o = out[0][:, :n, :]
@@ -926,6 +1183,150 @@ def fused_attention_sharded(
     n_extras = int(need_ssq) + int(need_sumw)
     if n_extras:
         out_specs = tuple([bspec] + [P("data", None, None)] * n_extras)
+    else:
+        out_specs = bspec
+    return jax.shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=tuple(in_specs),
+        out_specs=out_specs,
+        check_vma=False,
+    )(*args)
+
+
+# =============================================================================
+# Lean-K dispatch: pre-gated co-attention straight from RAW patch features
+# =============================================================================
+
+
+def leank_eligible(n: int, m_len: int, e: int, f: int) -> bool:
+    """Shape gate for the in-kernel-K-projection variant. Same few-query
+    envelope as :func:`kernel_eligible`, plus the raw feature width F must
+    tile the lanes. The min-M crossover is its own knob
+    (``MPO_LEANK_MIN_M``): deleting the [B, M, E] K projection + its
+    backward from HBM shifts the kernel-vs-XLA break-even below the plain
+    kernel's 4096 (re-measured per round on hardware, docs/performance.md)."""
+    min_m = int(os.environ.get("MPO_LEANK_MIN_M", "4096"))
+    return (
+        n <= 256
+        and m_len >= min_m
+        and m_len % 256 == 0
+        and e % 128 == 0
+        and f % 128 == 0
+    )
+
+
+def fused_attention_leank(
+    q: jnp.ndarray,
+    kv: jnp.ndarray,
+    wk: jnp.ndarray,
+    bk: jnp.ndarray,
+    key_mask: Optional[jnp.ndarray] = None,
+    *,
+    allow_kernel: bool = True,
+    dropout_rate: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
+    need_ssq: bool = False,
+    need_sumw: bool = False,
+):
+    """Pre-gated lean attention from RAW patch features: the K projection
+    happens in-kernel (eligible shapes) or as a plain XLA matmul (fallback);
+    either way the VALUE side is the raw ``kv`` — the caller reassociates
+    the V projection onto the [B, N, F] result (ops/attention.py lean-V).
+
+    q: [B, N, E] projected queries; kv: [B, M, F] raw patch-side input;
+    wk: [F, E]; bk: [E]. Returns the raw-value pooling [B, N, F], extended
+    to a tuple by ``need_ssq`` then ``need_sumw`` ([B, N] each). On the
+    kernel path neither the [B, M, E] k activation nor its backward dk ever
+    exist in HBM (the reference materializes both, blocks.py:156,184-187);
+    the XLA fallback still materializes k — the pre-gate's tanh pins the
+    projection to the patch axis there.
+    """
+    b, n, e = q.shape
+    m_len, f_dim = kv.shape[1], kv.shape[2]
+    dropout_active = dropout_rate > 0.0
+    if (
+        allow_kernel
+        and leank_eligible(n, m_len, e, f_dim)
+        and (not dropout_active or kernel_dropout_available())
+        and (not dropout_active or m_len >= 8192)
+    ):
+        DISPATCH_COUNTS["kernel"] += 1
+        seed = None
+        if dropout_active:
+            seed = jax.random.randint(
+                dropout_rng, (1,), 0, jnp.iinfo(jnp.int32).max, dtype=jnp.int32
+            )
+        return coattention_fused_k(
+            q, kv, wk, bk, key_mask, pre_gate=True,
+            dropout_rate=dropout_rate, dropout_seed=seed,
+            need_ssq=need_ssq, need_sumw=need_sumw,
+        )
+    DISPATCH_COUNTS["xla"] += 1
+    from jax.ad_checkpoint import checkpoint_name
+
+    # same remat class as the in-projections (ops/attention.py proj): the
+    # [B, M, E] activation is recomputed, not stored, under tpu.remat
+    k = checkpoint_name(jnp.dot(kv, wk) + bk, "remat_big")
+    res = _xla_fused(
+        q[:, None], k[:, None], kv[:, None], key_mask, True,
+        dropout_rate=dropout_rate, dropout_rng=dropout_rng,
+        need_ssq=need_ssq, need_sumw=need_sumw,
+    )
+    if not need_ssq and not need_sumw:
+        return res[:, 0]
+    return tuple([res[0][:, 0]] + [x[:, 0] for x in res[1:]])
+
+
+def fused_attention_leank_sharded(
+    q: jnp.ndarray,
+    kv: jnp.ndarray,
+    wk: jnp.ndarray,
+    bk: jnp.ndarray,
+    key_mask: Optional[jnp.ndarray] = None,
+    *,
+    mesh,
+    allow_kernel: bool = True,
+    dropout_rate: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
+    need_ssq: bool = False,
+    need_sumw: bool = False,
+):
+    """:func:`fused_attention_leank` composed onto a data-parallel mesh via
+    ``shard_map`` (same rationale as :func:`fused_attention_sharded`:
+    GSPMD has no pallas partitioning rule). Batch-carrying operands shard on
+    ``data``; the projection weights ride replicated. Dropout keys fold in
+    the device's data-axis index. Callers gate on :func:`sharded_eligible`."""
+    from jax.sharding import PartitionSpec as P
+
+    bspec = P("data", None, None)
+    dropout_active = dropout_rate > 0.0
+    have_mask = key_mask is not None
+
+    def local_fn(*args):
+        it = iter(args)
+        ql, kvl, wkl, bkl = next(it), next(it), next(it), next(it)
+        ml = next(it) if have_mask else None
+        rngl = next(it) if dropout_active else None
+        if rngl is not None:
+            rngl = jax.random.fold_in(rngl, jax.lax.axis_index("data"))
+        return fused_attention_leank(
+            ql, kvl, wkl, bkl, ml, allow_kernel=allow_kernel,
+            dropout_rate=dropout_rate, dropout_rng=rngl,
+            need_ssq=need_ssq, need_sumw=need_sumw,
+        )
+
+    in_specs = [bspec, bspec, P(None, None), P(None)]
+    args = [q, kv, wk, bk]
+    if have_mask:
+        in_specs.append(P("data", None))
+        args.append(key_mask)
+    if dropout_active:
+        in_specs.append(P())
+        args.append(dropout_rng)
+    n_extras = int(need_ssq) + int(need_sumw)
+    if n_extras:
+        out_specs = tuple([bspec] + [P("data", None)] * n_extras)
     else:
         out_specs = bspec
     return jax.shard_map(

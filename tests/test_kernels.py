@@ -601,3 +601,199 @@ def test_gather_rows_sharded_interpret_matches_take():
         assert not gather.sharded_supported(pool_f32, idx, mesh)
     # a patch axis not divisible by the mesh is never eligible
     assert not gather.sharded_supported(jnp.zeros((n, 252, d), jnp.float32), idx, mesh)
+
+
+# ---------------------------------------------------------------------------
+# Lean-K: in-kernel K projection (coattention_fused_k / fused_attention_leank)
+# ---------------------------------------------------------------------------
+
+
+def _fk_data(b=2, n=6, m=512, e=D, f=D, seed=11, masked=True):
+    rng = np.random.default_rng(seed)
+    q = jnp.array(rng.normal(size=(b, n, e)), jnp.float32)
+    kv = jnp.array(rng.normal(size=(b, m, f)), jnp.float32)
+    # small weight scale keeps tanh(k) off saturation so grads stay informative
+    wk = jnp.array(rng.normal(size=(f, e)) * 0.2, jnp.float32)
+    bk = jnp.array(rng.normal(size=(e,)) * 0.1, jnp.float32)
+    if masked:
+        lengths = rng.integers(m // 2, m, size=b)
+        mask = jnp.array(np.arange(m)[None, :] < lengths[:, None], bool)
+    else:
+        mask = None
+    return q, kv, wk, bk, mask
+
+
+def _fk_ref(q, kv, wk, bk, mask, need_ssq=False, need_sumw=False):
+    """XLA reference: materialize k = kv @ wk + bk, then the pre-gated core
+    with the raw kv as values (the lean-V contraction order)."""
+    from multimodal_path_omic_tpu.ops.coattn import _xla_fused
+
+    k = jnp.dot(kv, wk) + bk
+    res = _xla_fused(
+        q[:, None], k[:, None], kv[:, None], mask, True,
+        need_ssq=need_ssq, need_sumw=need_sumw,
+    )
+    if need_ssq or need_sumw:
+        return tuple([res[0][:, 0]] + [x[:, 0] for x in res[1:]])
+    return res[:, 0]
+
+
+@pytest.mark.parametrize("masked", [False, True])
+@pytest.mark.parametrize("f_dim", [D, 2 * D])
+def test_coattention_fused_k_forward_matches_xla(masked, f_dim):
+    """The in-kernel K projection (kv @ wk + bk computed per tile in VMEM)
+    must reproduce the XLA path that materializes the [B, M, E] k activation
+    (reference: blocks.py:156,184-187). F != E exercises the rectangular
+    projection + raw-value [NP, F] accumulator."""
+    from multimodal_path_omic_tpu.ops.coattn import coattention_fused_k
+
+    q, kv, wk, bk, mask = _fk_data(masked=masked, f=f_dim)
+    ref = _fk_ref(q, kv, wk, bk, mask)
+    got = coattention_fused_k(q, kv, wk, bk, mask, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-5)
+
+
+def test_coattention_fused_k_multi_tile_and_batch():
+    """m = 1024 with block 512 -> 2 KV tiles x 2 batches: the dwk/dbk
+    accumulator blocks survive revisiting across BOTH grid dimensions
+    (their index_map is constant; semantics are sequential)."""
+    from multimodal_path_omic_tpu.ops.coattn import coattention_fused_k
+
+    q, kv, wk, bk, mask = _fk_data(b=2, m=1024, seed=12)
+    ref = _fk_ref(q, kv, wk, bk, mask)
+    got = coattention_fused_k(q, kv, wk, bk, mask, interpret=True)
+    # slightly looser than the single-tile pin: the projection happens
+    # per-tile here vs one [M, F] @ [F, E] matmul in the reference, so k
+    # itself carries f32 summation-order noise into the online softmax
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
+
+def test_coattention_fused_k_ssq_sumw_forward():
+    from multimodal_path_omic_tpu.ops.coattn import coattention_fused_k
+
+    q, kv, wk, bk, mask = _fk_data(seed=13)
+    ref_o, ref_ssq, ref_sumw = _fk_ref(
+        q, kv, wk, bk, mask, need_ssq=True, need_sumw=True
+    )
+    got_o, got_ssq, got_sumw = coattention_fused_k(
+        q, kv, wk, bk, mask, need_ssq=True, need_sumw=True, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(got_o), np.asarray(ref_o), atol=3e-5)
+    np.testing.assert_allclose(np.asarray(got_ssq), np.asarray(ref_ssq), atol=3e-5)
+    np.testing.assert_allclose(np.asarray(got_sumw), np.asarray(ref_sumw), atol=3e-5)
+
+
+def test_coattention_fused_k_grads_match_xla():
+    """All four inputs are differentiable: dq, dkv (BOTH chain terms — the
+    value path and the key path folded through the projection), dwk, dbk
+    (accumulated in-kernel across the whole grid)."""
+    from multimodal_path_omic_tpu.ops.coattn import coattention_fused_k
+
+    q, kv, wk, bk, mask = _fk_data(b=2, m=1024, seed=14)
+
+    def loss_ref(q, kv, wk, bk):
+        return jnp.sum(_fk_ref(q, kv, wk, bk, mask) ** 2)
+
+    def loss_ker(q, kv, wk, bk):
+        return jnp.sum(
+            coattention_fused_k(q, kv, wk, bk, mask, interpret=True) ** 2
+        )
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(q, kv, wk, bk)
+    g_ker = jax.grad(loss_ker, argnums=(0, 1, 2, 3))(q, kv, wk, bk)
+    for a, b, name in zip(g_ref, g_ker, ["dq", "dkv", "dwk", "dbk"]):
+        scale = max(1e-6, float(np.abs(np.asarray(a)).max()))
+        np.testing.assert_allclose(
+            np.asarray(b) / scale, np.asarray(a) / scale, atol=2e-5,
+            err_msg=f"{name} mismatch",
+        )
+
+
+def test_coattention_fused_k_joint_side_output_grads():
+    """ssq + sumw cotangents flow through the recompute backward jointly
+    (the cesar ||A||_2 chain and the lean-V bias-mass chain together)."""
+    from multimodal_path_omic_tpu.ops.coattn import coattention_fused_k
+
+    q, kv, wk, bk, mask = _fk_data(b=1, m=512, seed=15)
+    co = jnp.linspace(0.5, 1.5, q.shape[2])
+
+    def loss(fn):
+        def inner(q, kv, wk, bk):
+            o, ssq, sumw = fn(q, kv, wk, bk)
+            return (
+                jnp.sum(o * co)
+                + 0.3 * jnp.sum(ssq**2)
+                + 0.7 * jnp.sum(jnp.sin(sumw))
+            )
+
+        return inner
+
+    ref_fn = loss(
+        lambda *a: _fk_ref(*a, mask, need_ssq=True, need_sumw=True)
+    )
+    ker_fn = loss(
+        lambda *a: coattention_fused_k(
+            *a, mask, need_ssq=True, need_sumw=True, interpret=True
+        )
+    )
+    g_ref = jax.grad(ref_fn, argnums=(0, 1, 2, 3))(q, kv, wk, bk)
+    g_ker = jax.grad(ker_fn, argnums=(0, 1, 2, 3))(q, kv, wk, bk)
+    for a, b, name in zip(g_ref, g_ker, ["dq", "dkv", "dwk", "dbk"]):
+        scale = max(1e-6, float(np.abs(np.asarray(a)).max()))
+        np.testing.assert_allclose(
+            np.asarray(b) / scale, np.asarray(a) / scale, atol=2e-5,
+            err_msg=f"{name} mismatch",
+        )
+
+
+def test_fused_attention_leank_dispatch_gates():
+    """Dispatcher observability: small M falls back to XLA (and counts it);
+    eligible M traces the kernel; allow_kernel=False pins XLA."""
+    from multimodal_path_omic_tpu.ops import coattn
+
+    def delta(m, allow_kernel=True):
+        q, kv, wk, bk, mask = _fk_data(m=m)
+        before = dict(coattn.DISPATCH_COUNTS)
+        jax.eval_shape(
+            lambda *a: coattn.fused_attention_leank(
+                *a, allow_kernel=allow_kernel, need_sumw=True
+            ),
+            q, kv, wk, bk, mask,
+        )
+        return {k: coattn.DISPATCH_COUNTS[k] - before[k] for k in before}
+
+    d_small = delta(512)
+    assert d_small["kernel"] == 0 and d_small["xla"] >= 1, d_small
+    d_big = delta(4096)
+    assert d_big["kernel"] >= 1, d_big
+    d_off = delta(4096, allow_kernel=False)
+    assert d_off["kernel"] == 0 and d_off["xla"] >= 1, d_off
+
+
+def test_nacagat_leank_model_parity(monkeypatch):
+    """End-to-end: NaCAGaT with use_pallas (lean-K kernel engaged via a
+    lowered MPO_LEANK_MIN_M) must match the XLA model in eval — pins that
+    deleting the [B, M, E] k materialization is a pure reassociation."""
+    from multimodal_path_omic_tpu.models import NaCAGaT
+
+    monkeypatch.setenv("MPO_LEANK_MIN_M", "512")
+    rng = np.random.default_rng(16)
+    wsi = jnp.array(rng.normal(size=(2, 512, 1024)), jnp.float32)
+    omics = [jnp.array(rng.normal(size=(2, 16)), jnp.float32) for _ in range(2)]
+    mask = jnp.array(np.arange(512)[None, :] < np.array([500, 512])[:, None])
+
+    outs = {}
+    for use_pallas in (False, True):
+        model = NaCAGaT(
+            n_signatures=2, model_size="small", use_pallas=use_pallas
+        )
+        params = model.init(
+            jax.random.key(0), wsi, omics, mask, deterministic=True
+        )
+        outs[use_pallas] = model.apply(
+            params, wsi, omics, mask, deterministic=True
+        )
+    np.testing.assert_allclose(
+        np.asarray(outs[True].hazards), np.asarray(outs[False].hazards),
+        atol=5e-5, rtol=1e-5,
+    )
