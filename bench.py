@@ -1,17 +1,22 @@
-"""Headline benchmark: MCAT training throughput (fwd+bwd+update), bags/sec.
+"""Headline benchmark: training throughput (fwd+bwd+update), bags/sec, for
+all three model families.
 
-Workload per BASELINE.md: MCAT medium, 500x1024-patch bags (padded to the 512
-bucket) + 6 omic signature groups [100..600], ces loss, adam — the exact
-configuration of the reference's hot loop (reference: mcat/main.py:19-74),
-batched the TPU way (one jitted step per effective batch of 32 bags = one
-optimizer update, same sample count as the reference's grad_acc_step=32).
+Workload per BASELINE.md: model medium, 500x1024-patch bags (padded to the
+512 bucket), ces/cesar/ce loss by model, adam — the exact configuration of
+each reference driver's hot loop (reference: models/{mcat,nacagat,ge_nacagat}/
+main.py:19-74), batched the TPU way (one jitted multi-step dispatch of K
+sequential 32-bag optimizer steps = same sample count as the reference's
+grad_acc_step=32).
 
-Baseline: the PyTorch reference on CPU in this container measured at
-40.54 bags/sec (batch-1 loop, fwd+bwd with adam step every 32 bags,
-torch 2.13.0+cpu, 1 thread — methodology in BASELINE.md). vs_baseline is
-our bags/sec divided by that.
+Baselines: the PyTorch reference on CPU in this container (methodology in
+BASELINE.md; benchmarks/torch_cpu_baseline.py): MCAT 40.54 bags/sec
+(round 1); NaCAGaT 39.2 and GE 7.1 (round 5, cross-calibrated to the round-1
+host conditions via same-window MCAT controls). vs_baseline is our bags/sec
+divided by the model's own torch-CPU figure.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints one JSON line per model; the MCAT headline row prints LAST (the
+driver parses the final line — round-over-round continuity of
+``mcat_train_bags_per_sec``).
 """
 
 import json
@@ -24,7 +29,13 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-TORCH_CPU_BAGS_PER_SEC = 40.54  # measured 2026-08-16, see BASELINE.md
+# torch-CPU reference baselines (bags/sec), see module docstring
+BASELINES = {"mcat": 40.54, "nacagat": 39.2, "ge": 7.1}
+
+OMIC_SIZES = [100, 200, 300, 400, 500, 600]
+BATCH = 32
+BAG = 500
+BUCKET = 512
 
 
 def _start_watchdog(seconds: float) -> threading.Timer:
@@ -54,31 +65,8 @@ def _start_watchdog(seconds: float) -> threading.Timer:
     t.start()
     return t
 
-OMIC_SIZES = [100, 200, 300, 400, 500, 600]
-BATCH = 32
-BAG = 500
-BUCKET = 512
 
-
-def main():
-    watchdog = _start_watchdog(float(os.environ.get("BENCH_TIMEOUT", "1200")))
-    import jax
-
-    jax.config.update("jax_default_prng_impl", "rbg")  # fast dropout keys
-    # persistent compile cache: repeat runs (and the driver's end-of-round
-    # fresh process) skip the multi-minute K=32 scan compile
-    cache_dir = os.environ.get("BENCH_XLA_CACHE", "/tmp/bench_xla_cache")
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
-    import jax.numpy as jnp
-
-    from multimodal_path_omic_tpu.models import MCAT
-    from multimodal_path_omic_tpu.train.loop import TrainState
-    from multimodal_path_omic_tpu.train.optim import make_optimizer
-
+def _make_batch(jnp, ge_mode: bool):
     rng = np.random.default_rng(0)
     mask = np.zeros((BATCH, BUCKET), bool)
     mask[:, :BAG] = True
@@ -91,23 +79,45 @@ def main():
             rng.normal(size=(BATCH, BUCKET, 1024)).astype(np.float32)
         ).astype(jnp.bfloat16),
         "mask": jnp.asarray(mask),
-        "omics": [
-            jnp.asarray(rng.normal(size=(BATCH, s)).astype(np.float32))
-            for s in OMIC_SIZES
-        ],
-        "label": jnp.asarray(rng.integers(0, 4, BATCH).astype(np.int32)),
-        "censorship": jnp.asarray(rng.integers(0, 2, BATCH).astype(np.float32)),
-        "survival_months": jnp.asarray(
-            rng.uniform(1, 100, BATCH).astype(np.float32)
+        "label": jnp.asarray(
+            rng.integers(0, 3 if ge_mode else 4, BATCH).astype(np.int32)
         ),
         "weight": jnp.ones((BATCH,), jnp.float32),
     }
+    if not ge_mode:
+        batch["omics"] = [
+            jnp.asarray(rng.normal(size=(BATCH, s)).astype(np.float32))
+            for s in OMIC_SIZES
+        ]
+        batch["censorship"] = jnp.asarray(
+            rng.integers(0, 2, BATCH).astype(np.float32)
+        )
+        batch["survival_months"] = jnp.asarray(
+            rng.uniform(1, 100, BATCH).astype(np.float32)
+        )
+    return batch
 
-    model = MCAT(n_signatures=len(OMIC_SIZES), model_size="medium", use_pallas=True)
+
+def _bench_model(model, loss_name: str, *, ge_mode: bool, k: int,
+                 n_calls: int, n_windows: int) -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from multimodal_path_omic_tpu.train.loop import (
+        TrainState,
+        make_multi_train_step,
+    )
+    from multimodal_path_omic_tpu.train.optim import make_optimizer
+
+    batch = _make_batch(jnp, ge_mode)
     optimizer = make_optimizer("adam", 2e-4, 1e-5)
-    params = jax.jit(
-        lambda r: model.init(r, batch["wsi"], batch["omics"], batch["mask"])
-    )(jax.random.key(0))["params"]
+    if ge_mode:
+        init_args = (batch["wsi"], batch["mask"])
+    else:
+        init_args = (batch["wsi"], batch["omics"], batch["mask"])
+    params = jax.jit(lambda r: model.init(r, *init_args))(jax.random.key(0))[
+        "params"
+    ]
     state = TrainState(
         params=params,
         opt_state=optimizer.init(params),
@@ -115,30 +125,26 @@ def main():
         step=jnp.zeros((), jnp.int32),
     )
     # Multi-step dispatch (train/loop.py make_multi_train_step): ONE device
-    # call runs K=8 sequential 32-bag optimizer steps via lax.scan — exact
+    # call runs K sequential 32-bag optimizer steps via lax.scan — exact
     # single-step semantics (equality-tested), amortizing per-call dispatch
-    # latency (profiled at ~1.4 ms/call on this tunneled backend vs ~0.64 ms
-    # of device compute per step; docs/performance.md).
-    from multimodal_path_omic_tpu.train.loop import make_multi_train_step
-
-    # K=64 measured best on this backend post lean co-attention (round 4:
-    # 64.5k @ K=32, 72.3k @ K=64; K=128 only +2.4% more on 4.2 GB staging).
-    # Pre-lean round 3: 41.9k @ K=8, 48.9k @ K=16, 56.0k @ K=32.
-    K = int(os.environ.get("BENCH_K", "64"))
-    step = make_multi_train_step(model, "ces", optimizer, donate_state=True)
+    # latency (profiled at ~1.4 ms/call on this tunneled backend vs <1 ms of
+    # device compute per step; docs/performance.md).
+    step = make_multi_train_step(
+        model, loss_name, optimizer, ge_mode=ge_mode, donate_state=True
+    )
     stacked = {
-        k: (
-            [jnp.broadcast_to(o, (K,) + o.shape) for o in v]
-            if k == "omics"
-            else jnp.broadcast_to(v, (K,) + v.shape)
+        key: (
+            [jnp.broadcast_to(o, (k,) + o.shape) for o in v]
+            if key == "omics"
+            else jnp.broadcast_to(v, (k,) + v.shape)
         )
-        for k, v in batch.items()
+        for key, v in batch.items()
     }
 
     # warmup / compile. NOTE: sync via float() (device_get) — on remote/
     # tunneled backends block_until_ready can return before execution
-    # completes, which would time dispatch instead of compute. The steps chain
-    # through `state`, so fetching the last loss forces the whole window.
+    # completes, which would time dispatch instead of compute. The steps
+    # chain through `state`, so fetching the last loss forces the window.
     state, metrics = step(state, stacked)
     float(metrics.loss[-1])
     for _ in range(3):
@@ -147,28 +153,82 @@ def main():
 
     # timed: best of several windows (the device may be time-shared; the best
     # window reflects the hardware, the others reflect contention)
-    n_calls = 16  # x BENCH_K steps each (1024 at the default K=64)
     best = 0.0
-    for _ in range(5):
+    for _ in range(n_windows):
         t0 = time.perf_counter()
         for _ in range(n_calls):
             state, metrics = step(state, stacked)
         float(metrics.loss[-1])  # hard sync on the chained final step
         dt = time.perf_counter() - t0
-        best = max(best, n_calls * K * BATCH / dt)
-    bags_per_sec = best
+        best = max(best, n_calls * k * BATCH / dt)
+    return best
+
+
+def _emit(name: str, value: float, error: str = "") -> None:
+    row = {
+        "metric": f"{name}_train_bags_per_sec",
+        "value": round(value, 1),
+        "unit": "bags/sec",
+        "vs_baseline": round(value / BASELINES[name], 1),
+    }
+    if error:
+        row["error"] = error
+    print(json.dumps(row), flush=True)
+
+
+def main():
+    watchdog = _start_watchdog(float(os.environ.get("BENCH_TIMEOUT", "1800")))
+    import jax
+
+    jax.config.update("jax_default_prng_impl", "rbg")  # fast dropout keys
+    # persistent compile cache: repeat runs (and the driver's end-of-round
+    # fresh process) skip the multi-minute K-step scan compiles
+    cache_dir = os.environ.get("BENCH_XLA_CACHE", "/tmp/bench_xla_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    from multimodal_path_omic_tpu.models import GENaCAGaT, MCAT, NaCAGaT
+
+    # K=64 measured best for the MCAT headline on this backend post lean
+    # co-attention (round 4: 64.5k @ K=32, 72.3k @ K=64; K=128 only +2.4%
+    # more on 4.2 GB staging). Pre-lean round 3: 56.0k @ K=32.
+    K = int(os.environ.get("BENCH_K", "64"))
+    # auxiliary model rows run at a smaller K: they exist to make
+    # round-over-round regressions visible (VERDICT r4 #2), and the smaller
+    # scan bounds their compile cost within the watchdog budget
+    K_AUX = int(os.environ.get("BENCH_K_AUX", "16"))
+
+    # MCAT headline FIRST (its result must survive aux-model failures),
+    # printed LAST (the driver parses the final JSON line).
+    mcat = _bench_model(
+        MCAT(n_signatures=len(OMIC_SIZES), model_size="medium", use_pallas=True),
+        "ces", ge_mode=False, k=K, n_calls=16, n_windows=5,
+    )
+
+    for name, model, loss in (
+        (
+            "nacagat",
+            NaCAGaT(
+                n_signatures=len(OMIC_SIZES), model_size="medium", use_pallas=True
+            ),
+            "cesar",
+        ),
+        ("ge", GENaCAGaT(model_size="medium", use_pallas=True), "ce"),
+    ):
+        try:
+            val = _bench_model(
+                model, loss, ge_mode=name == "ge", k=K_AUX, n_calls=8,
+                n_windows=4,
+            )
+            _emit(name, val)
+        except Exception as e:  # aux rows must never take down the headline
+            _emit(name, 0.0, error=f"{type(e).__name__}: {e}")
 
     watchdog.cancel()
-    print(
-        json.dumps(
-            {
-                "metric": "mcat_train_bags_per_sec",
-                "value": round(bags_per_sec, 1),
-                "unit": "bags/sec",
-                "vs_baseline": round(bags_per_sec / TORCH_CPU_BAGS_PER_SEC, 1),
-            }
-        )
-    )
+    _emit("mcat", mcat)
 
 
 if __name__ == "__main__":
