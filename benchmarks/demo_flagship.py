@@ -127,13 +127,13 @@ def main():
     out2 = t2.fit()  # runs train+validate per epoch, exports ATTN at the end
     p2 = time.time() - p2
 
-    # steady-state validated-epoch cadence, measured directly
+    # steady-state validated-epoch cadence, measured directly — through the
+    # overlapped dispatch chain fit() itself uses (Trainer.validated_epoch)
     n_meas = 3
     bags = len(t2.train_ds) + len(t2.val_ds)
     for e in range(n_meas):
         te = time.time()
-        t2.train_epoch(args.epochs + e)
-        t2.validate(args.epochs + e)
+        t2.validated_epoch(args.epochs + e)
         epoch_times.append(time.time() - te)
     steady = min(epoch_times)
 

@@ -25,7 +25,7 @@ import math
 import os
 import sys
 import time
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -432,6 +432,7 @@ class Trainer:
             donate_state=True,  # Trainer steps form a linear state chain
             patch_dropout=c.training.patch_dropout,
             remat=c.tpu.remat,
+            int8_matmul=c.tpu.int8_matmul,
         )
         self.eval_step = make_eval_step(
             self.model, c.training.loss, alpha=c.training.alpha,
@@ -468,6 +469,7 @@ class Trainer:
                 donate_state=True,
                 patch_dropout=c.training.patch_dropout,
                 remat=c.tpu.remat,
+                int8_matmul=c.tpu.int8_matmul,
             )
             if self.steps_per_dispatch > 1
             else None
@@ -627,6 +629,7 @@ class Trainer:
             patch_dropout=c.training.patch_dropout,
             mesh=self.mesh,
             remat=c.tpu.remat,
+            int8_matmul=c.tpu.int8_matmul,
         )
         self._cached_steps = (
             make_cached_train_step(
@@ -683,17 +686,13 @@ class Trainer:
             info["label"] = self._slice_host(ge_labels[meta["row"]])
         return info
 
-    def _bulk_fetch(self, tree):
-        """Fetch a pytree of device arrays with ONE device transfer.
-
-        ``jax.device_get`` pulls leaves serially, paying a full dispatch RTT
-        per leaf on remote/tunneled backends (profiled: 39 epoch metric leaves
-        x ~6 ms = 0.24 s of a 0.30 s epoch; even pipelined async copies cost
-        ~2.5 ms/leaf here). All f32 leaves are packed into one flat device
-        array by a single jitted concat and fetched together; any remaining
-        leaves fall back to pipelined async copies. The signature cap is
-        per-Trainer (not process-global) so config sweeps creating several
-        trainers in one process keep the packed path for each."""
+    def _bulk_fetch_begin(self, tree):
+        """ENQUEUE the packed D2H round for ``tree`` and return a handle for
+        ``_bulk_fetch_end``. Split from ``_bulk_fetch`` so the epoch pipeline
+        can start the transfer (device work + async copies) BEFORE dispatching
+        the next chain of device calls (validation / the next epoch): on an
+        in-order device the pack computation enqueued here runs right after
+        the train steps, while work enqueued later executes behind it."""
         leaves, treedef = jax.tree_util.tree_flatten(tree)
         pack = [
             i
@@ -705,19 +704,43 @@ class Trainer:
         pack.sort(key=lambda i: leaves[i].shape)
         sig = tuple(leaves[i].shape for i in pack)
         sigs = self._pack_sigs
+        packed = None
         if len(pack) > 1 and (sig in sigs or len(sigs) < _PACK_SIG_CAP):
             sigs.add(sig)
-            packed = np.asarray(_pack_leaves(*[leaves[i] for i in pack]))
+            packed = _pack_leaves(*[leaves[i] for i in pack])
+            packed.copy_to_host_async()
+        else:
+            pack = []
+        for i, x in enumerate(leaves):
+            if i not in pack and isinstance(x, jax.Array):
+                x.copy_to_host_async()
+        return leaves, treedef, pack, packed
+
+    def _bulk_fetch_end(self, handle):
+        """Materialize a ``_bulk_fetch_begin`` handle on the host."""
+        leaves, treedef, pack, packed = handle
+        if packed is not None:
+            flat = np.asarray(packed)
             off = 0
             for i in pack:
                 n = int(np.prod(leaves[i].shape))
-                leaves[i] = packed[off : off + n].reshape(leaves[i].shape)
+                leaves[i] = flat[off : off + n].reshape(leaves[i].shape)
                 off += n
-        for x in leaves:
-            if isinstance(x, jax.Array):
-                x.copy_to_host_async()
         leaves = [np.asarray(x) if isinstance(x, jax.Array) else x for x in leaves]
         return jax.tree_util.tree_unflatten(treedef, leaves)
+
+    def _bulk_fetch(self, tree):
+        """Fetch a pytree of device arrays with ONE device transfer.
+
+        ``jax.device_get`` pulls leaves serially, paying a full dispatch RTT
+        per leaf on remote/tunneled backends (profiled: 39 epoch metric leaves
+        x ~6 ms = 0.24 s of a 0.30 s epoch; even pipelined async copies cost
+        ~2.5 ms/leaf here). All f32 leaves are packed into one flat device
+        array by a single jitted concat and fetched together; any remaining
+        leaves fall back to pipelined async copies. The signature cap is
+        per-Trainer (not process-global) so config sweeps creating several
+        trainers in one process keep the packed path for each."""
+        return self._bulk_fetch_end(self._bulk_fetch_begin(tree))
 
     def _host_k_cap(self, K):
         """Per-bucket dispatch-group size cap for HOST-FED stacked batches:
@@ -928,6 +951,14 @@ class Trainer:
                     yield batches, (lambda st, d=dev: self.multi_step(st, d))
 
     def train_epoch(self, epoch: int) -> Dict[str, float]:
+        return self._train_epoch_reduce(epoch, self._train_epoch_dispatch(epoch))
+
+    def _train_epoch_dispatch(self, epoch: int) -> Dict[str, Any]:
+        """Run the DEVICE side of a training epoch: enqueue every train-step
+        dispatch (and the stats that are pure host bookkeeping) and return a
+        context for ``_train_epoch_reduce``. Metrics stay on device. Split so
+        ``validated_epoch`` can enqueue validation eval steps behind the train
+        chain before the host blocks on the epoch's packed metric fetch."""
         c = self.config
         # Epoch-indexed LR schedules (cosine/step/warmup) set the lr
         # ABSOLUTELY at epoch start — resume lands on exactly the lr a
@@ -1027,10 +1058,37 @@ class Trainer:
                     f"\tstep: {n_steps}, loss: {float(last):.4f}, "
                     f"bags/s: {bps:.2f}"
                 )
+        return {
+            "losses": losses, "attn_losses": attn_losses,
+            "step_reals": step_reals, "risks": risks, "weights": weights,
+            "censorships": censorships, "months": months, "n_steps": n_steps,
+            "epoch_t0": epoch_t0, "group_metrics": group_metrics,
+            "fetch_handle": None,
+        }
+
+    def _begin_metric_fetch(self, ctx: Dict[str, Any]) -> None:
+        """Enqueue the packed D2H round for a dispatch context's on-device
+        metrics (idempotent). Call between ``_train_epoch_dispatch`` and any
+        further device dispatches so the fetch rides ahead of them."""
+        if ctx["fetch_handle"] is None and self.n_processes == 1:
+            ctx["fetch_handle"] = self._bulk_fetch_begin(ctx["group_metrics"])
+
+    def _train_epoch_reduce(self, epoch: int, ctx: Dict[str, Any]) -> Dict[str, float]:
+        """HOST side of a training epoch: fetch the on-device metrics, compute
+        the per-sample means + train c-index, step the exp scheduler, log."""
+        c = self.config
+        losses, attn_losses = ctx["losses"], ctx["attn_losses"]
+        step_reals, risks = ctx["step_reals"], ctx["risks"]
+        weights, censorships, months = (
+            ctx["weights"], ctx["censorships"], ctx["months"]
+        )
+        n_steps, epoch_t0 = ctx["n_steps"], ctx["epoch_t0"]
+        group_metrics = ctx["group_metrics"]
         # ONE pipelined D2H round for all epoch metrics (per-leaf pulls pay a
         # full RTT each on remote backends — profiled at ~6 ms/leaf)
-        if self.n_processes == 1:
-            group_metrics = self._bulk_fetch(group_metrics)
+        self._begin_metric_fetch(ctx)
+        if ctx["fetch_handle"] is not None:
+            group_metrics = self._bulk_fetch_end(ctx["fetch_handle"])
         for m, k in group_metrics:
             # loss/attn_loss are replicated scalars (or [K] stacks): np.asarray
             # works on every backend incl. multi-host; risk is data-sharded and
@@ -1181,10 +1239,46 @@ class Trainer:
                 yield group, self.multi_eval(self.state.params, dev)
 
     def validate(self, epoch) -> Dict[str, float]:
+        # the lazy generator interleaves eval dispatch with host accumulation,
+        # exactly the pre-split behavior
+        return self._validate_reduce(epoch, self._val_results())
+
+    def validated_epoch(self, epoch: int) -> Tuple[Dict[str, float], Dict[str, float]]:
+        """One train epoch + its validation as ONE overlapped dispatch chain.
+
+        The serial form (``train_epoch`` then ``validate``) leaves the device
+        idle while the host fetches the epoch's packed metrics and computes
+        the train c-index, then leaves the host idle while eval steps run.
+        Here the order is: enqueue every train step, ENQUEUE the metric fetch,
+        enqueue every eval step, then do the train-side host reduce while the
+        device is still executing validation — the reference's serial epoch
+        loop (mcat/main.py:74-76) has no analogue of this. Semantics are
+        identical: eval consumes ``state.params`` which is final once the last
+        train step is enqueued, and the in-order device runs the metric pack
+        ahead of the eval chain."""
+        # Overridden train_epoch/validate (subclasses, test monkeypatches,
+        # custom drivers) must keep observing their calls — only the default
+        # implementations are safe to decompose into the overlapped chain.
+        if (
+            type(self).train_epoch is not _DEFAULT_TRAIN_EPOCH
+            or type(self).validate is not _DEFAULT_VALIDATE
+            or "train_epoch" in self.__dict__
+            or "validate" in self.__dict__
+        ):
+            out = self.train_epoch(epoch)
+            return out, self.validate(epoch)
+        ctx = self._train_epoch_dispatch(epoch)
+        self._begin_metric_fetch(ctx)
+        val_groups = list(self._val_results())  # enqueues all eval dispatches
+        train_out = self._train_epoch_reduce(epoch, ctx)
+        val_out = self._validate_reduce(epoch, val_groups)
+        return train_out, val_out
+
+    def _validate_reduce(self, epoch, results) -> Dict[str, float]:
         risks, weights, censorships, months, losses, step_reals = [], [], [], [], [], []
         ys, ge_labels = [], []
         n_steps = 0
-        for infos, res in self._val_results():
+        for infos, res in results:
             # res leaves are per-batch, or [k]-stacked for multi-eval groups;
             # flattened AFTER the bulk fetch in the same batch order
             losses.append(res["loss"])
@@ -1493,8 +1587,8 @@ class Trainer:
             if self.verbose:
                 print(f"Epoch: {epoch + 1}")
             t0 = time.time()
-            last.update(self.train_epoch(epoch))
-            val = self.validate(epoch)
+            train_out, val = self.validated_epoch(epoch)
+            last.update(train_out)
             last.update(val)
             # a missing/NaN monitored metric counts as "no improvement"
             value = val.get(monitor, math.nan)
@@ -1534,6 +1628,13 @@ class Trainer:
         ckpt.wait_for_checkpoints()  # join pending async checkpoint commits
         self.logger.finish()
         return last
+
+
+# Captured at class-definition time: validated_epoch compares against these to
+# detect monkeypatched/overridden epoch methods and fall back to the serial
+# train_epoch -> validate composition for them.
+_DEFAULT_TRAIN_EPOCH = Trainer.train_epoch
+_DEFAULT_VALIDATE = Trainer.validate
 
 
 def main(config_path: str, overrides: Optional[Dict[str, Any]] = None):
