@@ -399,6 +399,61 @@ def test_lean_v_matches_disabled_path_under_dropout(monkeypatch):
     )
 
 
+def test_lean_attention_bf16_rounding_is_benign(monkeypatch):
+    """VERDICT r4 #4: under compute_dtype=bfloat16 (the TPU default at
+    B>=128) the lean reassociation contracts in a different order at very
+    different intermediate scales — ``(q@wkᵀ)@kvᵀ`` vs ``q@(kv@wk)ᵀ``
+    (reference math: blocks.py:180-192) — so its bf16 rounding is not the
+    projected path's. Pin that against an f32-exact reference the lean
+    forms' bf16 error stays within 2.5x of the projected path's own bf16
+    error (plus a 1% slack floor), at unit activation scale and at a 4x
+    hot-scale variant, for both the plain (MCAT lean) and pre-gated
+    (NaCAGaT lean-V) branches."""
+    from multimodal_path_omic_tpu.ops.attention import MultiheadAttention
+
+    rng = np.random.default_rng(15)
+    B, N, M, E = 3, 6, 96, 64
+    for pre_gate in (False, True):
+        for scale in (1.0, 4.0):
+            q_in = jnp.asarray(rng.standard_normal((B, N, E)) * scale,
+                               jnp.float32)
+            kv_in = jnp.asarray(rng.standard_normal((B, M, E)) * scale,
+                                jnp.float32)
+            mask = jnp.asarray(rng.random((B, M)) > 0.3)
+
+            def build(dtype):
+                return MultiheadAttention(
+                    embed_dim=E, num_heads=1, dropout_rate=0.0,
+                    pre_gate=pre_gate, dtype=dtype,
+                )
+
+            params = build(None).init(
+                jax.random.key(0), q_in, kv_in, kv_in, mask,
+                need_weights=False,
+            )
+
+            def run(dtype):
+                out, _ = build(dtype).apply(
+                    params, q_in, kv_in, kv_in, mask, need_weights=False
+                )
+                return np.asarray(out, np.float64)
+
+            monkeypatch.delenv("MPO_NO_LEAN_ATTENTION", raising=False)
+            lean_bf16 = run(jnp.bfloat16)
+            monkeypatch.setenv("MPO_NO_LEAN_ATTENTION", "1")
+            core_bf16 = run(jnp.bfloat16)
+            ref_f32 = run(None)
+            monkeypatch.delenv("MPO_NO_LEAN_ATTENTION", raising=False)
+
+            denom = max(float(np.abs(ref_f32).mean()), 1e-6)
+            rel_lean = float(np.abs(lean_bf16 - ref_f32).max()) / denom
+            rel_core = float(np.abs(core_bf16 - ref_f32).max()) / denom
+            assert rel_lean <= 2.5 * rel_core + 0.01, (
+                f"pre_gate={pre_gate} scale={scale}: lean bf16 error "
+                f"{rel_lean:.4f} vs projected-path bf16 error {rel_core:.4f}"
+            )
+
+
 def test_nacagat_grads_match_with_lean_v_disabled(monkeypatch):
     """End-to-end NaCAGaT: parameter gradients of a ces loss must agree
     between the lean-V co-attention and the projected path — the V
