@@ -65,6 +65,16 @@ def main():
     import jax
 
     jax.config.update("jax_default_prng_impl", "rbg")
+    # persistent compile cache: sweep re-runs of an arm skip the multi-ten-
+    # second K-step scan compile (same knob as bench.py)
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("BENCH_XLA_CACHE", "/tmp/bench_xla_cache"),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
 
     from multimodal_path_omic_tpu.models import MCAT

@@ -237,6 +237,13 @@ class TpuConfig:
     # "auto" = bfloat16 on TPU, float32 elsewhere (same reasoning as
     # transfer_dtype).
     cache_dtype: str = "auto"
+    # Run the first (WSI 1024->d) projection as s8 x s8 -> s32 on the MXU
+    # when bags arrive int8-quantized (transfer_dtype/cache_dtype "int8"):
+    # the kernel quantizes per-column in-graph and dequant happens AFTER the
+    # dot (ops/layers.py::w8a8_linear), so the [B, M, 1024] float activation
+    # never exists and the dominant matmul runs at the int8 MAC rate.
+    # No effect unless the feed is int8. Training only; eval dequantizes.
+    int8_matmul: bool = False
     # Data-parallel mesh axis size (1 = single chip).
     data_axis: int = 1
     # Sequence-parallel mesh axis size (patch dimension sharding).

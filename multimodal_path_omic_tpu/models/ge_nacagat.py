@@ -47,11 +47,12 @@ class GENaCAGaT(nn.Module):
         *,
         deterministic: bool = True,
         need_attention: bool = False,
+        wsi_scale=None,
     ):
         d1, d2 = MODEL_SIZES[self.model_size]
 
         h_bag = WSIEncoder(dim=d1, dropout_rate=self.dropout_rate, dtype=self.dtype, name="H")(
-            wsi, deterministic=deterministic
+            wsi, deterministic=deterministic, wsi_scale=wsi_scale
         )
 
         # Self-attention over the patch bag (ge_nacagat.py:27, 49)

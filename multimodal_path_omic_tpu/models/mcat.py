@@ -68,6 +68,7 @@ class MCAT(nn.Module):
         *,
         deterministic: bool = True,
         need_attention=False,
+        wsi_scale: Optional[jnp.ndarray] = None,
     ) -> SurvivalOutput:
         # need_attention: True = full co-attention map (need_weights=inference
         # in the reference, mcat.py:97); False = none (fused kernel path);
@@ -76,7 +77,7 @@ class MCAT(nn.Module):
 
         # H: [B, M, d1] (mcat.py:24-29, 87)
         h_bag = WSIEncoder(dim=d1, dropout_rate=self.dropout_rate, dtype=self.dtype, name="H")(
-            wsi, deterministic=deterministic
+            wsi, deterministic=deterministic, wsi_scale=wsi_scale
         )
         # G: [B, N, d2] (mcat.py:32-45, 90-92)
         g_bag = OmicEncoderStack(

@@ -61,6 +61,7 @@ class NaCAGaT(nn.Module):
         *,
         deterministic: bool = True,
         need_attention=True,
+        wsi_scale=None,
     ) -> SurvivalOutput:
         """``need_attention``: True returns the full co-attention map under
         ``attention['coattn']`` (the reference ALWAYS materializes it,
@@ -72,7 +73,7 @@ class NaCAGaT(nn.Module):
         d1, d2 = MODEL_SIZES[self.model_size]
 
         h_bag = WSIEncoder(dim=d1, dropout_rate=self.dropout_rate, dtype=self.dtype, name="H")(
-            wsi, deterministic=deterministic
+            wsi, deterministic=deterministic, wsi_scale=wsi_scale
         )
         g_bag = OmicEncoderStack(
             n_signatures=self.n_signatures,

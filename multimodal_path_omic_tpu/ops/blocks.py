@@ -168,7 +168,8 @@ class WSIEncoder(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, wsi: jnp.ndarray, deterministic: bool = True):
+    def __call__(self, wsi: jnp.ndarray, deterministic: bool = True,
+                 wsi_scale: Optional[jnp.ndarray] = None):
         from jax.ad_checkpoint import checkpoint_name
 
         # 'remat_big' names the [B, M, d] intermediates for tpu.remat:
@@ -176,8 +177,13 @@ class WSIEncoder(nn.Module):
         # the backward recomputes them from wsi (one extra MXU pass) instead
         # of round-tripping ~67 MB/tensor through HBM at B=256. Inert
         # without the policy.
+        #
+        # ``wsi_scale`` + int8 wsi: tpu.int8_matmul — the projection runs
+        # s8 x s8 -> s32 on the MXU (ops/layers.py::w8a8_linear), dequant
+        # AFTER the dot; the [B, M, 1024] float activation never exists.
         h = checkpoint_name(
-            TorchLinear(self.dim, dtype=self.dtype, name="fc")(wsi), "remat_big"
+            TorchLinear(self.dim, dtype=self.dtype, name="fc")(wsi, wsi_scale),
+            "remat_big",
         )
         h = jax.nn.relu(h)
         h = FastDropout(self.dropout_rate)(h, deterministic=deterministic)

@@ -8,6 +8,7 @@ xavier-uniform attention projections, etc.).
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Callable, Optional
 
@@ -47,11 +48,91 @@ def normal_fan_in_init(key, shape, dtype=jnp.float32):
     return jax.random.normal(key, shape, dtype) * stdv
 
 
+def quantize_cols_int8(w: jnp.ndarray):
+    """In-graph symmetric per-COLUMN int8 quantization of a [F, E] kernel:
+    one scale per output feature (the contraction axis F is reduced, so
+    per-column scales factor out of the dot exactly). Mirrors the per-row
+    data-side quantizer (data/quant.py::quantize_bag_int8)."""
+    amax = jnp.max(jnp.abs(w), axis=0)
+    scale = jnp.where(amax > 0, amax / 127.0, 1.0).astype(jnp.float32)
+    q = jnp.clip(jnp.rint(w / scale[None, :]), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def w8a8_linear(q, row_scale, kernel, bias, dtype):
+    """First-layer Linear on int8 activations via the int8 MXU path.
+
+    ``q`` [..., F] int8 per-row-quantized activations with ``row_scale``
+    [...] (the device cache's storage format, data/quant.py), ``kernel``
+    [F, E] / ``bias`` [E] float params. Forward quantizes the kernel
+    per-column in-graph and runs ``s8 x s8 -> s32`` (v5e int8 MACs run at
+    ~2x the bf16 rate), dequantizing AFTER the dot:
+
+        y = (q @ qk).f32 * (row_scale x col_scale) + bias
+
+    Backward (custom VJP): the input is DATA — no dX is ever needed — so
+    the only grads are dW = dequant(q)ᵀ @ dy (bf16/f32 matmul, exactly the
+    dW the float path computes up to the storage quantization error) and
+    db = Σ dy. The kernel quantization is straight-through: grads flow as
+    if the float kernel had been used (the [F, E] kernel's own int8 error
+    is second-order next to the activations' storage quantization, which
+    the planted-signal A/B already bounds).
+    """
+    y, _ = _w8a8_fwd(q, row_scale, kernel, bias, dtype)
+    return y
+
+
+def _w8a8_fwd(q, row_scale, kernel, bias, dtype):
+    from jax import lax
+
+    qk, col_scale = quantize_cols_int8(kernel.astype(jnp.float32))
+    nd = q.ndim
+    acc = lax.dot_general(
+        q, qk, (((nd - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    dt = dtype or jnp.float32
+    y = acc.astype(jnp.float32) * (
+        row_scale[..., None].astype(jnp.float32) * col_scale
+    )
+    y = y.astype(dt) + bias.astype(dt)
+    return y, (q, row_scale)
+
+
+def _w8a8_bwd(dtype, res, dy):
+    import numpy as _np
+
+    q, row_scale = res
+    dt = dtype or jnp.float32
+    x = q.astype(dt) * row_scale[..., None].astype(dt)
+    # collapse every leading axis: dW = Xᵀ @ dY with f32 accumulation
+    x2 = x.reshape(-1, x.shape[-1])
+    dy2 = dy.reshape(-1, dy.shape[-1])
+    from jax import lax
+
+    dk = lax.dot_general(
+        x2, dy2, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(jnp.float32)
+    db = jnp.sum(dy2.astype(jnp.float32), axis=0)
+    # integer primals take float0 cotangents; row_scale is data (no grad)
+    dq = _np.zeros(_np.shape(q), dtype=jax.dtypes.float0)
+    return dq, jnp.zeros_like(row_scale), dk, db
+
+
+w8a8_linear.defvjp(_w8a8_fwd, _w8a8_bwd)
+
+
 class TorchLinear(nn.Module):
     """nn.Linear equivalent with torch's default init.
 
     Weight layout is flax-style [in, out]; transplanting from torch requires a
     transpose of torch's [out, in] weight.
+
+    ``row_scale``: passing int8 ``x`` plus its per-row scales routes through
+    ``w8a8_linear`` (int8 MXU compute, dequant after the dot) — the int8
+    device cache's bags can feed the first projection without ever
+    materializing the dequantized [B, M, F] activation.
     """
 
     features: int
@@ -61,13 +142,24 @@ class TorchLinear(nn.Module):
     bias_init: Optional[Callable] = None
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, row_scale=None):
         in_features = x.shape[-1]
         kernel = self.param(
             "kernel",
             self.kernel_init or torch_linear_kernel_init,
             (in_features, self.features),
         )
+        if row_scale is not None and x.dtype == jnp.int8:
+            bias = (
+                self.param(
+                    "bias",
+                    self.bias_init or make_torch_bias_init(in_features),
+                    (self.features,),
+                )
+                if self.use_bias
+                else jnp.zeros((self.features,), jnp.float32)
+            )
+            return w8a8_linear(x, row_scale, kernel, bias, self.dtype)
         y = jnp.dot(x.astype(self.dtype), kernel.astype(self.dtype))
         if self.use_bias:
             bias = self.param(

@@ -112,6 +112,7 @@ def make_train_step(
     donate_state: bool = False,
     patch_dropout: float = 0.0,
     remat: bool = False,
+    int8_matmul: bool = False,
 ) -> Callable:
     """Build the jitted train step.
 
@@ -136,7 +137,7 @@ def make_train_step(
         model, loss_name, optimizer, alpha=alpha, l1_lambda=l1_lambda,
         patch_budget=patch_budget, ge_mode=ge_mode, omic_sizes=omic_sizes,
         donate_state=donate_state, need_attention=need_attention, multi=False,
-        patch_dropout=patch_dropout, remat=remat,
+        patch_dropout=patch_dropout, remat=remat, int8_matmul=int8_matmul,
     )
 
 
@@ -153,6 +154,7 @@ def make_multi_train_step(
     donate_state: bool = False,
     patch_dropout: float = 0.0,
     remat: bool = False,
+    int8_matmul: bool = False,
 ) -> Callable:
     """Multi-step dispatch: ONE jitted call runs K sequential optimizer steps
     (``lax.scan``) over a stacked batch dict whose arrays carry a leading
@@ -165,7 +167,7 @@ def make_multi_train_step(
         model, loss_name, optimizer, alpha=alpha, l1_lambda=l1_lambda,
         patch_budget=patch_budget, ge_mode=ge_mode, omic_sizes=omic_sizes,
         donate_state=donate_state, need_attention=need_attention, multi=True,
-        patch_dropout=patch_dropout, remat=remat,
+        patch_dropout=patch_dropout, remat=remat, int8_matmul=int8_matmul,
     )
 
 
@@ -184,6 +186,7 @@ def make_cached_train_step(
     multi: bool = False,
     mesh=None,
     remat: bool = False,
+    int8_matmul: bool = False,
 ) -> Callable:
     """Train step over a DEVICE-RESIDENT dataset cache (data/device_cache.py).
 
@@ -201,6 +204,7 @@ def make_cached_train_step(
         patch_budget=patch_budget, ge_mode=ge_mode, omic_sizes=omic_sizes,
         donate_state=donate_state, need_attention=need_attention, multi=multi,
         cached=True, mesh=mesh, patch_dropout=patch_dropout, remat=remat,
+        int8_matmul=int8_matmul,
     )
 
 
@@ -297,9 +301,10 @@ def stack_batches(batches):
 def _build_step(
     model, loss_name, optimizer, *, alpha, l1_lambda, patch_budget, ge_mode,
     omic_sizes, donate_state, need_attention, multi, cached=False, mesh=None,
-    patch_dropout=0.0, remat=False,
+    patch_dropout=0.0, remat=False, int8_matmul=False,
 ):
-    def forward_loss(params, rng, wsi, mask, omics, label, censorship, months, weight):
+    def forward_loss(params, rng, wsi, mask, omics, label, censorship, months,
+                     weight, wsi_scale=None):
         if patch_dropout:
             # Patch dropout (training.patch_dropout): hide a seeded random
             # fraction of each bag's REAL patches from this step's attention.
@@ -325,6 +330,7 @@ def _build_step(
             deterministic=False,
             need_attention=need_attention,
             rngs={"dropout": rng},
+            **({} if wsi_scale is None else {"wsi_scale": wsi_scale}),
         )
         if ge_mode:
             y, _attn = out
@@ -358,7 +364,15 @@ def _build_step(
     grad_fn = jax.value_and_grad(forward_loss, has_aux=True)
 
     def _step_impl(state: TrainState, batch: Dict[str, Any]) -> Tuple[TrainState, StepMetrics]:
-        batch = _dequant_wsi(batch, getattr(model, "dtype", None))
+        if int8_matmul and "wsi_scale" in batch:
+            # tpu.int8_matmul: keep the cache's int8 bags AS int8 — the first
+            # projection runs s8 x s8 on the MXU (ops/layers.py::w8a8_linear)
+            # and the [B, M, F] dequantized activation never exists
+            batch = dict(batch)
+            wsi_scale_full = batch.pop("wsi_scale")
+        else:
+            batch = _dequant_wsi(batch, getattr(model, "dtype", None))
+            wsi_scale_full = None
         b, m = batch["wsi"].shape[0], batch["wsi"].shape[1]
         # static (trace-time) choice of accumulation chunks: largest divisor
         # of b whose chunk fits the patch budget
@@ -382,6 +396,7 @@ def _build_step(
             return x.reshape((accum, chunk) + x.shape[1:])
 
         wsi = resh(batch["wsi"])
+        wsi_scale = None if wsi_scale_full is None else resh(wsi_scale_full)
         mask = resh(batch["mask"])
         label = resh(batch["label"].astype(jnp.int32))
         weight = resh(batch["weight"])
@@ -405,6 +420,7 @@ def _build_step(
                 None if ge_mode else cens[0],
                 None if ge_mode else months[0],
                 weight[0],
+                None if wsi_scale is None else wsi_scale[0],
             )
             risks = risk_single[None]
         else:
@@ -422,6 +438,7 @@ def _build_step(
                     None if ge_mode else cens[i],
                     None if ge_mode else months[i],
                     weight[i],
+                    None if wsi_scale is None else wsi_scale[i],
                 )
                 grads_acc = jax.tree_util.tree_map(jnp.add, grads_acc, grads_i)
                 return (
