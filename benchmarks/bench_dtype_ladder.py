@@ -52,6 +52,10 @@ def main():
     ap.add_argument("--k", type=int, default=8, help="optimizer steps per dispatch")
     ap.add_argument("--remat", action="store_true", help="tpu.remat: recompute "
                     "[B,M,d] patch-axis residuals in backward (loop.py policy)")
+    ap.add_argument("--w8a8", action="store_true", help="with --wsi int8: run "
+                    "the first projection as s8 x s8 on the MXU "
+                    "(tpu.int8_matmul / ops/layers.py::w8a8_linear) instead "
+                    "of dequantizing the feed before the dot")
     ap.add_argument("--flops", action="store_true", help="also report the "
                     "EXECUTED GFLOP/bag of this arm's compiled program (XLA "
                     "cost_analysis). mfu_pct stays pinned to the standard-"
@@ -123,7 +127,8 @@ def main():
         params, optimizer.init(params), jax.random.key(1), jnp.zeros((), jnp.int32)
     )
     step = make_multi_train_step(
-        model, "ces", optimizer, donate_state=True, remat=args.remat
+        model, "ces", optimizer, donate_state=True, remat=args.remat,
+        int8_matmul=args.w8a8 and args.wsi == "int8",
     )
     stacked = {
         k: (
@@ -148,7 +153,7 @@ def main():
     gflop_per_bag = 1.056  # XLA cost_analysis, single 32-bag step / 32
     out = {
         "batch": B,
-        "wsi": args.wsi,
+        "wsi": args.wsi + ("+w8a8" if args.w8a8 else ""),
         "compute": args.compute,
         "remat": args.remat,
         "bags_per_sec": round(best, 1),

@@ -48,19 +48,60 @@ def main():
     cs = (jnp.max(jnp.abs(w), 0) / 127).astype(jnp.float32)
 
     dn = (((1,), (0,)), ((), ()))
+    # CHAIN per dispatch: per-call dispatch RTT on this tunneled backend is
+    # ~1.4 ms vs ~0.35 ms of matmul — one matmul per dispatch would measure
+    # the tunnel. A scan of CHAIN matmuls (each consuming the previous
+    # iteration's reduced scalar so XLA cannot CSE them) amortizes it away.
+    CHAIN = 16
+
+    def _chain(body):
+        """Scan CHAIN matmuls in ONE dispatch. Each iteration perturbs the
+        SMALL [K, N] weight operand with a scalar selected on the carry (a
+        real data dependence on the previous matmul's reduction), so XLA can
+        neither hoist the dot out of the loop nor CSE iterations; the
+        perturbation op itself touches only ~KB-scale data."""
+
+        def run(*arrs):
+            def step(carry, i):
+                y = body(carry, i, *arrs)
+                return jnp.sum(y.astype(jnp.float32)) * 1e-30, None
+
+            out, _ = lax.scan(step, jnp.zeros(()), jnp.arange(CHAIN))
+            return out
+
+        return jax.jit(run)
+
+    def _sel8(carry, i):
+        return lax.select(carry > 1e30, jnp.int8(1), (i % 3).astype(jnp.int8))
 
     @jax.jit
     def mm_bf16(a, b):
         return lax.dot_general(a, b, dn, preferred_element_type=jnp.float32)
 
     @jax.jit
-    def mm_s8(a, b):
-        return lax.dot_general(a, b, dn, preferred_element_type=jnp.int32)
-
-    @jax.jit
     def mm_w8a8(a, b, r, c):
         acc = lax.dot_general(a, b, dn, preferred_element_type=jnp.int32)
         return acc.astype(jnp.float32) * (r[:, None] * c[None, :])
+
+    ch_bf16 = _chain(
+        lambda carry, i, a, b: lax.dot_general(
+            a,
+            b + lax.select(
+                carry > 1e30, jnp.bfloat16(1), (i % 3).astype(jnp.bfloat16)
+            ),
+            dn, preferred_element_type=jnp.float32,
+        )
+    )
+    ch_s8 = _chain(
+        lambda carry, i, a, b: lax.dot_general(
+            a, b + _sel8(carry, i), dn, preferred_element_type=jnp.int32
+        )
+    )
+    ch_w8a8 = _chain(
+        lambda carry, i, a, b, r, c: lax.dot_general(
+            a, b + _sel8(carry, i), dn, preferred_element_type=jnp.int32
+        ).astype(jnp.float32) * (r[:, None] * c[None, :])
+    )
 
     # quality side-stat of the probe inputs
     exact = np.asarray(mm_bf16(x.astype(jnp.float32), w))
@@ -68,24 +109,24 @@ def main():
     rel = float(np.abs(approx - exact).mean() / np.abs(exact).mean())
 
     gflop = 2.0 * R * K * N / 1e9
-    out = {"rows": R, "k": K, "n": N, "w8a8_rel_err": round(rel, 5)}
+    out = {"rows": R, "k": K, "n": N, "chain": CHAIN,
+           "w8a8_rel_err": round(rel, 5)}
     for name, fn, arrs in (
-        ("bf16", mm_bf16, (xb, wb)),
-        ("s8s8", mm_s8, (q, qw)),
-        ("w8a8_dequant", mm_w8a8, (q, qw, rs, cs)),
+        ("bf16", ch_bf16, (xb, wb)),
+        ("s8s8", ch_s8, (q, qw)),
+        ("w8a8_dequant", ch_w8a8, (q, qw, rs, cs)),
     ):
-        y = fn(*arrs)
-        jnp.sum(y).block_until_ready()
-        float(jnp.sum(fn(*arrs).astype(jnp.float32))[()])  # hard sync
+        float(fn(*arrs)[()])  # compile + hard sync
+        float(fn(*arrs)[()])
         best = 0.0
         for _ in range(args.windows):
             t0 = time.perf_counter()
             y = None
             for _ in range(args.calls):
                 y = fn(*arrs)
-            float(jnp.sum(y.astype(jnp.float32))[()])
+            float(y[()])
             dt = time.perf_counter() - t0
-            best = max(best, args.calls * gflop / dt / 1000.0)
+            best = max(best, args.calls * CHAIN * gflop / dt / 1000.0)
         out[f"{name}_tflops"] = round(best, 1)
     print(json.dumps(out))
 

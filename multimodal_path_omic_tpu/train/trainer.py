@@ -1085,8 +1085,10 @@ class Trainer:
         n_steps, epoch_t0 = ctx["n_steps"], ctx["epoch_t0"]
         group_metrics = ctx["group_metrics"]
         # ONE pipelined D2H round for all epoch metrics (per-leaf pulls pay a
-        # full RTT each on remote backends — profiled at ~6 ms/leaf)
-        self._begin_metric_fetch(ctx)
+        # full RTT each on remote backends — profiled at ~6 ms/leaf) — unless
+        # validated_epoch already fetched them in its combined round
+        if not ctx.get("fetched"):
+            self._begin_metric_fetch(ctx)
         if ctx["fetch_handle"] is not None:
             group_metrics = self._bulk_fetch_end(ctx["fetch_handle"])
         for m, k in group_metrics:
@@ -1246,16 +1248,16 @@ class Trainer:
     def validated_epoch(self, epoch: int) -> Tuple[Dict[str, float], Dict[str, float]]:
         """One train epoch + its validation as ONE overlapped dispatch chain.
 
-        The serial form (``train_epoch`` then ``validate``) leaves the device
-        idle while the host fetches the epoch's packed metrics and computes
-        the train c-index, then leaves the host idle while eval steps run.
-        Here the order is: enqueue every train step, ENQUEUE the metric fetch,
-        enqueue every eval step, then do the train-side host reduce while the
-        device is still executing validation — the reference's serial epoch
-        loop (mcat/main.py:74-76) has no analogue of this. Semantics are
-        identical: eval consumes ``state.params`` which is final once the last
-        train step is enqueued, and the in-order device runs the metric pack
-        ahead of the eval chain."""
+        The serial form (``train_epoch`` then ``validate``) pays TWO host
+        syncs per epoch — the train metric fetch, then the val result fetch —
+        and on a remote/tunneled backend each sync is a full RTT that dwarfs
+        the device work of a real-sized cohort's epoch. Here the order is:
+        enqueue every train step, enqueue every eval step, then ONE combined
+        packed D2H round for train metrics + val results, then both host
+        reduces off the fetched arrays — the reference's serial epoch loop
+        (mcat/main.py:74-76) has no analogue of this. Semantics are identical
+        (equality-tested): eval consumes ``state.params`` which is final once
+        the last train step is enqueued."""
         # Overridden train_epoch/validate (subclasses, test monkeypatches,
         # custom drivers) must keep observing their calls — only the default
         # implementations are safe to decompose into the overlapped chain.
@@ -1268,8 +1270,22 @@ class Trainer:
             out = self.train_epoch(epoch)
             return out, self.validate(epoch)
         ctx = self._train_epoch_dispatch(epoch)
-        self._begin_metric_fetch(ctx)
         val_groups = list(self._val_results())  # enqueues all eval dispatches
+        if self.n_processes == 1:
+            # ONE combined packed D2H round for train metrics AND val results:
+            # every host sync on a remote/tunneled backend costs a full RTT
+            # (measured 29 ms on the dev tunnel vs 1.4 ms pipelined dispatch),
+            # and the two-fetch form pays it twice per epoch — at the
+            # 512-patient cohort's ~6 ms of device work per epoch the second
+            # sync IS the epoch boundary.
+            gm, val_res = self._bulk_fetch(
+                (ctx["group_metrics"], [res for _, res in val_groups])
+            )
+            ctx["group_metrics"] = gm
+            ctx["fetched"] = True
+            val_groups = [
+                (infos, res) for (infos, _), res in zip(val_groups, val_res)
+            ]
         train_out = self._train_epoch_reduce(epoch, ctx)
         val_out = self._validate_reduce(epoch, val_groups)
         return train_out, val_out
