@@ -771,7 +771,8 @@ def test_shard_batch_process_local_equals_device_put(setup):
     assert np.isclose(float(m1.loss), float(m2.loss), atol=2e-4)
 
 
-def _mesh_cache_cfg(tmp, label, *, data_axis, seq_axis, cache, spd=8, epochs=2):
+def _mesh_cache_cfg(tmp, label, *, data_axis, seq_axis, cache, spd=8, epochs=2,
+                    cache_dtype=None, int8_matmul=False):
     import os
 
     from multimodal_path_omic_tpu.config import config_from_dict
@@ -797,6 +798,10 @@ def _mesh_cache_cfg(tmp, label, *, data_axis, seq_axis, cache, spd=8, epochs=2):
         "data_axis": data_axis, "seq_axis": seq_axis,
         "steps_per_dispatch": spd, "device_cache": cache,
     }
+    if cache_dtype:
+        raw["tpu"]["cache_dtype"] = cache_dtype
+    if int8_matmul:
+        raw["tpu"]["int8_matmul"] = True
     cfg = config_from_dict(raw)
     cfg.model.checkpoint_dir = os.path.join(str(tmp), f"ck_{label}")
     cfg.training.test_output_dir = os.path.join(str(tmp), f"out_{label}")
@@ -848,6 +853,30 @@ def test_trainer_mesh_cached_multi_step_is_the_fast_path(tmp_path):
     # mesh vs single device: fp reduction-order noise only
     np.testing.assert_allclose(p_mesh, p_ref, atol=2e-4)
     assert abs(out_mesh["val_loss"] - out_ref["val_loss"]) < 1e-4
+
+
+@pytest.mark.slow
+def test_mesh_int8_matmul_tracks_dequant_path(tmp_path):
+    """tpu.int8_matmul must COMPOSE with a data-parallel mesh: the cached
+    int8 bags stay int8 through the sharded gather and the w8a8 first
+    projection runs under pjit. Tracks the mesh + int8-cache + dequant run
+    closely (same rng chain; only the first layer's numerics differ —
+    same bound as the single-device test_quant.py e2e)."""
+    t_dq, out_dq, p_dq = _fit_params(
+        _mesh_cache_cfg(tmp_path, "mesh_dq", data_axis=4, seq_axis=1,
+                        cache="on", cache_dtype="int8")
+    )
+    assert t_dq.mesh is not None and t_dq.device_cache is not None
+    assert t_dq.device_cache.store_dtype == "int8"
+    t_w8, out_w8, p_w8 = _fit_params(
+        _mesh_cache_cfg(tmp_path, "mesh_w8", data_axis=4, seq_axis=1,
+                        cache="on", cache_dtype="int8", int8_matmul=True)
+    )
+    assert t_w8.mesh is not None and t_w8.device_cache is not None
+    assert np.isfinite(out_w8["train_loss"])
+    assert abs(out_w8["train_loss"] - out_dq["train_loss"]) < 0.05
+    assert abs(out_w8["val_loss"] - out_dq["val_loss"]) < 0.05
+    assert np.abs(p_w8 - p_dq).max() < 0.5 * (np.abs(p_dq).max() + 1e-3)
 
 
 def test_seq_parallel_cross_attention_dropout_exact_semantics():
